@@ -1,0 +1,145 @@
+"""Facade orchestrator — the Spark twin of ``ExnessDataProcessor``
+(processor.py:1-618).
+
+Lifecycle (SURVEY §3.3): gap discovery → (dry-run | per-month download +
+load + dual insert) → OHLC regeneration over the affected range → stats.
+The reference's three regeneration modes (clickhouse_ohlc_generator.py:
+65-215) map to partition-level operations:
+
+- full:        drop the instrument's ohlc partitions, rebuild all months
+- incremental: rebuild only months ≥ earliest new month, dynamic partition
+               overwrite (idempotent — replaces ReplacingMergeTree absorb)
+- range:       rebuild [start, end-month] partitions only
+
+Bar counts are computed from the written range like the reference's
+count-back (clickhouse_ohlc_generator.py:202-213).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.models import (
+    DryRunResult,
+    UpdateResult,
+    validate_date,
+    validate_pair,
+)
+from exness_data_preprocess_spark.operators.gaps import enumerate_months, missing_months
+from exness_data_preprocess_spark.operators.ohlc import generate_ohlc_1m
+from exness_data_preprocess_spark.query import SparkQueryEngine
+from exness_data_preprocess_spark.sources import downloader
+from exness_data_preprocess_spark.sources.catalog import ParquetCatalog
+from exness_data_preprocess_spark.sources.ingest import load_ticks_zip
+
+
+class SparkDataProcessor:
+    """End-to-end facade: ingest, derive, query."""
+
+    def __init__(self, spark: SparkSession, base_path: str | Path,
+                 landing_dir: str | Path | None = None):
+        self.spark = spark
+        self.catalog = ParquetCatalog(base_path)
+        self.catalog.ensure_schema()
+        self.engine = SparkQueryEngine(spark, self.catalog)
+        self.landing = Path(landing_dir) if landing_dir else Path(base_path) / "_landing"
+
+    # -- queries (delegation, processor.py:456-560) ---------------------------
+    def query_ticks(self, *args, **kwargs):
+        return self.engine.query_ticks(*args, **kwargs)
+
+    def query_ohlc(self, *args, **kwargs):
+        return self.engine.query_ohlc(*args, **kwargs)
+
+    def get_data_coverage(self, instrument: str = "EURUSD"):
+        return self.engine.get_data_coverage(instrument)
+
+    def get_instruments(self) -> list[str]:
+        return self.engine.get_instruments()
+
+    # -- write path (processor.py:285-454) ------------------------------------
+    def insert_ticks(self, df: DataFrame, variant: str) -> int:
+        """Dedup + partitioned append (clickhouse_manager.py:271-330)."""
+        n = df.count()
+        self.catalog.write_ticks(df, f"{variant}_ticks")
+        return n
+
+    def regenerate_ohlc(
+        self,
+        instrument: str,
+        start_date: str | None = None,
+        end_date: str | None = None,
+    ) -> int:
+        """Three-mode regeneration (M3, clickhouse_ohlc_generator.py:65-215)."""
+        inst = validate_pair(instrument)
+        raw = self.engine.ticks_df("raw_spread").filter(F.col("instrument") == inst)
+        std = self.engine.ticks_df("standard").filter(F.col("instrument") == inst)
+        if start_date:
+            raw = raw.filter(F.col("timestamp") >= F.lit(start_date).cast("timestamp"))
+            std = std.filter(F.col("timestamp") >= F.lit(start_date).cast("timestamp"))
+        if end_date:
+            # Month-end-exclusive bound (B4): < addMonths(toDate(end), 1)
+            bound = F.add_months(F.to_date(F.lit(end_date)), 1).cast("timestamp")
+            raw = raw.filter(F.col("timestamp") < bound)
+            std = std.filter(F.col("timestamp") < bound)
+
+        bars = generate_ohlc_1m(raw, std)
+        if start_date is None and end_date is None:
+            # Mode 1: full regeneration — drop-all + rebuild (M1).
+            self.catalog.drop_instrument("ohlc_1m", inst)
+            self.catalog.overwrite_partitions(bars, "ohlc_1m")
+        else:
+            # Modes 2/3: partition overwrite of affected months only (M2).
+            self.catalog.overwrite_partitions(bars, "ohlc_1m")
+        return bars.count()
+
+    def update_data(
+        self,
+        pair: str = "EURUSD",
+        start_date: str = "2022-01-01",
+        dry_run: bool = False,
+    ) -> UpdateResult | DryRunResult:
+        """Gap-driven incremental update (M6, processor.py:285-454)."""
+        t0 = time.time()
+        inst = validate_pair(pair)
+        validate_date(start_date, "start_date")
+
+        if self.catalog.exists("raw_spread_ticks"):
+            gaps = missing_months(
+                self.engine.ticks_df("raw_spread"), inst, start_date
+            )
+        else:
+            gaps = enumerate_months(start_date)
+
+        if dry_run:
+            return DryRunResult.estimate(inst, gaps)
+
+        added_raw = added_std = 0
+        for year, month in gaps:
+            for variant in ("raw_spread", "standard"):
+                path = downloader.download_zip(inst, variant, year, month, self.landing)
+                df = load_ticks_zip(self.spark, str(path), inst)
+                n = self.insert_ticks(df, variant)
+                if variant == "raw_spread":
+                    added_raw += n
+                else:
+                    added_std += n
+
+        bars = 0
+        if gaps:
+            first_y, first_m = gaps[0]
+            bars = self.regenerate_ohlc(inst, start_date=f"{first_y}-{first_m:02d}-01")
+
+        return UpdateResult(
+            pair=inst,
+            months_added=gaps,
+            ticks_added_raw=added_raw,
+            ticks_added_std=added_std,
+            ohlc_bars_generated=bars,
+            gaps_detected=len(gaps),
+            duration_seconds=time.time() - t0,
+        )

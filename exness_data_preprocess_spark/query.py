@@ -1,0 +1,159 @@
+"""Query engine facade: tick scans, OHLC with on-demand resampling,
+coverage, pagination (SURVEY §2.B/F, §3.1-3.2).
+
+Every method builds a declarative DataFrame plan; Catalyst handles
+predicate pushdown + partition pruning (the reference's primary-index range
+scans, clickhouse_query_engine.py:108-129). ``end_date`` inclusivity
+replicates the reference exactly: a bare ``YYYY-MM-DD`` end is parsed as
+that day's midnight and compared with ``<=`` — inclusive of the day-start
+instant only (clickhouse_query_engine.py:111-117; SURVEY.md §2.B2).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.models import (
+    TIMEFRAME_MINUTES,
+    CursorResult,
+    validate_pair,
+    validate_timeframe,
+    validate_variant,
+)
+from exness_data_preprocess_spark.operators.coverage import get_data_coverage
+from exness_data_preprocess_spark.operators.pagination import (
+    iter_batches,
+    paginate_keyset,
+)
+from exness_data_preprocess_spark.operators.resample import resample_ohlc
+from exness_data_preprocess_spark.sources.catalog import ParquetCatalog
+
+
+def _range_filter(
+    df: DataFrame,
+    instrument: str,
+    start_date: str | None,
+    end_date: str | None,
+) -> DataFrame:
+    out = df.filter(F.col("instrument") == instrument)
+    if start_date:
+        out = out.filter(F.col("timestamp") >= F.lit(start_date).cast("timestamp"))
+    if end_date:
+        out = out.filter(F.col("timestamp") <= F.lit(end_date).cast("timestamp"))
+    return out
+
+
+class SparkQueryEngine:
+    """DataFrame-plan twin of the reference's ClickHouseQueryEngine."""
+
+    def __init__(self, spark: SparkSession, catalog: ParquetCatalog):
+        self.spark = spark
+        self.catalog = catalog
+
+    # -- scans --------------------------------------------------------------
+    def ticks_df(self, variant: str = "raw_spread") -> DataFrame:
+        validate_variant(variant)
+        return self.catalog.read(self.spark, f"{variant}_ticks")
+
+    def ohlc_df(self) -> DataFrame:
+        return self.catalog.read(self.spark, "ohlc_1m")
+
+    # -- queries (clickhouse_query_engine.py:66-132) -------------------------
+    def query_ticks(
+        self,
+        instrument: str = "EURUSD",
+        variant: str = "raw_spread",
+        start_date: str | None = None,
+        end_date: str | None = None,
+        limit: int | None = None,
+        offset: int | None = None,
+    ) -> pd.DataFrame:
+        inst = validate_pair(instrument)
+        df = _range_filter(self.ticks_df(variant), inst, start_date, end_date)
+        df = df.select("timestamp", "bid", "ask").orderBy("timestamp")
+        if offset:
+            df = df.offset(offset)
+        if limit:
+            df = df.limit(limit)
+        return df.toPandas()
+
+    # -- OHLC + resample (clickhouse_query_engine.py:134-277) ---------------
+    def query_ohlc(
+        self,
+        instrument: str = "EURUSD",
+        timeframe: str = "1m",
+        start_date: str | None = None,
+        end_date: str | None = None,
+        limit: int | None = None,
+        offset: int | None = None,
+    ) -> pd.DataFrame:
+        inst = validate_pair(instrument)
+        validate_timeframe(timeframe)
+        minutes = TIMEFRAME_MINUTES[timeframe]
+        df = _range_filter(self.ohlc_df(), inst, start_date, end_date)
+        if minutes > 1:
+            df = resample_ohlc(df, minutes)
+        else:
+            df = df.drop("year_month")
+        df = df.orderBy("timestamp")
+        if offset:
+            df = df.offset(offset)
+        if limit:
+            df = df.limit(limit)
+        return df.toPandas()
+
+    # -- coverage / instruments (clickhouse_query_engine.py:279-388) --------
+    def get_data_coverage(self, instrument: str = "EURUSD"):
+        inst = validate_pair(instrument)
+        ohlc = self.ohlc_df() if self.catalog.exists("ohlc_1m") else None
+        return get_data_coverage(
+            self.ticks_df("raw_spread"),
+            self.ticks_df("standard"),
+            ohlc,
+            inst,
+        )
+
+    def get_instruments(self) -> list[str]:
+        rows = (
+            self.ticks_df("raw_spread")
+            .select("instrument")
+            .distinct()
+            .orderBy("instrument")
+            .collect()
+        )
+        return [r["instrument"] for r in rows]
+
+    # -- pagination (clickhouse_query_engine.py:390-534) ---------------------
+    def query_ticks_paginated(
+        self,
+        instrument: str = "EURUSD",
+        variant: str = "raw_spread",
+        cursor: str | None = None,
+        page_size: int = 100_000,
+        start_date: str | None = None,
+        end_date: str | None = None,
+    ) -> CursorResult:
+        inst = validate_pair(instrument)
+        df = _range_filter(self.ticks_df(variant), inst, start_date, end_date)
+        return paginate_keyset(
+            df.select("timestamp", "bid", "ask"), cursor, page_size
+        )
+
+    def query_ticks_batches(
+        self,
+        instrument: str = "EURUSD",
+        variant: str = "raw_spread",
+        batch_size: int = 100_000,
+        start_date: str | None = None,
+        end_date: str | None = None,
+        max_batches: int | None = None,
+    ) -> Iterator[pd.DataFrame]:
+        inst = validate_pair(instrument)
+        df = _range_filter(self.ticks_df(variant), inst, start_date, end_date)
+        return iter_batches(
+            df.select("timestamp", "bid", "ask"), batch_size, "timestamp", max_batches
+        )

@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[N]``; the same config block is what we would ship
+to a 1000-executor cluster (AQE, skew-join handling, zstd parquet, Arrow).
+The reference relies on ClickHouse server defaults (clickhouse_client.py:
+40-80); here the equivalent "server" is the Spark conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "exness-data-preprocess-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Defaults follow the env contract of the driver harness:
+    ``SPARK_GRAFT_CPUS`` controls local parallelism.
+
+    Scale notes (100 TB target):
+    - AQE on: runtime coalescing + skew-join splitting replaces hand-tuned
+      ``spark.sql.shuffle.partitions`` on real clusters.
+    - zstd parquet: matches the reference's own compression benchmark winner
+      (docs/research/compression-benchmarks/README.md:11-27).
+    - Session timezone pinned to UTC: all tick timestamps are UTC instants
+      (clickhouse_manager.py:156 ``DateTime64(6,'UTC')``).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,108 @@
+"""Table layout and lifecycle over partitioned Parquet.
+
+Storage semantics mapped from the reference DDL (SURVEY.md §1.3):
+
+- ``PARTITION BY toYYYYMM(timestamp)`` + ``ORDER BY (instrument,
+  timestamp)`` (clickhouse_manager.py:159-161) → Parquet partitioned by
+  ``instrument`` and derived ``year_month``, with
+  ``sortWithinPartitions("timestamp")`` at write so parquet rowgroup
+  min/max stats give the same data-skipping a ClickHouse sparse primary
+  index provides.
+- ``ReplacingMergeTree`` lazy dedup → eager ``dropDuplicates`` at write
+  (stronger guarantee; the reference treats dedup as eventual,
+  processor.py:10-11).
+- Codecs → parquet + zstd (session-level conf).
+- ``ALTER TABLE ... DELETE`` mutations (M1/M2) → dynamic partition
+  overwrite of the affected (instrument, year_month) partitions; atomic at
+  partition granularity, no mutation polling.
+
+At 100 TB: month × instrument partitioning bounds every incremental job to
+the touched partitions; a reader with instrument + time predicates prunes
+to exactly those directories (visible as ``PartitionFilters`` in explain).
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.functions.timefuncs import year_month
+
+TICK_TABLES = ("raw_spread_ticks", "standard_ticks")
+OHLC_TABLE = "ohlc_1m"
+PARTITION_COLS = ["instrument", "year_month"]
+
+
+class ParquetCatalog:
+    """Filesystem-backed table catalog rooted at ``base_path``.
+
+    The reference's bootstrap-ordering invariant — database exists before
+    clients bind (clickhouse_manager.py:45-79) — becomes: root dirs are
+    created before any write/read, idempotently.
+    """
+
+    def __init__(self, base_path: str | Path):
+        self.base = Path(base_path)
+
+    def ensure_schema(self) -> None:
+        """Idempotent bootstrap (clickhouse_manager.py:110-143)."""
+        for tbl in (*TICK_TABLES, OHLC_TABLE):
+            (self.base / tbl).mkdir(parents=True, exist_ok=True)
+
+    def path(self, table: str) -> str:
+        return str(self.base / table)
+
+    def exists(self, table: str) -> bool:
+        p = self.base / table
+        return p.exists() and any(p.rglob("*.parquet"))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        """Partition-pruned scan; ``year_month`` comes back as a partition
+        column and is dropped from the logical row (it is derivable)."""
+        return spark.read.parquet(self.path(table))
+
+    def write_ticks(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "append",
+        dedup: bool = True,
+    ) -> None:
+        """Partitioned, sorted, deduped tick write (A3 + D8).
+
+        ``dropDuplicates`` on the sort key replaces ReplacingMergeTree's
+        merge-time collapse (clickhouse_manager.py:159).
+        """
+        out = df.withColumn("year_month", year_month(F.col("timestamp")))
+        if dedup:
+            out = out.dropDuplicates(["instrument", "timestamp"])
+        (
+            out.repartition("instrument", "year_month")
+            .sortWithinPartitions("timestamp")
+            .write.mode(mode)
+            .partitionBy(*PARTITION_COLS)
+            .parquet(self.path(table))
+        )
+
+    def overwrite_partitions(self, df: DataFrame, table: str) -> None:
+        """Dynamic partition overwrite — the Spark analog of the
+        reference's range DELETE + re-INSERT (M1/M2,
+        clickhouse_ohlc_generator.py:111-132); only partitions present in
+        ``df`` are replaced."""
+        out = df.withColumn("year_month", year_month(F.col("timestamp")))
+        (
+            out.repartition("instrument", "year_month")
+            .sortWithinPartitions("timestamp")
+            .write.mode("overwrite")
+            .partitionBy(*PARTITION_COLS)
+            .parquet(self.path(table))
+        )
+
+    def drop_instrument(self, table: str, instrument: str) -> None:
+        """Full-instrument DELETE (M1) = drop the partition directory."""
+        p = self.base / table / f"instrument={instrument.upper()}"
+        if p.exists():
+            shutil.rmtree(p)
