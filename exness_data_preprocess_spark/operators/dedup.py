@@ -1,0 +1,377 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's key-level dedup (ReplacingMergeTree semantics,
+clickhouse_manager.py:159 → dropDuplicates, SURVEY.md §1.3), this module
+implements the document-dedup family a 100 TB corpus pipeline needs:
+
+- **exact**: content-hash groupBy (md5 of normalized text).
+- **MinHash + LSH**: shingle → k universal-hash min-signatures → banded
+  bucket join → candidate pairs → exact-Jaccard verification.
+- **SimHash**: bitwise-majority fingerprint over token hashes; near-dup =
+  small Hamming distance, blocked by band equality.
+- **n-gram Jaccard**: exact set-similarity join within blocking keys.
+- **embedding cosine**: near-dup pairs above a cosine threshold, blocked
+  by a cluster/label column (the IVF-style scale path).
+
+All hashing is md5-based (functions/hashing.py) so an external ANSI-SQL
+oracle reproduces every value bit-for-bit; every expression is JVM-side
+(no Python UDFs) — dedup passes run at parquet scan speed.
+
+Scale notes:
+- The LSH bucket join shuffles on (band_idx, band_key); pathological
+  buckets (boilerplate docs) are capped via ``max_bucket_size`` the way
+  production near-dup pipelines drop degenerate bands.
+- Exact-Jaccard verification joins shingle sets back by doc id — two
+  hash joins on the (much smaller) candidate-pair set, not on the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.functions.hashing import (
+    MERSENNE_P,
+    md5_h32,
+    minhash_coeffs,
+)
+
+# ---------------------------------------------------------------------------
+# Tokenization / shingling (shared with textstats)
+# ---------------------------------------------------------------------------
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of lowercased trimmed text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def shingles_col(text: Column, n: int) -> Column:
+    """Distinct n-gram shingles (n=1 → distinct tokens)."""
+    toks = tokens_col(text)
+    if n == 1:
+        return F.array_distinct(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per exact content hash.
+
+    Window ``row_number`` mirrors the reference's eager key dedup (D8); at
+    scale this is one shuffle on the 32-hex digest, with partial
+    aggregation unavailable but the digest key uniformly distributed.
+    """
+    w = Window.partitionBy(F.md5(F.trim(F.col(text_col)))).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_duplicate_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(content_hash, n_dupes, keeper_id) for every duplicated content."""
+    return (
+        df.groupBy(F.md5(F.trim(F.col(text_col))).alias("content_hash"))
+        .agg(F.count("*").alias("n_dupes"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_dupes") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 16,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Append ``sig`` (array<bigint>, length num_perm) minhash signature.
+
+    sig_j = min over shingles s of (a_j * h32(s) + b_j) mod (2^61 - 1) —
+    the classic universal-hash permutation family; h32 is md5-derived so
+    the oracle can reproduce it.
+    """
+    sh = shingles_col(F.col(text_col), shingle_n)
+    hashes = F.transform(sh, lambda s: md5_h32(s))
+
+    def perm(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(hashes, perm(a, b)))
+            for a, b in minhash_coeffs(num_perm)
+        ]
+    )
+    return df.withColumn("sig", sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+    jaccard_threshold: float = 0.8,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH + exact verification.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and exact shingle-set
+    Jaccard ≥ threshold, restricted to pairs colliding in ≥1 LSH band.
+    """
+    rows_per_band = num_perm // bands
+    with_sig = minhash_signature(df, text_col, num_perm, shingle_n).select(
+        F.col(id_col).alias("id"), "sig"
+    )
+    # Candidate generation carries ONLY ids through the band join + pair
+    # dedup — the shingle arrays (the wide payload) re-attach afterwards on
+    # the much smaller distinct-pair set. At 100 TB this is the difference
+    # between shuffling ids and shuffling the corpus.
+    banded = with_sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig")[i].cast("string")
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    if max_bucket_size is not None:
+        # Degenerate-band guard: drop buckets larger than the cap (at 100 TB
+        # a boilerplate band key can collect millions of docs and turn the
+        # self-join quadratic).
+        counts = banded.groupBy("band_idx", "band_key").count()
+        banded = banded.join(
+            counts.filter(F.col("count") <= max_bucket_size).drop("count"),
+            ["band_idx", "band_key"],
+        )
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_idx", "band_key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_df = df.select(
+        F.col(id_col).alias("id"),
+        shingles_col(F.col(text_col), shingle_n).alias("sh"),
+    )
+    sh_a = sh_df.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.size("sh").alias("sz_a")
+    )
+    sh_b = sh_df.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.size("sh").alias("sz_b")
+    )
+    # Size-ratio prune: jaccard >= t implies min(|A|,|B|)/max(|A|,|B|) >= t,
+    # so the expensive intersect/union runs only on size-compatible pairs.
+    t = float(jaccard_threshold)
+    verified = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .filter(
+            (F.col("sz_a") >= F.col("sz_b") * t)
+            & (F.col("sz_b") >= F.col("sz_a") * t)
+        )
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        verified.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash) — bitwise-majority fingerprint over md5 token hashes.
+
+    bit_i(doc) = 1 iff Σ_tokens (2·bit_i(h32(token)) − 1) > 0. Distinct
+    tokens are exploded once and re-aggregated with ``bits`` conditional
+    sums — all JVM-side, one shuffle on the id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", md5_h32(F.col("tok")))
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"s{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(
+            1 << i
+        )
+        fp = bit if fp is None else fp + bit
+    return sums.select("id", fp.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, candidate-blocked
+    by equality of one of ``bands`` bit-bands (pigeonhole: any pair within
+    Hamming ≤ bands-1 shares at least one exact band)."""
+    fps = simhash_fingerprints(df, text_col, id_col, bits)
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    banded = fps.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias(f"b{b}")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"), "band_idx", "band_val"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"), "band_idx", "band_val"
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (blocked)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    shingle_n: int = 1,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact set-similarity self-join within blocking keys.
+
+    The blocking keys bound the quadratic term (classic candidate
+    generation); at 100 TB block on (lang, length-bucket, source) or feed
+    candidates from MinHash instead.
+    """
+    base = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id"),
+        shingles_col(F.col(text_col), shingle_n).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    a = base.select(
+        *[F.col(c) for c in block_cols],
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"),
+    )
+    b = base.select(
+        *[F.col(c) for c in block_cols],
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"),
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    # Size-ratio prune (semantics-preserving): jaccard >= t implies
+    # min(|A|,|B|) >= t·max(|A|,|B|), so most pairs skip the array ops.
+    t = float(threshold)
+    return (
+        a.join(b, list(block_cols))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("sz_a") >= F.col("sz_b") * t)
+            & (F.col("sz_b") >= F.col("sz_a") * t)
+        )
+        .select(
+            *block_cols, "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-dup pairs by cosine similarity, blocked by a cluster column.
+
+    The block column is the IVF coarse quantizer stand-in: at scale,
+    assign each vector to its nearest centroid(s) and only compare within
+    cells — the self-join below is then per-cell quadratic, not global.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    base = df.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        norm.alias("nrm"),
+    )
+    on = [block_col] if block_col else []
+    a = base.select(
+        *on, F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
+    )
+    b = base.select(
+        *on, F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b")
+    )
+    joined = a.join(b, on) if on else a.crossJoin(b)
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot / (F.col("n_a") * F.col("n_b"))
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select(*on, "id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

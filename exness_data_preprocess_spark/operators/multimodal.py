@@ -1,0 +1,167 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Spark-side plumbing is real — schema (schema.py:MEDIA_SCHEMA), partitioning,
+Arrow-batched ``mapInPandas`` UDF signatures, batch shapes — while the
+actual codec work is stubbed (the image/audio libraries are not in this
+container). Each decode stub is deterministic so pipelines are testable;
+swapping in PIL/torchaudio/ffmpeg is a one-function change where marked.
+
+Scale notes:
+- Binary payloads ride in parquet binary columns; `spark.sql.files.
+  maxPartitionBytes` bounds the per-task batch so a 100 TB media table
+  streams through fixed-size Arrow batches.
+- Feature extraction is ``mapInPandas`` (iterator form): one Python worker
+  per task processes many Arrow batches with zero per-row overhead.
+- Decoded tensors should NOT be returned wholesale at scale — return
+  features / thumbnails; keep payload passthrough optional.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_DIM = 8
+
+MEDIA_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("payload_bytes", T.LongType(), True),
+        T.StructField("payload_sha256", T.StringType(), True),
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_sha256", T.StringType(), True),
+    ]
+)
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """STUB — deterministic fake decode.
+
+    Real implementation: ``PIL.Image.open(io.BytesIO(payload))`` →
+    ``np.asarray``. Raises for non-bytes to keep the error contract.
+    """
+    if payload is None:
+        raise ValueError("empty payload")
+    # Deterministic pseudo-pixels from the content digest.
+    digest = hashlib.sha256(payload).digest()
+    return np.frombuffer(digest, dtype=np.uint8).astype(np.float64)
+
+
+def _decode_audio(payload: bytes) -> np.ndarray:
+    """STUB — real implementation: soundfile/torchaudio decode to PCM."""
+    return _decode_image(payload)
+
+
+def decode_video_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """STUB for frame sampling — real implementation: ffmpeg/pyav keyframe
+    extraction. Deterministic fake: content-digest chain."""
+    if payload is None:
+        raise NotImplementedError("video decode requires ffmpeg (not bundled)")
+    frames = []
+    cur = payload
+    for _ in range(n_frames):
+        cur = hashlib.sha256(cur).digest()
+        frames.append(cur)
+    return frames
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the media table.
+
+    Output: fixed-dim feature vector + payload digest/size per asset —
+    the shape a downstream embedding/near-dup stage consumes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, digests, sizes = [], [], []
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+                if payload is None:
+                    feats.append(None)
+                    digests.append(None)
+                    sizes.append(None)
+                    continue
+                raw = bytes(payload)
+                decode = _decode_audio if mtype == "audio" else _decode_image
+                arr = decode(raw)
+                vec = arr[:FEATURE_DIM]
+                feats.append([float(x) for x in vec] + [0.0] * (FEATURE_DIM - len(vec)))
+                digests.append(hashlib.sha256(raw).hexdigest())
+                sizes.append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "payload_bytes": pd.array(sizes, dtype="Int64"),
+                    "payload_sha256": digests,
+                    "features": feats,
+                }
+            )
+
+    return media.select("asset_id", "media_type", "payload").mapInPandas(
+        run, MEDIA_FEATURES_SCHEMA
+    )
+
+
+def sample_video_frames(media: DataFrame, n_frames: int = 3) -> DataFrame:
+    """Frame sampling for video assets — one output row per sampled frame."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_digest = [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for i, frame in enumerate(
+                    decode_video_frames(bytes(payload), n_frames)
+                ):
+                    out_ids.append(asset_id)
+                    out_idx.append(i)
+                    out_digest.append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "asset_id": out_ids,
+                    "frame_idx": pd.array(out_idx, dtype="int32"),
+                    "frame_sha256": out_digest,
+                }
+            )
+
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+    )
+
+
+def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a deterministic media table from the documents fixture (the
+    container ships no real media): payload = utf-8 text bytes, media_type
+    cycles image/audio/video, metadata derived from doc stats. Exercises
+    the full binary-column plumbing."""
+    mtype = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        mtype.alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.concat(F.lit("application/x-fake-"), mtype).alias("mime"),
+        (F.col("n_chars") % 640 + 64).cast("int").alias("width"),
+        (F.col("n_chars") % 480 + 48).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("bigint").alias("duration_ms"),
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a production ANN stack would structure them:
+
+- **Brute-force cosine top-k** — the exact baseline. Query vectors are a
+  tiny broadcast side; the corpus side streams through one
+  whole-stage-codegen'd projection (zip_with dot product), then a
+  per-query top-k window. At 100 TB the scan dominates and parallelizes
+  perfectly; no shuffle of the corpus.
+- **LSH-bucketed ANN** — random-hyperplane signatures restrict candidate
+  generation to matching buckets (multi-probe via band split). Hyperplanes
+  are generated driver-side from a fixed seed and inlined as literals, so
+  results are deterministic and oracle-reproducible.
+
+All dot products are computed in float64 after casting, in left-to-right
+order, so an ANSI-SQL oracle reproduces them to the last ulp (outputs are
+still rounded as belt-and-braces).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec_col: str) -> Column:
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, x: acc + x)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank). Self-matches are
+    excluded; ties on the rounded cosine break by neighbor id so ranking
+    is total and deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        _norm(_as_double(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+        _norm(_as_double(vec_col)).alias("cn"),
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed-seed Gaussian, rounded so
+    literal SQL rendering is exact)."""
+    rng = np.random.RandomState(seed)
+    return [
+        [round(float(x), 6) for x in rng.randn(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature: bit_j = 1 iff <v, plane_j> >= 0."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(p) for p in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        * F.lit(1 << j)
+        for j, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_bucketed_neighbors(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: compare only vectors whose sign signature matches
+    the query's bucket. Recall trades against bucket size via n_planes;
+    multi-probe = union over several plane sets at the call site.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    sig = lambda col: lsh_signature(_as_double(col), planes)  # noqa: E731
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+        _norm(_as_double(vec_col)).alias("cn"),
+        sig(vec_col).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        _norm(_as_double(vec_col)).alias("qn"),
+        sig(vec_col).alias("bucket"),
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,143 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+These are first-class training-data-pipeline components (not in the
+reference, which is numeric tick data — its UDF surface is the pandas
+enrichment layer, SURVEY.md §2.K). Everything here is built-in column
+expressions → whole-stage codegen; a 100 TB corpus pass runs at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.functions.hashing import md5_h32, md5_h60
+from exness_data_preprocess_spark.operators.dedup import shingles_col, tokens_col
+
+# Small per-language stopword lists (public knowledge) for the n-gram/
+# stopword-hit language heuristic. Deterministic, oracle-reproducible.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pas", "pour", "que"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "no", "por", "como"],
+    "zh": ["的", "是", "不", "了", "在", "我", "有", "和", "就", "人"],
+}
+
+# BPE-ish pre-tokenization: word runs or single non-word-non-space marks —
+# the regex families GPT-style tokenizers use for pre-splitting.
+BPE_SPLIT_REGEX = r"\w+|[^\w\s]"
+
+PUNCT_REGEX = r"[.,;:!?]"
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_col(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish pre-token count (word runs + standalone punctuation)."""
+    return F.regexp_count(text, F.lit(BPE_SPLIT_REGEX))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append deterministic quality-scoring features:
+
+    n_tokens, n_tokens_bpe, avg_token_len, punct_ratio, stopword_ratio
+    (English list), distinct_token_ratio, and a composite ``quality_flag``
+    (1 = passes the heuristic gates used by corpus-cleaning pipelines:
+    enough tokens, sane token length, not punctuation-soup, some lexical
+    diversity).
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    n_distinct = F.size(F.array_distinct(toks))
+    punct = F.regexp_count(text, F.lit(PUNCT_REGEX))
+    stops = F.size(
+        F.filter(toks, lambda t: t.isin([F.lit(s) for s in STOPWORDS["en"]]))
+    )
+    avg_len = F.round(
+        F.when(n_tok > 0, n_chars.cast("double") / n_tok), 6
+    )
+    punct_ratio = F.round(
+        F.when(n_chars > 0, punct.cast("double") / n_chars), 6
+    )
+    stop_ratio = F.round(
+        F.when(n_tok > 0, stops.cast("double") / n_tok), 6
+    )
+    distinct_ratio = F.round(
+        F.when(n_tok > 0, n_distinct.cast("double") / n_tok), 6
+    )
+    flag = (
+        (n_tok >= 5)
+        & (avg_len >= 2.0)
+        & (avg_len <= 20.0)
+        & (F.coalesce(punct_ratio, F.lit(0.0)) <= 0.2)
+        & (F.coalesce(distinct_ratio, F.lit(0.0)) >= 0.3)
+    )
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        token_count_bpe(text).alias("n_tokens_bpe"),
+        avg_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_token_ratio"),
+        flag.cast("int").alias("quality_flag"),
+    )
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language scores + argmax prediction.
+
+    score_lang = |distinct tokens ∩ stopwords(lang)|; prediction = highest
+    score, ties broken by language code (deterministic). The real-corpus
+    upgrade is char-n-gram profiles — same shape, bigger dim tables.
+    """
+    toks = F.array_distinct(tokens_col(F.col(text_col)))
+    scored = df.select(
+        "*",
+        *[
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(s) for s in words]))
+            ).alias(f"score_{lang}")
+            for lang, words in STOPWORDS.items()
+        ],
+    )
+    # argmax with (score desc, lang asc) tie-break via array_max over structs
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"score_{lang}").alias("s"),
+                    F.lit(-i).alias("prio"),  # earlier lang code wins ties
+                    F.lit(lang).alias("lang"),
+                )
+                for i, lang in enumerate(sorted(STOPWORDS))
+            ]
+        )
+    )
+    return scored.withColumn("pred_lang", best["lang"])
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc fingerprints: full-content md5, 60-bit content hash, and the
+    min-shingle-hash (rolling-hash analog used for container-level dedup
+    keys)."""
+    text = F.col(text_col)
+    norm = F.lower(F.trim(text))
+    min_shingle = F.array_min(
+        F.transform(shingles_col(text, 3), lambda s: md5_h32(s))
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("content_md5"),
+        md5_h60(norm).alias("content_h60"),
+        min_shingle.alias("min_shingle_h32"),
+    )

@@ -750,3 +750,13 @@ QUERIES: dict[str, QuerySpec] = {
         q_region_revenue, ORACLE_REGION_REVENUE, "C6: broadcast dim-join chain",
     ),
 }
+
+
+def _register_ml_queries() -> None:
+    from exness_data_preprocess_spark.plans.registry_ml import build_ml_queries
+
+    for name, (fn, oracle, desc) in build_ml_queries().items():
+        QUERIES[name] = QuerySpec(fn, oracle, desc)
+
+
+_register_ml_queries()

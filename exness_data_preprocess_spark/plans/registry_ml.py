@@ -1,0 +1,389 @@
+"""Oracle-checked queries for the training-data pipeline operators
+(dedup / similarity / text analysis / multimodal).
+
+The MinHash and SimHash oracles are generated programmatically so the
+DuckDB SQL inlines exactly the same md5-derived universal-hash family the
+Spark operators use (functions/hashing.py) — hash values match
+bit-for-bit, so LSH candidate sets match by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.functions.hashing import (
+    MERSENNE_P,
+    minhash_coeffs,
+)
+from exness_data_preprocess_spark.operators import multimodal
+from exness_data_preprocess_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from exness_data_preprocess_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucketed_neighbors,
+)
+from exness_data_preprocess_spark.operators.textstats import (
+    STOPWORDS,
+    doc_fingerprint,
+    lang_scores,
+    quality_features,
+)
+
+# DuckDB fragments shared by the generated oracles
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_H32 = "(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup: keep lowest doc_id per md5(trim(text))."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs).select(
+        "doc_id", F.md5(F.trim(F.col("text"))).alias("content_md5"), "lang", "source"
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT doc_id, md5(trim(text)) AS content_md5, lang, source
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5(trim(text)) ORDER BY doc_id) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs
+# ---------------------------------------------------------------------------
+_NUM_PERM, _BANDS, _ROWS = 16, 4, 4
+_JACCARD_T = 0.8
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(
+        docs,
+        num_perm=_NUM_PERM,
+        bands=_BANDS,
+        shingle_n=1,
+        jaccard_threshold=_JACCARD_T,
+    )
+
+
+def _minhash_oracle() -> str:
+    perms = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE_P}))"
+        for a, b in minhash_coeffs(_NUM_PERM)
+    )
+    bands_vals = ", ".join(f"({b})" for b in range(_BANDS))
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS sh FROM documents
+), hashed AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {_H32.format(s='s')}) AS hs FROM d
+), sigs AS (
+  SELECT doc_id, sh, [{perms}] AS sig FROM hashed
+), banded AS (
+  SELECT doc_id, sh, b.band_idx,
+         array_to_string(sig[b.band_idx * {_ROWS} + 1 : b.band_idx * {_ROWS} + {_ROWS}], ',')
+           AS band_key
+  FROM sigs CROSS JOIN (VALUES {bands_vals}) AS b(band_idx)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       round(len(list_intersect(da.sh, db.sh))::DOUBLE
+             / len(list_distinct(list_concat(da.sh, db.sh))), 6) AS jaccard
+FROM pairs p
+JOIN d da ON da.doc_id = p.id_a
+JOIN d db ON db.doc_id = p.id_b
+WHERE round(len(list_intersect(da.sh, db.sh))::DOUBLE
+            / len(list_distinct(list_concat(da.sh, db.sh))), 6) >= {_JACCARD_T}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+_SIMHASH_BITS = 32
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_fingerprints(docs, bits=_SIMHASH_BITS).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _simhash_oracle() -> str:
+    sums = ", ".join(
+        f"sum(((hv >> {i}) & 1) * 2 - 1) AS s{i}" for i in range(_SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN 1 ELSE 0 END * {1 << i})"
+        for i in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+), h AS (
+  SELECT doc_id, {_H32.format(s='tok')} AS hv FROM toks
+), s AS (
+  SELECT doc_id, {sums} FROM h GROUP BY doc_id
+)
+SELECT doc_id, ({bits})::BIGINT AS simhash FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (blocked by lang)
+# ---------------------------------------------------------------------------
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(
+        docs, block_cols=("lang",), shingle_n=1, threshold=0.9
+    )
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH d AS (
+  SELECT doc_id, lang, list_distinct({_TOKS}) AS sh FROM documents
+)
+SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup pairs (label-blocked)
+# ---------------------------------------------------------------------------
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_cosine_pairs(emb, block_col="label", threshold=0.3)
+
+
+ORACLE_DEDUP_EMBEDDING_COSINE = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+)
+SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                     i -> a.v[i] * b.v[i]))
+             / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                    i -> a.v[i] * b.v[i]))
+            / (a.nrm * b.nrm), 6) >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k
+# ---------------------------------------------------------------------------
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+ORACLE_EMBEDDING_COSINE_TOPK = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(generate_series(1, len(q.v)),
+                                       i -> q.v[i] * c.v[i]))
+               / (q.nrm * c.nrm), 6) AS cosine
+  FROM n q JOIN n c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate variant — rows-only check (sign-bit buckets sit on fp
+    boundaries an external engine may resolve differently)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_bucketed_neighbors(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, n_planes=8, k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID
+# ---------------------------------------------------------------------------
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_scores(docs).select(
+        "doc_id",
+        *[F.col(f"score_{lang}") for lang in sorted(STOPWORDS)],
+        "pred_lang",
+    )
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(STOPWORDS)
+    scores = ", ".join(
+        "len(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + f"]))::INT AS score_{lang}"
+        for lang in langs
+    )
+    # alphabetical >= chain reproduces the (score desc, lang asc) tie-break
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}" for other in langs if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " END"
+    cols = ", ".join(f"score_{lang}" for lang in langs)
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+), s AS (
+  SELECT doc_id, {scores} FROM d
+)
+SELECT doc_id, {cols}, {case_sql} AS pred_lang FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality features
+# ---------------------------------------------------------------------------
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_features(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_bpe",
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "distinct_token_ratio",
+        "quality_flag",
+    )
+
+
+def _text_quality_oracle() -> str:
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, {_TOKS} AS toks, length(text) AS n_chars FROM documents
+), f AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens_bpe,
+         round(CASE WHEN len(toks) > 0
+               THEN n_chars::DOUBLE / len(toks) END, 6) AS avg_token_len,
+         round(CASE WHEN n_chars > 0
+               THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / n_chars END, 6)
+           AS punct_ratio,
+         round(CASE WHEN len(toks) > 0
+               THEN len(list_filter(toks, t -> list_contains([{en}], t)))::DOUBLE
+                    / len(toks) END, 6) AS stopword_ratio,
+         round(CASE WHEN len(toks) > 0
+               THEN len(list_distinct(toks))::DOUBLE / len(toks) END, 6)
+           AS distinct_token_ratio
+  FROM d
+)
+SELECT doc_id, n_tokens, n_tokens_bpe, avg_token_len, punct_ratio,
+       stopword_ratio, distinct_token_ratio,
+       (n_tokens >= 5 AND avg_token_len >= 2.0 AND avg_token_len <= 20.0
+        AND coalesce(punct_ratio, 0.0) <= 0.2
+        AND coalesce(distinct_token_ratio, 0.0) >= 0.3)::INT AS quality_flag
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprints
+# ---------------------------------------------------------------------------
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_fingerprint(docs)
+
+
+ORACLE_DOC_FINGERPRINT = f"""
+WITH d AS (
+  SELECT doc_id, lower(trim(text)) AS norm, {_TOKS} AS toks FROM documents
+)
+SELECT doc_id,
+       md5(norm) AS content_md5,
+       ('0x' || substr(md5(norm), 1, 15))::BIGINT AS content_h60,
+       CASE WHEN len(toks) >= 3 THEN
+         list_min(list_transform(generate_series(1, len(toks) - 2),
+                  i -> {_H32.format(s="array_to_string(toks[i:i+2], ' ')")}))
+       END AS min_shingle_h32
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only checks — mapInPandas stubs)
+# ---------------------------------------------------------------------------
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.synthesize_media_from_documents(docs)
+    return multimodal.extract_media_features(media)
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.synthesize_media_from_documents(docs)
+    return multimodal.sample_video_frames(media, n_frames=3)
+
+
+def build_ml_queries() -> dict:
+    """name → (spark_fn, oracle_sql_or_None, description)."""
+    return {
+        "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT,
+                        "exact content-hash dedup (keep lowest id)"),
+        "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_oracle(),
+                              "MinHash(16)+LSH(4x4) near-dup pairs, exact-verified"),
+        "dedup_simhash": (q_dedup_simhash, _simhash_oracle(),
+                          "32-bit SimHash fingerprints"),
+        "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD,
+                                "exact token-set Jaccard pairs, lang-blocked"),
+        "dedup_embedding_cosine": (q_dedup_embedding_cosine,
+                                   ORACLE_DEDUP_EMBEDDING_COSINE,
+                                   "embedding cosine near-dup pairs, label-blocked"),
+        "embedding_cosine_topk": (q_embedding_cosine_topk,
+                                  ORACLE_EMBEDDING_COSINE_TOPK,
+                                  "brute-force cosine top-k neighbors"),
+        "ann_lsh_bucketed": (q_ann_lsh_bucketed, None,
+                             "LSH-bucketed approximate neighbors (rows-only)"),
+        "lang_id": (q_lang_id, _lang_id_oracle(),
+                    "stopword-hit language identification"),
+        "text_quality": (q_text_quality, _text_quality_oracle(),
+                         "quality scoring features + gate flag"),
+        "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT,
+                            "md5/h60/min-shingle document fingerprints"),
+        "multimodal_features": (q_multimodal_features, None,
+                                "binary-column feature extraction (mapInPandas stub)"),
+        "video_frame_sample": (q_video_frame_sample, None,
+                               "video frame sampling plumbing (rows-only)"),
+    }
