@@ -45,15 +45,23 @@ def tokens_col(text: Column) -> Column:
 
 
 def shingles_col(text: Column, n: int) -> Column:
-    """Distinct n-gram shingles (n=1 → distinct tokens)."""
+    """Distinct n-gram shingles (n=1 → distinct tokens).
+
+    Docs with fewer than ``n`` tokens have NO n-shingles — return an empty
+    array (downstream array_min over it is NULL), matching the oracle's
+    ``len(toks) >= n`` guard.
+    """
     toks = tokens_col(text)
     if n == 1:
         return F.array_distinct(toks)
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            F.sequence(F.lit(0), F.size(toks) - n),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -1,0 +1,105 @@
+"""ASOF-join semantics parity vs pandas merge_asof — the reference's
+hardest correctness item (SURVEY.md §7 step 3): leading-NULL rows,
+equal-timestamp matches, tolerance, and month-bucket boundary carry."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from exness_data_preprocess_spark.operators.asof import asof_join_backward
+from exness_data_preprocess_spark.schema import TICK_SCHEMA
+
+
+def _expected(praw, pstd, tolerance=None):
+    kw = {"tolerance": pd.Timedelta(seconds=tolerance)} if tolerance else {}
+    pstd = pstd.copy()
+    pstd["timestamp_m"] = pstd["timestamp"]  # merge_asof drops the right on-col
+    return pd.merge_asof(
+        praw.sort_values("timestamp"),
+        pstd.sort_values("timestamp"),
+        on="timestamp",
+        by="instrument",
+        direction="backward",
+        suffixes=("", "_m"),
+        **kw,
+    ).reset_index(drop=True)
+
+
+def _run(spark, raw_df, std_df, praw, pstd, bucket, tolerance=None):
+    out = (
+        asof_join_backward(
+            raw_df, std_df, matched_prefix="m_", bucket=bucket,
+            tolerance_seconds=tolerance,
+        )
+        .toPandas()
+        .sort_values(["instrument", "timestamp"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        _expected(praw, pstd, tolerance)
+        .sort_values(["instrument", "timestamp"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(exp)
+    pd.testing.assert_series_equal(
+        out["m_bid"], exp["bid_m"], check_names=False, check_exact=True
+    )
+    pd.testing.assert_series_equal(
+        out["m_timestamp"], exp["timestamp_m"].astype(out["m_timestamp"].dtype),
+        check_names=False,
+    )
+    return out, exp
+
+
+@pytest.mark.parametrize("bucket", [None, "month", "day"])
+def test_asof_matches_pandas(spark, tick_dfs, tick_pandas, bucket):
+    raw_df, std_df = tick_dfs
+    raw_df = raw_df.dropDuplicates(["instrument", "timestamp"])
+    praw, pstd = tick_pandas
+    praw = praw.drop_duplicates(["instrument", "timestamp"]).reset_index(drop=True)
+    out, _ = _run(spark, raw_df, std_df, praw, pstd, bucket)
+    # leading raw tick (before any standard tick) must be NULL-matched
+    assert out["m_bid"].isna().sum() >= 1
+
+
+def test_asof_tolerance(spark, tick_dfs, tick_pandas):
+    raw_df, std_df = tick_dfs
+    raw_df = raw_df.dropDuplicates(["instrument", "timestamp"])
+    praw, pstd = tick_pandas
+    praw = praw.drop_duplicates(["instrument", "timestamp"]).reset_index(drop=True)
+    out, exp = _run(spark, raw_df, std_df, praw, pstd, "month", tolerance=10)
+    # tolerance must null out stale matches (fixture has multi-hour gaps)
+    no_tol, _ = _run(spark, raw_df, std_df, praw, pstd, "month")
+    assert out["m_bid"].isna().sum() > no_tol["m_bid"].isna().sum()
+
+
+def test_asof_equal_timestamp_matches(spark):
+    """r.timestamp >= s.timestamp: an equal-timestamp standard tick matches
+    (clickhouse_ohlc_generator.py:190)."""
+    t = dt.datetime(2024, 5, 1, 12, 0, 0)
+    raw = spark.createDataFrame([("EURUSD", t, 1.0, 1.0)], TICK_SCHEMA)
+    std = spark.createDataFrame([("EURUSD", t, 2.0, 2.1)], TICK_SCHEMA)
+    row = asof_join_backward(raw, std, matched_prefix="m_", bucket=None).first()
+    assert row["m_bid"] == 2.0
+
+
+def test_asof_bucket_boundary_carry(spark):
+    """A month with zero standard ticks must still receive the carry from
+    earlier months (two-pass prefix fill, operators/asof.py)."""
+    std_t = dt.datetime(2024, 1, 15, 10, 0, 0)
+    raw_t = dt.datetime(2024, 4, 20, 10, 0, 0)  # 3 empty months later
+    raw = spark.createDataFrame([("EURUSD", raw_t, 1.0, 1.0)], TICK_SCHEMA)
+    std = spark.createDataFrame([("EURUSD", std_t, 9.9, 10.0)], TICK_SCHEMA)
+    row = asof_join_backward(raw, std, matched_prefix="m_", bucket="month").first()
+    assert row["m_bid"] == 9.9
+    assert row["m_timestamp"] == std_t
+
+
+def test_asof_no_right_rows(spark):
+    raw = spark.createDataFrame(
+        [("EURUSD", dt.datetime(2024, 1, 1), 1.0, 1.0)], TICK_SCHEMA
+    )
+    std = spark.createDataFrame([], TICK_SCHEMA)
+    row = asof_join_backward(raw, std, matched_prefix="m_", bucket="month").first()
+    assert row["m_bid"] is None and row["m_timestamp"] is None

@@ -1,0 +1,142 @@
+"""Catalog layout + query-engine end-to-end: partitioned writes, dedup at
+write, partition pruning in the physical plan, pagination, coverage, gaps,
+three-mode regeneration."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.operators.gaps import (
+    enumerate_months,
+    missing_months,
+)
+from exness_data_preprocess_spark.processor import SparkDataProcessor
+
+
+@pytest.fixture(scope="module")
+def proc(spark, tick_dfs, tmp_path_factory):
+    base = tmp_path_factory.mktemp("cat")
+    p = SparkDataProcessor(spark, base)
+    raw, std = tick_dfs
+    p.insert_ticks(raw, "raw_spread")
+    p.insert_ticks(std, "standard")
+    p.regenerate_ohlc("EURUSD")
+    p.regenerate_ohlc("XAUUSD")
+    return p
+
+
+def test_dedup_at_write(proc, tick_dfs):
+    raw, _ = tick_dfs
+    stored = proc.engine.ticks_df("raw_spread")
+    n_unique_src = raw.dropDuplicates(["instrument", "timestamp"]).count()
+    assert stored.count() == n_unique_src
+    assert (
+        stored.select("instrument", "timestamp").distinct().count()
+        == stored.count()
+    )
+
+
+def test_partition_layout(proc):
+    base = proc.catalog.base / "raw_spread_ticks"
+    insts = {p.name for p in base.glob("instrument=*")}
+    assert insts == {"instrument=EURUSD", "instrument=XAUUSD"}
+    months = {p.name for p in base.glob("instrument=EURUSD/year_month=*")}
+    assert "year_month=202401" in months and "year_month=202403" in months
+    assert "year_month=202402" not in months  # missing month preserved
+
+
+def test_partition_pruning_in_plan(proc):
+    df = proc.engine.ticks_df("raw_spread").filter(
+        (F.col("instrument") == "EURUSD") & (F.col("year_month") == "202401")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the scan must not enumerate the XAUUSD or March partitions
+    assert df.rdd.getNumPartitions() >= 1
+
+
+def test_query_ticks_end_date_inclusivity(proc):
+    """end_date midnight instant included, one second later excluded (B2)."""
+    df = proc.query_ticks("EURUSD", start_date="2024-03-11", end_date="2024-03-12")
+    ts = set(df["timestamp"])
+    assert dt.datetime(2024, 3, 12, 0, 0, 0) in ts
+    assert dt.datetime(2024, 3, 12, 0, 0, 1) not in ts
+
+
+def test_query_ohlc_resample_has_ratio_columns(proc):
+    df = proc.query_ohlc("EURUSD", "4h")
+    assert "range_per_spread" in df.columns
+    assert len(df) > 0
+
+
+def test_query_ohlc_1m_has_27_columns(proc):
+    df = proc.query_ohlc("EURUSD", "1m", limit=10)
+    assert len(df.columns) == 27
+
+
+def test_pagination_walk_is_exact(proc):
+    total = proc.engine.ticks_df("raw_spread").filter(
+        F.col("instrument") == "EURUSD"
+    ).count()
+    seen = 0
+    cursor = None
+    pages = 0
+    while True:
+        r = proc.engine.query_ticks_paginated("EURUSD", cursor=cursor, page_size=700)
+        seen += len(r.data)
+        pages += 1
+        if not r.has_more:
+            break
+        cursor = r.next_cursor
+    assert seen == total
+    assert pages == -(-total // 700)
+
+
+def test_batch_iterator_respects_max(proc):
+    batches = list(
+        proc.engine.query_ticks_batches("EURUSD", batch_size=500, max_batches=2)
+    )
+    assert len(batches) == 2
+    assert all(len(b) == 500 for b in batches)
+
+
+def test_coverage(proc):
+    cov = proc.get_data_coverage("EURUSD")
+    assert cov.raw_spread_ticks > 0
+    assert cov.standard_ticks > 0
+    assert cov.ohlc_bars > 0
+    assert cov.total_ticks == cov.raw_spread_ticks + cov.standard_ticks
+    assert cov.earliest_date is not None and cov.date_range_days >= 40
+
+
+def test_instruments(proc):
+    assert proc.get_instruments() == ["EURUSD", "XAUUSD"]
+
+
+def test_missing_months(proc):
+    gaps = missing_months(
+        proc.engine.ticks_df("raw_spread"), "EURUSD", "2024-01-01", "2024-03-31"
+    )
+    assert gaps == [(2024, 2)]
+
+
+def test_enumerate_months():
+    assert enumerate_months("2023-11-15", "2024-02-01") == [
+        (2023, 11), (2023, 12), (2024, 1), (2024, 2),
+    ]
+
+
+def test_range_regeneration_only_touches_range(proc, spark):
+    before = proc.query_ohlc("EURUSD", "1m")
+    n = proc.regenerate_ohlc("EURUSD", start_date="2024-03-01", end_date="2024-03-31")
+    after = proc.query_ohlc("EURUSD", "1m")
+    assert len(before) == len(after)
+    assert n > 0
+
+
+def test_dry_run_no_side_effects(proc):
+    cov_before = proc.get_data_coverage("EURUSD").total_ticks
+    res = proc.update_data("EURUSD", start_date="2024-01-01", dry_run=True)
+    assert res.month_count == len(res.months_to_download)
+    assert proc.get_data_coverage("EURUSD").total_ticks == cov_before

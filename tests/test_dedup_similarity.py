@@ -1,0 +1,150 @@
+"""Dedup-family and similarity-search semantics on crafted documents."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    exact_duplicate_clusters,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+from exness_data_preprocess_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucketed_neighbors,
+)
+from exness_data_preprocess_spark.operators.textstats import (
+    doc_fingerprint,
+    lang_scores,
+    quality_features,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "en", "a"),
+    (2, "the quick brown fox jumps over the lazy dog", "en", "b"),   # exact dup of 1
+    (3, "the quick brown fox leaps over the lazy dog", "en", "a"),   # near dup of 1
+    (4, "completely different text about spark engines", "en", "a"),
+    (5, "der schnelle braune fuchs springt über den faulen hund und der hund ist müde", "de", "a"),
+    (6, "zz", "en", "a"),  # degenerate short doc
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    kept = {r["doc_id"] for r in exact_dedup(docs).collect()}
+    assert 1 in kept and 2 not in kept
+    assert kept == {1, 3, 4, 5, 6}
+
+
+def test_exact_clusters(docs):
+    rows = exact_duplicate_clusters(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_dupes"] == 2 and rows[0]["keeper_id"] == 1
+
+
+def test_minhash_finds_exact_and_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_blocked_by_lang(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    # doc 5 is the only 'de' doc — no cross-lang pairs possible
+    assert not any(5 in p for p in pairs)
+
+
+def test_simhash_identical_and_hamming(docs):
+    fps = {r["id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[2]  # identical text → identical fingerprint
+    ham_13 = bin(fps[1] ^ fps[3]).count("1")
+    ham_14 = bin(fps[1] ^ fps[4]).count("1")
+    assert ham_13 < ham_14  # near-dup closer than unrelated
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=8).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+
+
+def test_embedding_cosine_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.04, 0.0], 0),   # near dup of 1
+        (3, [0.0, 1.0, 0.0], 0),      # orthogonal
+        (4, [1.0, 0.0, 0.0], 1),      # same dir as 1 but different block
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(emb, threshold=0.9).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert (1, 3) not in pairs
+    assert (1, 4) not in pairs  # blocked by label
+
+
+def test_cosine_topk_ranks(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [0.5, 0.5], 0),
+        (3, [0.0, 1.0], 0),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2]
+    assert all(r["query_id"] == 0 for r in out)
+
+
+def test_lsh_ann_subset_of_bucket(spark):
+    rows = [(i, [float(i == j) for j in range(8)], 0) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = lsh_bucketed_neighbors(
+        emb, emb.filter(F.col("vec_id") < 2), dim=8, n_planes=4, k=3
+    ).collect()
+    # approximate: every returned neighbor shares the query's bucket; results
+    # are deterministic for the fixed seed
+    again = lsh_bucketed_neighbors(
+        emb, emb.filter(F.col("vec_id") < 2), dim=8, n_planes=4, k=3
+    ).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_quality_features_flags(docs):
+    rows = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert rows[1]["quality_flag"] == 1
+    assert rows[6]["quality_flag"] == 0   # 1 token < 5
+    assert rows[1]["n_tokens"] == 9
+    assert rows[1]["stopword_ratio"] > 0
+
+
+def test_lang_scores_prefers_german_for_german(docs):
+    rows = {r["doc_id"]: r for r in lang_scores(docs).collect()}
+    assert rows[5]["pred_lang"] == "de"
+    assert rows[1]["pred_lang"] == "en"
+
+
+def test_doc_fingerprint_stability(docs):
+    fp = {r["doc_id"]: r for r in doc_fingerprint(docs).collect()}
+    assert fp[1]["content_md5"] == fp[2]["content_md5"]
+    assert fp[1]["content_h60"] == fp[2]["content_h60"]
+    assert fp[6]["min_shingle_h32"] is None  # < 3 tokens → guarded NULL

@@ -1,0 +1,103 @@
+"""Type-domain and result-model unit tests — the Spark twin of the
+reference's tests/test_types.py:14-236 and tests/test_models.py:18-331."""
+
+import pandas as pd
+import pytest
+
+from exness_data_preprocess_spark.models import (
+    TIMEFRAME_MINUTES,
+    VALID_PAIRS,
+    VALID_TIMEFRAMES,
+    VALID_VARIANTS,
+    CoverageInfo,
+    CursorResult,
+    DryRunResult,
+    UpdateResult,
+    validate_date,
+    validate_pair,
+    validate_timeframe,
+    validate_variant,
+)
+
+
+class TestTypeDomains:
+    def test_pairs_exact(self):
+        assert VALID_PAIRS == (
+            "EURUSD", "GBPUSD", "XAUUSD", "USDJPY", "AUDUSD",
+            "USDCAD", "NZDUSD", "EURGBP", "EURJPY", "GBPJPY",
+        )
+
+    def test_timeframes_exact(self):
+        assert VALID_TIMEFRAMES == ("1m", "5m", "15m", "30m", "1h", "4h", "1d")
+
+    def test_variants_exact(self):
+        assert VALID_VARIANTS == ("raw_spread", "standard")
+
+    def test_timeframe_minutes(self):
+        assert TIMEFRAME_MINUTES == {
+            "1m": 1, "5m": 5, "15m": 15, "30m": 30,
+            "1h": 60, "4h": 240, "1d": 1440,
+        }
+
+    def test_validate_pair_uppercases(self):
+        assert validate_pair("eurusd") == "EURUSD"
+
+    @pytest.mark.parametrize("bad", ["FAKE", "EUR", ""])
+    def test_validate_pair_rejects(self, bad):
+        with pytest.raises(ValueError):
+            validate_pair(bad)
+
+    def test_validate_timeframe_rejects(self):
+        with pytest.raises(ValueError):
+            validate_timeframe("2m")
+
+    def test_validate_variant_rejects(self):
+        with pytest.raises(ValueError):
+            validate_variant("Raw_Spread")
+
+    @pytest.mark.parametrize("bad", ["2024/01/01", "24-01-01", "not-a-date"])
+    def test_validate_date_rejects(self, bad):
+        with pytest.raises(ValueError):
+            validate_date(bad)
+
+
+class TestModels:
+    def test_update_result_totals(self):
+        r = UpdateResult(pair="EURUSD", ticks_added_raw=10, ticks_added_std=5)
+        assert r.total_ticks_added == 15
+
+    def test_update_result_rejects_negative(self):
+        with pytest.raises(ValueError):
+            UpdateResult(pair="EURUSD", ticks_added_raw=-1)
+
+    def test_coverage_computed_fields(self):
+        c = CoverageInfo(
+            database="exness", storage_bytes=1000,
+            raw_spread_ticks=60, standard_ticks=40, date_range_days=3,
+        )
+        assert c.total_ticks == 100
+        assert c.storage_efficiency_bytes_per_tick == 10.0
+        assert c.coverage_percentage == 100.0
+
+    def test_coverage_zero_safe(self):
+        c = CoverageInfo(database="exness")
+        assert c.total_ticks == 0
+        assert c.storage_efficiency_bytes_per_tick == 0.0
+        assert c.coverage_percentage == 0.0
+
+    def test_coverage_rejects_negative(self):
+        with pytest.raises(ValueError):
+            CoverageInfo(database="x", ohlc_bars=-5)
+
+    def test_cursor_result_len(self):
+        r = CursorResult(
+            data=pd.DataFrame({"a": [1, 2]}), next_cursor=None,
+            has_more=False, page_size=10,
+        )
+        assert len(r) == 2
+
+    def test_dry_run_estimates(self):
+        d = DryRunResult.estimate("EURUSD", [(2024, 1), (2024, 2)])
+        assert d.month_count == 2
+        assert d.estimated_ticks == 2 * 9_500_000 * 2
+        assert d.estimated_size_mb == pytest.approx(44.0)

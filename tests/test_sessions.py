@@ -1,0 +1,98 @@
+"""Calendar dimension builders (K1-K3): holiday rules on known dates,
+DST-exact session intervals, lunch-break exclusion."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.operators.sessions import (
+    build_holiday_dim,
+    build_session_intervals,
+    build_trading_minutes_dim,
+    lse_holidays,
+    nyse_holidays,
+)
+
+
+def test_nyse_holidays_2024():
+    got = {d for d, _ in nyse_holidays(2024)}
+    assert dt.date(2024, 1, 1) in got          # New Year
+    assert dt.date(2024, 1, 15) in got         # MLK (3rd Monday)
+    assert dt.date(2024, 3, 29) in got         # Good Friday
+    assert dt.date(2024, 5, 27) in got         # Memorial Day
+    assert dt.date(2024, 6, 19) in got         # Juneteenth
+    assert dt.date(2024, 7, 4) in got          # Independence Day
+    assert dt.date(2024, 11, 28) in got        # Thanksgiving
+    assert dt.date(2024, 12, 25) in got        # Christmas
+
+
+def test_lse_holidays_2024():
+    got = {d for d, _ in lse_holidays(2024)}
+    assert dt.date(2024, 1, 1) in got
+    assert dt.date(2024, 3, 29) in got         # Good Friday
+    assert dt.date(2024, 4, 1) in got          # Easter Monday
+    assert dt.date(2024, 5, 6) in got          # Early May
+    assert dt.date(2024, 5, 27) in got         # Spring bank
+    assert dt.date(2024, 8, 26) in got         # Summer bank
+    assert dt.date(2024, 12, 25) in got
+    assert dt.date(2024, 12, 26) in got        # Boxing Day
+
+
+def test_us_observance_shift():
+    # 2022-01-01 was a Saturday → observed Friday 2021-12-31 (prior year) —
+    # within-2022 the list still contains the July 4th Monday observance etc.
+    got = {d for d, _ in nyse_holidays(2021)}
+    assert dt.date(2021, 7, 5) in got          # Jul 4 2021 = Sunday → Monday
+    assert dt.date(2021, 12, 24) in got        # Dec 25 2021 = Saturday → Friday
+
+
+def test_holiday_dim_major_flag(spark):
+    dim = build_holiday_dim(spark, dt.date(2024, 3, 25), dt.date(2024, 4, 2)).toPandas()
+    gf = dim[dim["date"] == dt.date(2024, 3, 29)].iloc[0]
+    assert gf["is_us_holiday"] == 1 and gf["is_uk_holiday"] == 1
+    assert gf["is_major_holiday"] == 1
+    em = dim[dim["date"] == dt.date(2024, 4, 1)].iloc[0]  # Easter Monday: UK only
+    assert em["is_us_holiday"] == 0 and em["is_uk_holiday"] == 1
+    assert em["is_major_holiday"] == 0
+
+
+def test_session_intervals_dst(spark):
+    """NYSE opens 13:30 UTC in summer (EDT) and 14:30 UTC in winter (EST)."""
+    iv = build_session_intervals(spark, dt.date(2024, 1, 8), dt.date(2024, 1, 8))
+    winter = iv.filter(F.col("exchange") == "nyse").first()
+    assert winter["open_utc"] == dt.datetime(2024, 1, 8, 14, 30)
+    iv2 = build_session_intervals(spark, dt.date(2024, 7, 8), dt.date(2024, 7, 8))
+    summer = iv2.filter(F.col("exchange") == "nyse").first()
+    assert summer["open_utc"] == dt.datetime(2024, 7, 8, 13, 30)
+
+
+def test_tokyo_lunch_break_excluded(spark):
+    dim = build_trading_minutes_dim(spark, dt.date(2024, 7, 8), dt.date(2024, 7, 8))
+    # 11:45 JST = 02:45 UTC is lunch → no Tokyo session minute
+    lunch = dim.filter(
+        (F.col("minute_ts") == dt.datetime(2024, 7, 8, 2, 45))
+    ).collect()
+    assert all(r["is_xtks_session"] == 0 for r in lunch)
+    # 10:00 JST = 01:00 UTC is open
+    open_min = dim.filter(
+        F.col("minute_ts") == dt.datetime(2024, 7, 8, 1, 0)
+    ).first()
+    assert open_min is not None and open_min["is_xtks_session"] == 1
+
+
+def test_close_minute_excluded(spark):
+    """Trading minutes are [open, close): NYSE 16:00 ET itself is closed."""
+    dim = build_trading_minutes_dim(spark, dt.date(2024, 1, 8), dt.date(2024, 1, 8))
+    # 16:00 EST = 21:00 UTC
+    at_close = dim.filter(F.col("minute_ts") == dt.datetime(2024, 1, 8, 21, 0)).collect()
+    assert all(r["is_nyse_session"] == 0 for r in at_close)
+    before = dim.filter(F.col("minute_ts") == dt.datetime(2024, 1, 8, 20, 59)).first()
+    assert before is not None and before["is_nyse_session"] == 1
+
+
+def test_nz_utc_midnight_span(spark):
+    """XNZE sessions cross UTC midnight (NZDT = UTC+13): 2024-01-09 local
+    10:00 opens at 21:00 UTC on Jan 8."""
+    dim = build_trading_minutes_dim(spark, dt.date(2024, 1, 9), dt.date(2024, 1, 9))
+    r = dim.filter(F.col("minute_ts") == dt.datetime(2024, 1, 8, 21, 0)).first()
+    assert r is not None and r["is_xnze_session"] == 1
