@@ -51,18 +51,26 @@ def shingles_col(text: Column, n: int) -> Column:
     array (downstream array_min over it is NULL), matching the oracle's
     ``len(toks) >= n`` guard.
     """
-    toks = tokens_col(text)
     if n == 1:
-        return F.array_distinct(toks)
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        return F.array_distinct(tokens_col(text))
+
+    # Bind the token array as a lambda variable (transform(array(x), t -> …)[0])
+    # so the regex split evaluates ONCE per row. Referencing the split
+    # expression inside the gram lambda would re-evaluate it per element —
+    # higher-order-function bodies are outside common-subexpression
+    # elimination (measured 12× slower at sf0.1).
+    def grams_of(toks: Column) -> Column:
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
         )
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+        return F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.transform(F.array(tokens_col(text)), grams_of)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -99,31 +107,52 @@ def exact_duplicate_clusters(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-def minhash_signature(
+def minhash_components(
     df: DataFrame,
     text_col: str = "text",
+    id_col: str = "doc_id",
     num_perm: int = 16,
     shingle_n: int = 1,
 ) -> DataFrame:
-    """Append ``sig`` (array<bigint>, length num_perm) minhash signature.
+    """(id, m0..m{k-1}) minhash components, one column per permutation.
 
     sig_j = min over shingles s of (a_j * h32(s) + b_j) mod (2^61 - 1) —
     the classic universal-hash permutation family; h32 is md5-derived so
     the oracle can reproduce it.
+
+    Physical shape: explode shingles → hash each ONCE → groupBy(id) with k
+    ``min`` aggregates. min() partial-aggregates map-side, so the shuffle
+    carries one k-wide row per doc regardless of doc length — the layout
+    that survives 100 TB. (A nested-array formulation re-evaluates the md5
+    subtree per permutation: k× the hash work and no partial agg.)
     """
-    sh = shingles_col(F.col(text_col), shingle_n)
-    hashes = F.transform(sh, lambda s: md5_h32(s))
-
-    def perm(a: int, b: int):
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
-
-    sig = F.array(
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(F.col(text_col), shingle_n)).alias("s"),
+    ).withColumn("h", md5_h32(F.col("s")))
+    return ex.groupBy("id").agg(
         *[
-            F.array_min(F.transform(hashes, perm(a, b)))
-            for a, b in minhash_coeffs(num_perm)
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(
+                f"m{j}"
+            )
+            for j, (a, b) in enumerate(minhash_coeffs(num_perm))
         ]
     )
-    return df.withColumn("sig", sig)
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """(id, sig array<bigint>) minhash signatures (array view of
+    :func:`minhash_components`)."""
+    comps = minhash_components(df, text_col, id_col, num_perm, shingle_n)
+    return comps.select(
+        "id", F.array(*[F.col(f"m{j}") for j in range(num_perm)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -142,14 +171,12 @@ def minhash_lsh_pairs(
     Jaccard ≥ threshold, restricted to pairs colliding in ≥1 LSH band.
     """
     rows_per_band = num_perm // bands
-    with_sig = minhash_signature(df, text_col, num_perm, shingle_n).select(
-        F.col(id_col).alias("id"), "sig"
-    )
+    comps = minhash_components(df, text_col, id_col, num_perm, shingle_n)
     # Candidate generation carries ONLY ids through the band join + pair
     # dedup — the shingle arrays (the wide payload) re-attach afterwards on
     # the much smaller distinct-pair set. At 100 TB this is the difference
     # between shuffling ids and shuffling the corpus.
-    banded = with_sig.select(
+    banded = comps.select(
         "id",
         F.posexplode(
             F.array(
@@ -157,7 +184,7 @@ def minhash_lsh_pairs(
                     F.concat_ws(
                         ",",
                         *[
-                            F.col("sig")[i].cast("string")
+                            F.col(f"m{i}").cast("string")
                             for i in range(b * rows_per_band, (b + 1) * rows_per_band)
                         ],
                     )
@@ -203,9 +230,8 @@ def minhash_lsh_pairs(
             & (F.col("sz_b") >= F.col("sz_a") * t)
         )
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
     return (
         verified.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= jaccard_threshold)
@@ -303,41 +329,58 @@ def ngram_jaccard_pairs(
     shingle_n: int = 1,
     threshold: float = 0.9,
 ) -> DataFrame:
-    """Exact set-similarity self-join within blocking keys.
+    """Exact set-similarity join via prefix filtering (PPJoin-style).
 
-    The blocking keys bound the quadratic term (classic candidate
-    generation); at 100 TB block on (lang, length-bucket, source) or feed
-    candidates from MinHash instead.
+    Semantics-identical to the naive block-quadratic self-join, but
+    candidates come from an inverted index over each doc's *prefix*: with
+    shingles in a canonical (lexicographic) order, Jaccard(A,B) ≥ t forces
+    |A∩B| ≥ ⌈t·|A|⌉, so any qualifying pair must collide on one of the
+    first |A| − ⌈t·|A|⌉ + 1 shingles (Bayardo et al., WWW'07). Only those
+    collisions are verified with the exact intersect. The blocking keys
+    further bound the index; at 100 TB block on (lang, length-bucket,
+    source) or feed candidates from MinHash instead.
     """
+    t = float(threshold)
+    blocks = [F.col(c) for c in block_cols]
     base = df.select(
-        *[F.col(c) for c in block_cols],
+        *blocks,
         F.col(id_col).alias("id"),
-        shingles_col(F.col(text_col), shingle_n).alias("sh"),
+        F.sort_array(shingles_col(F.col(text_col), shingle_n)).alias("sh"),
     ).withColumn("sz", F.size("sh"))
+    prefix_len = (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int")
+    pref = base.select(
+        *blocks,
+        "id",
+        F.explode(F.slice("sh", F.lit(1), prefix_len)).alias("s"),
+    )
+    cand = (
+        pref.select(*blocks, F.col("id").alias("id_a"), "s")
+        .join(
+            pref.select(*blocks, F.col("id").alias("id_b"), "s"),
+            [*block_cols, "s"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(*blocks, "id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # Verify only the (rare) prefix collisions; size-ratio prune first.
     a = base.select(
-        *[F.col(c) for c in block_cols],
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"),
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")
     )
     b = base.select(
-        *[F.col(c) for c in block_cols],
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"),
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    # Size-ratio prune (semantics-preserving): jaccard >= t implies
-    # min(|A|,|B|) >= t·max(|A|,|B|), so most pairs skip the array ops.
-    t = float(threshold)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    # |A∪B| = |A|+|B|−|A∩B| (arrays are distinct) — skips a second array op.
+    jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
     return (
-        a.join(b, list(block_cols))
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .filter(
             (F.col("sz_a") >= F.col("sz_b") * t)
             & (F.col("sz_b") >= F.col("sz_a") * t)
         )
-        .select(
-            *block_cols, "id_a", "id_b", F.round(jac, 6).alias("jaccard")
-        )
+        .select(*block_cols, "id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
