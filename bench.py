@@ -33,6 +33,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     t_all = time.time()
     for name, spec in QUERIES.items():
+        if not spec.bench:
+            continue  # correctness-only entries (e.g. streaming drains)
         t0 = time.time()
         df = spec.spark(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()

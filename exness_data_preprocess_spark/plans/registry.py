@@ -38,6 +38,7 @@ class QuerySpec:
     spark: SparkQuery
     oracle: str | None  # None → non-SQL-expressible, rows-only check
     description: str
+    bench: bool = True  # False → correctness-only (skipped by bench.py)
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -752,11 +753,14 @@ QUERIES: dict[str, QuerySpec] = {
 }
 
 
-def _register_ml_queries() -> None:
+def _register_extra_queries() -> None:
+    from exness_data_preprocess_spark.plans.registry_ext import build_ext_queries
     from exness_data_preprocess_spark.plans.registry_ml import build_ml_queries
 
     for name, (fn, oracle, desc) in build_ml_queries().items():
         QUERIES[name] = QuerySpec(fn, oracle, desc)
+    for name, (fn, oracle, desc, bench) in build_ext_queries().items():
+        QUERIES[name] = QuerySpec(fn, oracle, desc, bench)
 
 
-_register_ml_queries()
+_register_extra_queries()

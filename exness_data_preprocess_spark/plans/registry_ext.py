@@ -1,0 +1,324 @@
+"""Extended registry entries: streaming differentials, window analytics,
+and research-side statistics (SURVEY.md §2 rows E5, D9, B5-B7 plus the
+Structured Streaming extension).
+
+The streaming entries drain a bounded ``availableNow`` run into a memory
+sink and hand the result back as a batch DataFrame, so the DuckDB oracle
+can hash-check a *streaming* operator — the strongest correctness check a
+stream can get (SURVEY.md §5's differential-test strategy applied to
+state-store semantics). They carry ``bench=False``: drains measure state
+plumbing, not query latency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.streaming import (
+    run_available_now_to_memory,
+    stateful_gap_sessions,
+    stream_ohlc_1m,
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table (ts arrives as parquet NANOS →
+    read as long, truncate to µs exactly like the batch `load`).
+
+    The file stream source lists a *directory*; the test tables are single
+    parquet files, so stage a symlink dir (a no-copy landing zone — in
+    production this is the ingest directory new tick files land in)."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    stage = os.path.join(
+        tempfile.gettempdir(), f"stream_stage_{abs(hash(sf_dir)) % 10_000_000}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.format("parquet").schema(schema).load(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _memname(prefix: str, sf_dir: str) -> str:
+    return f"{prefix}_{abs(hash(sf_dir)) % 10_000_000}"
+
+
+# ---------------------------------------------------------------------------
+# Streaming 1m OHLC — complete drain equals the batch aggregate
+# ---------------------------------------------------------------------------
+def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    bars = stream_ohlc_1m(
+        ev,
+        on="ts",
+        key="event_type",
+        price="value",
+        spread=None,
+        watermark="10 minutes",
+    )
+    out = run_available_now_to_memory(
+        bars, _memname("stream_ohlc", sf_dir), "complete"
+    )
+    return out.select(
+        "event_type",
+        F.unix_micros("minute").alias("minute_us"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "tick_count",
+    )
+
+
+ORACLE_STREAMING_OHLC = """
+SELECT event_type,
+       epoch_us(date_trunc('minute', ts)) AS minute_us,
+       arg_min(value, ts) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, ts) AS close,
+       count(ts) AS tick_count
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming stateful sessions — closed sessions equal the lag-window twin
+# ---------------------------------------------------------------------------
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).select(
+        F.col("event_type").alias("instrument"),
+        F.col("ts").alias("timestamp"),
+        F.col("value").alias("bid"),
+        F.col("value").alias("ask"),
+    )
+    sess = stateful_gap_sessions(ev, gap_seconds=600.0)
+    out = run_available_now_to_memory(
+        sess, _memname("stream_sessions", sf_dir), "append"
+    )
+    return out.select(
+        F.col("instrument").alias("event_type"),
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_ticks",
+        "open",
+        "close",
+    )
+
+
+# The stream's per-batch fold sorts by timestamp only, so within equal
+# timestamps arrival order decides open/close; the events stream has unique
+# (event_type, ts) pairs at the generated scales, making arg_min/arg_max an
+# exact twin. Last (still-open) session per key is not emitted.
+ORACLE_STREAMING_SESSIONS = """
+WITH t AS (
+  SELECT event_type, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+), s AS (
+  SELECT event_type, ts, value,
+         sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM t
+), agg AS (
+  SELECT event_type, sid,
+         epoch_us(min(ts)) AS start_us,
+         epoch_us(max(ts)) AS end_us,
+         count(*) AS n_ticks,
+         arg_min(value, ts) AS open,
+         arg_max(value, ts) AS close
+  FROM s GROUP BY 1, 2
+)
+SELECT event_type, start_us, end_us, n_ticks, open, close
+FROM agg
+WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.event_type = agg.event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# E5: lag/lead window features
+# ---------------------------------------------------------------------------
+def q_lag_lead_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shift(1)/shift(-1) persistence features (E5,
+    docs/research/.../phase3_volatility_model.py:159-162)."""
+    from exness_data_preprocess_spark.plans.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+ORACLE_LAG_LEAD = """
+SELECT event_id, event_type, epoch_us(ts) AS ts_us, value,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       round(value - lag(value) OVER w, 6) AS delta
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# D9: research statistics — exact quantiles, lag-1 autocorrelation
+# ---------------------------------------------------------------------------
+def q_daily_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per day (D9,
+    docs/research/.../phase6a_interval_analysis.py:157-216)."""
+    from exness_data_preprocess_spark.plans.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.round(F.expr("percentile(value, 0.25)"), 6).alias("q25"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("q50"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("q99"),
+            F.count("*").alias("n"),
+        )
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "q25", "q50", "q99", "n")
+    )
+
+
+ORACLE_DAILY_QUANTILES = """
+SELECT strftime(ts::DATE, '%Y-%m-%d') AS day,
+       round(quantile_cont(value, 0.25), 6) AS q25,
+       round(quantile_cont(value, 0.5), 6) AS q50,
+       round(quantile_cont(value, 0.99), 6) AS q99,
+       count(*) AS n
+FROM events
+GROUP BY ts::DATE
+"""
+
+
+def q_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation + Pearson corr per key (D9,
+    docs/research/.../phase3_volatility_model.py:215,
+    phase4_statistical_tests.py:137). Window lag feeds a corr aggregate —
+    the distributed spelling of pandas ``autocorr()``."""
+    from exness_data_preprocess_spark.plans.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type", "value", F.lag("value").over(w).alias("prev_value")
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", "prev_value"), 6).alias("autocorr_1"),
+            F.count("prev_value").alias("n_pairs"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_AUTOCORR = """
+WITH lagged AS (
+  SELECT event_type, value,
+         lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS prev_value
+  FROM events
+)
+SELECT event_type,
+       round(corr(value, prev_value), 6) AS autocorr_1,
+       count(prev_value) AS n_pairs
+FROM lagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# B5/B6/B7: day-equality, zero-value, conjunction flag filters
+# ---------------------------------------------------------------------------
+def q_flag_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-equality predicate (B5, scripts/validate_migration_data.py:293),
+    zero/threshold filter (B6, bid=ask pattern) and flag conjunctions (B7,
+    docs/CLICKHOUSE_USER_GUIDE.md:500-515) in one pushdown-friendly scan."""
+    from exness_data_preprocess_spark.plans.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.to_date("ts") == F.lit("2024-01-10").cast("date"))
+        .filter(F.col("value") > 50.0)
+        .filter((F.col("user_id") % 2 == 0) & (F.col("event_type") != "view"))
+        .select(
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "value",
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_FLAG_FILTERS = """
+SELECT event_id, event_type, epoch_us(ts) AS ts_us, user_id, value
+FROM events
+WHERE ts::DATE = DATE '2024-01-10'
+  AND value > 50.0
+  AND user_id % 2 = 0
+  AND event_type <> 'view'
+ORDER BY event_id
+"""
+
+
+def build_ext_queries() -> dict:
+    """name → (spark_fn, oracle_sql|None, description, bench)"""
+    return {
+        "streaming_ohlc_1m": (
+            q_streaming_ohlc,
+            ORACLE_STREAMING_OHLC,
+            "Streaming: watermarked 1m OHLC window agg (availableNow drain)",
+            False,
+        ),
+        "streaming_gap_sessions": (
+            q_streaming_sessions,
+            ORACLE_STREAMING_SESSIONS,
+            "Streaming: applyInPandasWithState session/gap operator",
+            False,
+        ),
+        "lag_lead_features": (
+            q_lag_lead_features,
+            ORACLE_LAG_LEAD,
+            "E5: lag/lead window features",
+            True,
+        ),
+        "daily_quantiles": (
+            q_daily_quantiles,
+            ORACLE_DAILY_QUANTILES,
+            "D9: exact interpolated quantiles per day",
+            True,
+        ),
+        "autocorr_lag1": (
+            q_autocorr_lag1,
+            ORACLE_AUTOCORR,
+            "D9: lag-1 autocorrelation via window lag + corr",
+            True,
+        ),
+        "flag_filters": (
+            q_flag_filters,
+            ORACLE_FLAG_FILTERS,
+            "B5/B6/B7: day-equality + threshold + flag conjunctions",
+            True,
+        ),
+    }

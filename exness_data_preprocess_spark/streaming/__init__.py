@@ -1,0 +1,13 @@
+from exness_data_preprocess_spark.streaming.ohlc_stream import (
+    run_available_now_to_memory,
+    stream_ohlc_1m,
+    tick_file_stream,
+)
+from exness_data_preprocess_spark.streaming.stateful import stateful_gap_sessions
+
+__all__ = [
+    "tick_file_stream",
+    "stream_ohlc_1m",
+    "run_available_now_to_memory",
+    "stateful_gap_sessions",
+]

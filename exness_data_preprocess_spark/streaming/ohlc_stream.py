@@ -1,0 +1,122 @@
+"""Structured Streaming variant of the tick→OHLC pipeline.
+
+The reference is strictly monthly-batch (SURVEY.md §2 "Streaming: none");
+its closest analog is incremental append mode
+(clickhouse_ohlc_generator.py:133). This module is the Spark-native
+extension: the same 1-minute OHLC aggregation (D1,
+clickhouse_ohlc_generator.py:150-196) expressed as a watermarked streaming
+window aggregation, so new tick files landing in a directory roll into
+bars continuously instead of via the reference's delete + re-insert cycle.
+
+Design notes:
+
+- **Same logical agg as batch.** open/close use min/max over a
+  ``struct(ts, value)`` — the streaming-safe spelling of argMin/argMax
+  (identical results when timestamps are unique within a bucket, which the
+  tick schema's (instrument, timestamp) key guarantees).
+- **Watermark bounds state.** ``withWatermark(on, delay)`` lets the state
+  store evict minute windows once event time passes; without it a 100 TB
+  stream accumulates state forever. Append output emits each bar exactly
+  once, when its window is finalized — the streaming replacement for the
+  reference's "regenerate the whole range" model.
+- **File source scales.** ``readStream`` lists new files per micro-batch;
+  with ``maxFilesPerTrigger`` the ingest rate is throttled, and each
+  micro-batch is a normal partitioned scan → shuffle by (instrument,
+  window) → state update.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def tick_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source tick stream (streaming twin of A2/A4 scans)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def stream_ohlc_1m(
+    ticks: DataFrame,
+    on: str = "timestamp",
+    key: str = "instrument",
+    price: str = "bid",
+    spread: tuple[str, str] | None = ("ask", "bid"),
+    watermark: str = "10 minutes",
+    window_size: str = "1 minute",
+) -> DataFrame:
+    """Watermarked streaming 1-minute OHLC bars.
+
+    Output columns mirror the batch D1 aggregate: (key, minute, open,
+    high, low, close, spread_avg, tick_count).
+    """
+    ts = F.col(on)
+    p = F.col(price)
+    aggs = [
+        F.min(F.struct(ts.alias("t"), p.alias("v"))).alias("_open"),
+        F.max(p).alias("high"),
+        F.min(p).alias("low"),
+        F.max(F.struct(ts.alias("t"), p.alias("v"))).alias("_close"),
+        F.count(ts).alias("tick_count"),
+    ]
+    if spread is not None:
+        aggs.append(
+            F.avg(F.col(spread[0]) - F.col(spread[1])).alias("spread_avg")
+        )
+    agg = (
+        ticks.withWatermark(on, watermark)
+        .groupBy(F.col(key), F.window(ts, window_size).alias("w"))
+        .agg(*aggs)
+    )
+    cols = [
+        F.col(key),
+        F.col("w.start").alias("minute"),
+        F.col("_open.v").alias("open"),
+        "high",
+        "low",
+        F.col("_close.v").alias("close"),
+    ]
+    if spread is not None:
+        cols.append(F.round("spread_avg", 10).alias("spread_avg"))
+    cols.append("tick_count")
+    return agg.select(*cols)
+
+
+def run_available_now_to_memory(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    timeout_seconds: float = 300.0,
+) -> DataFrame:
+    """Drain all currently-available input through ``df``'s streaming plan
+    into an in-memory table and return it as a batch DataFrame.
+
+    ``availableNow`` processes the backlog in bounded micro-batches then
+    stops — the pattern for catch-up/backfill runs of a streaming job. NOTE
+    append mode only emits windows finalized by the watermark; callers
+    wanting every window from a finite drain should pass
+    ``output_mode="complete"`` (aggregations only).
+    """
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_seconds)
+    finally:
+        if q.isActive:  # pragma: no cover - only on timeout
+            q.stop()
+    return df.sparkSession.table(query_name)

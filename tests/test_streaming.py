@@ -1,0 +1,110 @@
+"""Streaming extension: watermarked OHLC window agg and the stateful
+session operator, both checked against their batch-expressible twins on the
+same static data (the streaming analog of the DuckDB differential)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.schema import TICK_SCHEMA
+from exness_data_preprocess_spark.streaming import (
+    run_available_now_to_memory,
+    stateful_gap_sessions,
+    stream_ohlc_1m,
+    tick_file_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def tick_dir(spark, tick_dfs, tmp_path_factory):
+    raw, _ = tick_dfs
+    path = str(tmp_path_factory.mktemp("stream_ticks"))
+    raw.write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stream_ohlc_matches_batch(spark, tick_dir):
+    stream = tick_file_stream(spark, tick_dir, TICK_SCHEMA)
+    bars = stream_ohlc_1m(stream, watermark="5 minutes")
+    # complete mode: a finite drain must emit every window, including those
+    # the watermark hasn't finalized.
+    got = run_available_now_to_memory(bars, "t_ohlc_stream", "complete").toPandas()
+
+    batch = (
+        spark.read.parquet(tick_dir)
+        .groupBy("instrument", F.date_trunc("minute", "timestamp").alias("minute"))
+        .agg(
+            F.min_by("bid", "timestamp").alias("open"),
+            F.max("bid").alias("high"),
+            F.min("bid").alias("low"),
+            F.max_by("bid", "timestamp").alias("close"),
+            F.round(F.avg(F.col("ask") - F.col("bid")), 10).alias("spread_avg"),
+            F.count("timestamp").alias("tick_count"),
+        )
+        .toPandas()
+    )
+    key = ["instrument", "minute"]
+    got = got.sort_values(key).reset_index(drop=True)[batch.columns]
+    batch = batch.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, batch, check_exact=False, rtol=1e-12)
+
+
+def test_stream_ohlc_append_respects_watermark(spark, tick_dir):
+    """Append mode emits only watermark-finalized windows — a subset of the
+    complete result, never windows newer than (max event time - delay)."""
+    stream = tick_file_stream(spark, tick_dir, TICK_SCHEMA)
+    bars = stream_ohlc_1m(stream, watermark="5 minutes")
+    got = run_available_now_to_memory(bars, "t_ohlc_append", "append").toPandas()
+    mx = spark.read.parquet(tick_dir).agg(F.max("timestamp")).collect()[0][0]
+    assert len(got) > 0
+    assert got["minute"].max() <= mx
+    # every emitted window is final: window end + delay <= max event time
+    late_ok = got["minute"] + pd.Timedelta(minutes=1 + 5) <= mx
+    assert late_ok.all()
+
+
+def test_stateful_sessions_match_batch_lag(spark, tick_dir):
+    stream = tick_file_stream(spark, tick_dir, TICK_SCHEMA)
+    sess = stateful_gap_sessions(stream, gap_seconds=300.0)
+    got = run_available_now_to_memory(sess, "t_sessions", "append").toPandas()
+
+    # Batch twin: lag-gap session ids (SQL-expressible), drop each
+    # instrument's last session (still open in the stream → not emitted).
+    ticks = spark.read.parquet(tick_dir)
+    w = Window.partitionBy("instrument").orderBy("timestamp")
+    sid = F.sum(
+        F.when(
+            F.col("timestamp").cast("double")
+            - F.lag(F.col("timestamp").cast("double")).over(w)
+            > 300.0,
+            1,
+        ).otherwise(0)
+    ).over(w)
+    by_sess = (
+        ticks.withColumn("sid", sid)
+        .groupBy("instrument", "sid")
+        .agg(
+            F.min("timestamp").alias("session_start"),
+            F.max("timestamp").alias("session_end"),
+            F.count("*").alias("n_ticks"),
+            F.min_by("bid", "timestamp").alias("open"),
+            F.max_by("bid", "timestamp").alias("close"),
+        )
+    )
+    last_sid = by_sess.groupBy("instrument").agg(F.max("sid").alias("last_sid"))
+    closed = (
+        by_sess.join(last_sid, "instrument")
+        .filter(F.col("sid") < F.col("last_sid"))
+        .drop("sid", "last_sid")
+        .toPandas()
+    )
+
+    key = ["instrument", "session_start"]
+    got = got.sort_values(key).reset_index(drop=True)[closed.columns]
+    closed = closed.sort_values(key).reset_index(drop=True)
+    # n_ticks differs on duplicate-key rows? No — stream processes raw rows,
+    # batch twin too; both count physical rows.
+    pd.testing.assert_frame_equal(got, closed, check_exact=False, rtol=1e-12)
