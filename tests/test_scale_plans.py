@@ -1,0 +1,133 @@
+"""Physical-plan guards — the 100 TB design assertions.
+
+Correctness tests prove the operators compute the right rows; these prove
+the *plans* stay scale-shaped: filters reach the parquet scan, partition
+columns prune directories, small dimensions broadcast instead of
+shuffling, and hot paths stay inside whole-stage codegen (no row-at-a-time
+Python). A regression here is invisible at sf0.01 and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.operators.sessions import (
+    build_holiday_dim,
+    build_trading_minutes_dim,
+    enrich_with_sessions,
+)
+from exness_data_preprocess_spark.plans.registry import QUERIES
+from exness_data_preprocess_spark.sources.catalog import ParquetCatalog
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Predicate pushdown & column pruning
+# ---------------------------------------------------------------------------
+def test_filter_pushdown_reaches_scan(spark):
+    ev = spark.read.parquet(f"{SF}/orders.parquet")
+    df = ev.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_totalprice")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in plan
+    # column pruning: ReadSchema carries only what the projection needs
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_comment" not in read_schema
+
+
+def test_registry_scan_queries_push_filters(spark):
+    plan = plan_of(QUERIES["tick_range_scan"].spark(spark, SF))
+    assert "PushedFilters" in plan
+    assert "event_type" in plan.split("PushedFilters", 1)[1].splitlines()[0]
+
+
+# ---------------------------------------------------------------------------
+# Partition pruning on the catalog layout
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def tick_store(spark, tick_dfs, tmp_path_factory):
+    raw, _ = tick_dfs
+    cat = ParquetCatalog(tmp_path_factory.mktemp("cat"))
+    cat.ensure_schema()
+    cat.write_ticks(raw, "raw_spread_ticks")
+    return cat
+
+
+def test_partition_pruning(spark, tick_store):
+    df = tick_store.read(spark, "raw_spread_ticks").filter(
+        (F.col("instrument") == "EURUSD") & (F.col("year_month") == "202401")
+    )
+    plan = plan_of(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "instrument" in pf and "year_month" in pf
+
+
+def test_catalog_write_layout(tick_store):
+    base = tick_store.base / "raw_spread_ticks"
+    parts = {p.name for p in base.iterdir() if p.is_dir()}
+    assert parts == {"instrument=EURUSD", "instrument=XAUUSD"}
+    months = {p.name for p in (base / "instrument=EURUSD").iterdir() if p.is_dir()}
+    assert months == {"year_month=202401", "year_month=202403"}
+
+
+# ---------------------------------------------------------------------------
+# Join strategies
+# ---------------------------------------------------------------------------
+def test_dim_join_broadcasts(spark):
+    plan = plan_of(QUERIES["region_revenue"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_session_enrichment_broadcasts_and_stays_codegen(spark, tick_dfs):
+    raw, _ = tick_dfs
+    bars = raw.groupBy(
+        "instrument", F.date_trunc("minute", "timestamp").alias("timestamp")
+    ).agg(F.avg("bid").alias("px"))
+    hol = build_holiday_dim(spark, dt.date(2024, 1, 1), dt.date(2024, 3, 31))
+    mins = build_trading_minutes_dim(spark, dt.date(2024, 1, 1), dt.date(2024, 3, 31))
+    plan = plan_of(enrich_with_sessions(bars, hol, mins))
+    # formatted explain names each node twice (tree + detail section)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Hot paths stay JVM-side
+# ---------------------------------------------------------------------------
+# multimodal plumbing is *deliberately* Arrow-batched Python (mapInPandas
+# decode stubs); everything else must compile to JVM expressions.
+PYTHON_OK = {"multimodal_features", "video_frame_sample"}
+STREAMING = {"streaming_ohlc_1m", "streaming_gap_sessions"}
+
+
+def test_no_python_udfs_in_relational_plans(spark):
+    offenders = []
+    for name, spec in QUERIES.items():
+        if name in PYTHON_OK | STREAMING:
+            continue
+        plan = plan_of(spec.spark(spark, SF))
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_whole_stage_codegen_covers_ohlc(spark):
+    # AQE finalizes the plan only after execution; `*`-prefixed nodes in
+    # the final plan are the whole-stage-codegen-compiled stages.
+    df = QUERIES["ohlc_1m"].spark(spark, SF)
+    df.collect()
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    assert "* HashAggregate" in plan  # both agg stages compile
+    assert "* ColumnarToRow" in plan  # vectorized parquet scan feeds codegen
