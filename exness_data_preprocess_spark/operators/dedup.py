@@ -171,7 +171,12 @@ def minhash_lsh_pairs(
     Jaccard ≥ threshold, restricted to pairs colliding in ≥1 LSH band.
     """
     rows_per_band = num_perm // bands
-    comps = minhash_components(df, text_col, id_col, num_perm, shingle_n)
+    # The signature frame is one narrow row per doc and feeds three
+    # consumers (both sides of the band self-join + bucket counting) —
+    # persist it so the corpus is scanned and hashed once. Same for the
+    # shingle arrays used by verification. Standard LSH-pipeline staging;
+    # at 100 TB these are the frames you'd materialize/checkpoint.
+    comps = minhash_components(df, text_col, id_col, num_perm, shingle_n).persist()
     # Candidate generation carries ONLY ids through the band join + pair
     # dedup — the shingle arrays (the wide payload) re-attach afterwards on
     # the much smaller distinct-pair set. At 100 TB this is the difference
@@ -212,23 +217,29 @@ def minhash_lsh_pairs(
     sh_df = df.select(
         F.col(id_col).alias("id"),
         shingles_col(F.col(text_col), shingle_n).alias("sh"),
-    )
-    sh_a = sh_df.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.size("sh").alias("sz_a")
-    )
-    sh_b = sh_df.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.size("sh").alias("sz_b")
-    )
-    # Size-ratio prune: jaccard >= t implies min(|A|,|B|)/max(|A|,|B|) >= t,
-    # so the expensive intersect/union runs only on size-compatible pairs.
+    ).persist()
+    # Size-ratio prune FIRST, on a sizes-only frame: jaccard >= t implies
+    # min(|A|,|B|)/max(|A|,|B|) >= t. Sizes are two ints per doc (AQE
+    # broadcasts them when small); the wide shingle arrays join only the
+    # survivors.
     t = float(jaccard_threshold)
-    verified = (
-        pairs.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
+    sz = sh_df.select("id", F.size("sh").alias("sz"))
+    pruned = (
+        pairs.join(
+            sz.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a"
+        )
+        .join(
+            sz.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b"
+        )
         .filter(
             (F.col("sz_a") >= F.col("sz_b") * t)
             & (F.col("sz_b") >= F.col("sz_a") * t)
         )
+    )
+    verified = pruned.join(
+        sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(
+        sh_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
@@ -333,20 +344,46 @@ def ngram_jaccard_pairs(
 
     Semantics-identical to the naive block-quadratic self-join, but
     candidates come from an inverted index over each doc's *prefix*: with
-    shingles in a canonical (lexicographic) order, Jaccard(A,B) ≥ t forces
+    shingles in a canonical total order, Jaccard(A,B) ≥ t forces
     |A∩B| ≥ ⌈t·|A|⌉, so any qualifying pair must collide on one of the
     first |A| − ⌈t·|A|⌉ + 1 shingles (Bayardo et al., WWW'07). Only those
-    collisions are verified with the exact intersect. The blocking keys
-    further bound the index; at 100 TB block on (lang, length-bucket,
-    source) or feed candidates from MinHash instead.
+    collisions are verified with the exact intersect.
+
+    The canonical order is ascending *document frequency* (ties by value)
+    — the standard PPJoin ordering: prefixes then hold each doc's rarest
+    shingles, so the inverted index never buckets on stopword-grade
+    shingles (lexicographic ordering measured 2.9M candidates vs ~30k at
+    sf0.1). Costs one extra shuffle pair for the frequency dictionary —
+    linear, and the price that keeps the join sub-quadratic at 100 TB.
+    Blocking keys bound the index further; at extreme scale block on
+    (lang, length-bucket, source) or feed candidates from MinHash instead.
     """
     t = float(threshold)
     blocks = [F.col(c) for c in block_cols]
-    base = df.select(
+    ex = df.select(
         *blocks,
         F.col(id_col).alias("id"),
-        F.sort_array(shingles_col(F.col(text_col), shingle_n)).alias("sh"),
-    ).withColumn("sz", F.size("sh"))
+        F.explode(shingles_col(F.col(text_col), shingle_n)).alias("s"),
+    )
+    freq = ex.groupBy(*block_cols, "s").agg(F.count("*").alias("df"))
+    # Shingle arrays re-assembled in (df, shingle) order — deterministic,
+    # rarest first. One narrow row per doc; feeds prefix index + verify.
+    base = (
+        ex.join(freq, [*block_cols, "s"])
+        .groupBy(*block_cols, "id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("s")))
+            ).alias("o")
+        )
+        .select(
+            *block_cols,
+            "id",
+            F.transform("o", lambda x: x["s"]).alias("sh"),
+            F.size("o").alias("sz"),
+        )
+        .persist()
+    )
     prefix_len = (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int")
     pref = base.select(
         *blocks,
@@ -363,24 +400,27 @@ def ngram_jaccard_pairs(
         .select(*blocks, "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Verify only the (rare) prefix collisions; size-ratio prune first.
-    a = base.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")
+    # Verify only the prefix collisions; size-ratio prune on a sizes-only
+    # frame before the wide arrays join (same staging as minhash verify).
+    sz = base.select("id", "sz")
+    pruned = (
+        cand.join(sz.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sz.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .filter(
+            (F.col("sz_a") >= F.col("sz_b") * t)
+            & (F.col("sz_b") >= F.col("sz_a") * t)
+        )
     )
-    b = base.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")
+    verified = pruned.join(
+        base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(
+        base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     # |A∪B| = |A|+|B|−|A∩B| (arrays are distinct) — skips a second array op.
     jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .filter(
-            (F.col("sz_a") >= F.col("sz_b") * t)
-            & (F.col("sz_b") >= F.col("sz_a") * t)
-        )
-        .select(*block_cols, "id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        verified.select(*block_cols, "id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
