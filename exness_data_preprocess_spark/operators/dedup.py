@@ -443,12 +443,13 @@ def embedding_cosine_pairs(
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    # Cast + norm once; both sides of the self-join read the cached frame.
     base = df.select(
         *( [F.col(block_col)] if block_col else [] ),
         F.col(id_col).alias("id"),
         v.alias("v"),
         norm.alias("nrm"),
-    )
+    ).persist()
     on = [block_col] if block_col else []
     a = base.select(
         *on, F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")

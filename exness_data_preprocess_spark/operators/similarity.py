@@ -110,6 +110,79 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("int")
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``n_cells`` cells,
+    then search only the query's cell (nprobe=1).
+
+    Centroids are the ``n_cells`` lowest-id corpus vectors — a
+    deterministic, oracle-reproducible stand-in for trained k-means
+    centroids (swap in ``pyspark.ml.clustering.KMeans`` output for real
+    deployments; the plan shape below is unchanged). Assignment is
+    argmax-cosine with ties to the lowest cell id.
+
+    Scale shape: centroids broadcast (n_cells rows); each side is
+    assigned in one codegen'd scan; the search join shuffles on cell_id
+    only — the corpus is never compared globally.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(id_col))
+            .alias("cell_id"),
+            _as_double(vec_col).alias("cent_v"),
+            _norm(_as_double(vec_col)).alias("cent_n"),
+        )
+    )
+
+    def assign(df: DataFrame, out_id: str, out_v: str, out_n: str) -> DataFrame:
+        side = df.select(
+            F.col(id_col).alias(out_id),
+            _as_double(vec_col).alias(out_v),
+            _norm(_as_double(vec_col)).alias(out_n),
+        )
+        cos = F.round(
+            _dot(F.col(out_v), F.col("cent_v")) / (F.col(out_n) * F.col("cent_n")),
+            6,
+        )
+        return (
+            side.crossJoin(F.broadcast(cents))
+            .groupBy(out_id)
+            .agg(
+                F.max_by(
+                    "cell_id", F.struct(cos.alias("c"), (-F.col("cell_id")).alias("t"))
+                ).alias("cell_id"),
+                F.first(out_v).alias(out_v),
+                F.first(out_n).alias(out_n),
+            )
+        )
+
+    c = assign(corpus, "neighbor_id", "cv", "cn")
+    q = assign(queries, "query_id", "qv", "qn")
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "cell_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_bucketed_neighbors(
     corpus: DataFrame,
     queries: DataFrame,

@@ -282,6 +282,53 @@ ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-style ANN (deterministic coarse quantizer → oracle-checkable)
+# ---------------------------------------------------------------------------
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), n_cells=16, k=5)
+
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+)
+
+ORACLE_ANN_IVF = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, v AS cent_v,
+         nrm AS cent_n
+  FROM n ORDER BY vec_id LIMIT 16
+), assigned AS (
+  SELECT vec_id, v, nrm, cell_id FROM (
+    SELECT n.vec_id, n.v, n.nrm, cents.cell_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY round({_DOT.format(a='n.v', b='cents.cent_v')}
+                            / (n.nrm * cents.cent_n), 6) DESC, cents.cell_id
+           ) AS rn
+    FROM n CROSS JOIN cents
+  ) WHERE rn = 1
+), scored AS (
+  SELECT q.vec_id AS query_id, q.cell_id, c.vec_id AS neighbor_id,
+         round({_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm), 6) AS cosine
+  FROM assigned q JOIN assigned c USING (cell_id)
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, cell_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 def build_ext_queries() -> dict:
     """name → (spark_fn, oracle_sql|None, description, bench)"""
     return {
@@ -319,6 +366,12 @@ def build_ext_queries() -> dict:
             q_flag_filters,
             ORACLE_FLAG_FILTERS,
             "B5/B6/B7: day-equality + threshold + flag conjunctions",
+            True,
+        ),
+        "ann_ivf_topk": (
+            q_ann_ivf_topk,
+            ORACLE_ANN_IVF,
+            "ANN: IVF coarse-quantized top-k (deterministic centroids)",
             True,
         ),
     }
