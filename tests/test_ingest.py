@@ -1,0 +1,80 @@
+"""ZIP/CSV ingest path (A2/A3) driven end-to-end on locally built
+archives — the network-free twin of the reference's download→load→insert
+flow — plus the M1 full-instrument delete."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.processor import SparkDataProcessor
+from exness_data_preprocess_spark.sources.ingest import (
+    load_ticks_csv,
+    load_ticks_zip,
+    with_dedup,
+)
+
+CSV = (
+    "Timestamp,Bid,Ask\n"
+    "2024-03-01 00:00:00.103,1.08001,1.08001\n"
+    "2024-03-01 00:00:01.250,1.08003,1.08007\n"
+    "2024-03-01 00:00:01.250,1.08003,1.08007\n"  # duplicate key
+    "2024-03-01 00:01:02.500,1.08010,1.08012\n"
+)
+
+
+@pytest.fixture(scope="module")
+def zip_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("zips")
+    for month in ("01", "02"):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr(
+                f"EURUSD_2024_{month}.csv", CSV.replace("2024-03", f"2024-{month}")
+            )
+        (d / f"Exness_EURUSD_2024_{month}.zip").write_bytes(buf.getvalue())
+    return str(d)
+
+
+def test_load_ticks_zip(spark, zip_dir):
+    df = load_ticks_zip(spark, f"{zip_dir}/*.zip", "eurusd")
+    rows = df.collect()
+    assert len(rows) == 8  # 2 archives × 4 rows, pre-dedup
+    assert {r["instrument"] for r in rows} == {"EURUSD"}  # uppercased constant
+    assert df.columns == ["instrument", "timestamp", "bid", "ask"]
+    # microsecond precision survives the decode
+    assert any(r["timestamp"].microsecond == 103000 for r in rows)
+    assert with_dedup(df).count() == 6
+
+
+def test_load_ticks_csv(spark, tmp_path):
+    p = tmp_path / "ticks.csv"
+    p.write_text(CSV)
+    df = load_ticks_csv(spark, str(p), "xauusd")
+    assert df.count() == 4
+    assert df.first()["instrument"] == "XAUUSD"
+
+
+def test_zip_ingest_through_facade_and_drop(spark, zip_dir, tmp_path):
+    proc = SparkDataProcessor(spark, tmp_path / "db")
+    ticks = load_ticks_zip(spark, f"{zip_dir}/*.zip", "EURUSD")
+    n = proc.insert_ticks(ticks, "raw_spread")
+    assert n == 8
+    stored = proc.engine.ticks_df("raw_spread")
+    assert stored.count() == 6  # write-side dedup collapsed duplicate keys
+    months = {
+        str(r["year_month"])
+        for r in stored.select("year_month").distinct().collect()
+    }
+    assert months == {"202401", "202402"}
+    # M1: full-instrument delete drops the partition directory
+    proc.catalog.drop_instrument("raw_spread_ticks", "EURUSD")
+    assert not proc.catalog.exists("raw_spread_ticks") or (
+        proc.engine.ticks_df("raw_spread")
+        .filter(F.col("instrument") == "EURUSD")
+        .count()
+        == 0
+    )
