@@ -41,12 +41,18 @@ class SparkDataProcessor:
     """End-to-end facade: ingest, derive, query."""
 
     def __init__(self, spark: SparkSession, base_path: str | Path,
-                 landing_dir: str | Path | None = None):
+                 landing_dir: str | Path | None = None,
+                 fetcher=None):
+        """``fetcher(instrument, variant, year, month, landing_dir) -> Path``
+        supplies monthly archives; defaults to the HTTP downloader
+        (downloader.py:40-82). Injectable so the full update orchestration
+        is drivable offline (mirror servers, test fixtures)."""
         self.spark = spark
         self.catalog = ParquetCatalog(base_path)
         self.catalog.ensure_schema()
         self.engine = SparkQueryEngine(spark, self.catalog)
         self.landing = Path(landing_dir) if landing_dir else Path(base_path) / "_landing"
+        self.fetcher = fetcher or downloader.download_zip
 
     # -- queries (delegation, processor.py:456-560) ---------------------------
     def query_ticks(self, *args, **kwargs):
@@ -121,7 +127,7 @@ class SparkDataProcessor:
         added_raw = added_std = 0
         for year, month in gaps:
             for variant in ("raw_spread", "standard"):
-                path = downloader.download_zip(inst, variant, year, month, self.landing)
+                path = self.fetcher(inst, variant, year, month, self.landing)
                 df = load_ticks_zip(self.spark, str(path), inst)
                 n = self.insert_ticks(df, variant)
                 if variant == "raw_spread":

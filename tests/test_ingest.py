@@ -78,3 +78,53 @@ def test_zip_ingest_through_facade_and_drop(spark, zip_dir, tmp_path):
         .count()
         == 0
     )
+
+
+def _fake_fetcher_factory(tmp_dir):
+    """Builds a deterministic monthly archive locally — the offline twin of
+    downloader.download_zip (same signature/contract)."""
+
+    def fetch(instrument, variant, year, month, landing):
+        import pathlib
+
+        base = 1.1 if variant == "raw_spread" else 1.1001
+        lines = ["Timestamp,Bid,Ask"]
+        for d in (1, 2):
+            for m in (0, 1):
+                px = base + d * 1e-4 + m * 1e-5
+                lines.append(
+                    f"{year}-{month:02d}-{d:02d} 00:{m:02d}:00.500,{px},{px}"
+                )
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr(f"{instrument}_{year}_{month:02d}.csv", "\n".join(lines))
+        p = pathlib.Path(tmp_dir) / f"{instrument}_{variant}_{year}_{month:02d}.zip"
+        p.write_bytes(buf.getvalue())
+        return p
+
+    return fetch
+
+
+def test_update_data_end_to_end_offline(spark, tmp_path):
+    """M6 orchestration fully offline: gap discovery → per-month dual fetch
+    → load → insert ×2 → OHLC regeneration from the earliest added month."""
+    import datetime as dt
+
+    proc = SparkDataProcessor(
+        spark, tmp_path / "db", fetcher=_fake_fetcher_factory(tmp_path)
+    )
+    today = dt.date.today()
+    start = (today.replace(day=1) - dt.timedelta(days=40)).replace(day=1)
+    res = proc.update_data("EURUSD", start_date=start.isoformat())
+
+    assert res.gaps_detected >= 2
+    assert res.ticks_added_raw == res.gaps_detected * 4
+    assert res.ticks_added_std == res.gaps_detected * 4
+    assert res.ohlc_bars_generated == res.gaps_detected * 4  # 2 days × 2 minutes
+    # second run is a no-op: no gaps remain
+    res2 = proc.update_data("EURUSD", start_date=start.isoformat())
+    assert res2.gaps_detected == 0 and res2.ticks_added_raw == 0
+    # bars queryable through the facade with enrichment columns
+    bars = proc.query_ohlc("EURUSD", "1m")
+    assert len(bars) == res.ohlc_bars_generated
+    assert "is_nyse_session" in bars.columns
