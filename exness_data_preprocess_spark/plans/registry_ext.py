@@ -283,6 +283,66 @@ ORDER BY event_id
 
 
 # ---------------------------------------------------------------------------
+# D2 at coarse granularity: 4h epoch alignment (risk-register item — the
+# toStartOfInterval vs window() origin question, SURVEY.md §7)
+# ---------------------------------------------------------------------------
+def q_ohlc_resample_4h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1m bars → 240-minute buckets. The oracle floors epoch seconds
+    explicitly, so a hash match proves Spark's bucket origin equals
+    ClickHouse's epoch-aligned ``toStartOfInterval`` at coarse widths."""
+    from exness_data_preprocess_spark.functions.timefuncs import (
+        to_start_of_interval,
+    )
+    from exness_data_preprocess_spark.plans.registry import q_ohlc_1m_base
+
+    bars = q_ohlc_1m_base(spark, sf_dir)
+    bucket = to_start_of_interval(F.col("minute"), 240)
+    return (
+        bars.groupBy(F.col("event_type"), bucket.alias("bucket"))
+        .agg(
+            F.min_by("open", "minute").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "minute").alias("close"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros("bucket").alias("bucket_us"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
+ORACLE_OHLC_4H = """
+WITH base AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute,
+         arg_min(value, ts) AS open, max(value) AS high,
+         min(value) AS low, arg_max(value, ts) AS close,
+         count(ts) AS n_events
+  FROM events
+  GROUP BY 1, 2
+), b AS (
+  SELECT *,
+         to_timestamp(epoch(minute) - epoch(minute) % 14400) AS bucket
+  FROM base
+)
+SELECT event_type, epoch_us(bucket) AS bucket_us,
+       arg_min(open, minute) AS open,
+       max(high) AS high,
+       min(low) AS low,
+       arg_max(close, minute) AS close,
+       CAST(sum(n_events) AS BIGINT) AS n_events
+FROM b
+GROUP BY event_type, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # IVF-style ANN (deterministic coarse quantizer → oracle-checkable)
 # ---------------------------------------------------------------------------
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,6 +426,12 @@ def build_ext_queries() -> dict:
             q_flag_filters,
             ORACLE_FLAG_FILTERS,
             "B5/B6/B7: day-equality + threshold + flag conjunctions",
+            True,
+        ),
+        "ohlc_resample_4h": (
+            q_ohlc_resample_4h,
+            ORACLE_OHLC_4H,
+            "D2: coarse-bucket resample, epoch alignment pinned vs oracle",
             True,
         ),
         "ann_ivf_topk": (
