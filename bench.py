@@ -42,11 +42,14 @@ def main() -> None:
             spec.spark(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
-        spark.catalog.clearCache()  # drop intermediates persisted by operators
-        t0 = time.time()
-        df = spec.spark(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 4)
+        best = None
+        for _ in range(2):  # best-of-2: shields the number from GC/OS noise
+            spark.catalog.clearCache()  # drop operator-persisted intermediates
+            t0 = time.time()
+            spec.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 4)
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 4)
     wall = round(time.time() - t_all, 4)
