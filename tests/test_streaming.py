@@ -108,3 +108,64 @@ def test_stateful_sessions_match_batch_lag(spark, tick_dir):
     # n_ticks differs on duplicate-key rows? No — stream processes raw rows,
     # batch twin too; both count physical rows.
     pd.testing.assert_frame_equal(got, closed, check_exact=False, rtol=1e-12)
+
+
+def test_stream_checkpoint_restart_exactly_once(spark, tick_dfs, tmp_path):
+    """Two availableNow drains over a growing source dir, sharing one
+    checkpoint: the second run must process only the NEW file, and each
+    finalized window lands in the sink exactly once."""
+    import datetime as dt
+
+    from exness_data_preprocess_spark.schema import TICK_SCHEMA
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+
+    def ticks(day, n):
+        base = dt.datetime(2024, 5, day, 12, 0, tzinfo=dt.timezone.utc)
+        return spark.createDataFrame(
+            [
+                ("EURUSD", base + dt.timedelta(seconds=20 * i), 1.1 + i * 1e-4, 1.1)
+                for i in range(n)
+            ],
+            TICK_SCHEMA,
+        )
+
+    ticks(1, 30).write.mode("append").parquet(src)
+
+    def drain():
+        stream = tick_file_stream(spark, src, TICK_SCHEMA)
+        bars = stream_ohlc_1m(stream, watermark="2 minutes")
+        q = (
+            bars.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    drain()
+    first = spark.read.parquet(out).count()
+    # day-1 max event time is 12:09:40; windows ending <= 12:07 finalized
+    assert first > 0
+
+    ticks(2, 30).write.mode("append").parquet(src)
+    drain()
+    final = spark.read.parquet(out).toPandas()
+
+    # exactly-once: every (instrument, minute) window appears at most once
+    assert not final.duplicated(["instrument", "minute"]).any()
+    # restart picked up day-2 windows; day-1 windows were NOT re-emitted
+    days = final["minute"].dt.day.value_counts().to_dict()
+    assert set(days) == {1, 2}
+    # batch equivalence on the finalized subset
+    batch = (
+        spark.read.parquet(src)
+        .groupBy("instrument", F.date_trunc("minute", "timestamp").alias("minute"))
+        .count()
+        .toPandas()
+    )
+    merged = final.merge(batch, on=["instrument", "minute"], how="left")
+    assert (merged["tick_count"] == merged["count"]).all()
