@@ -143,6 +143,56 @@ class SparkQueryEngine:
             df.select("timestamp", "bid", "ask"), cursor, page_size
         )
 
+    # -- SQL surface ---------------------------------------------------------
+    def register_views(self) -> None:
+        """Register the reference's five-table surface as temp views so
+        users can run their existing SQL patterns
+        (docs/CLICKHOUSE_USER_GUIDE.md:450-515) via ``sql()``:
+        raw_spread_ticks, standard_ticks, ohlc_1m, exchange_sessions,
+        holidays (clickhouse_manager.py:110-269)."""
+        from exness_data_preprocess_spark.exchanges import EXCHANGES
+        from exness_data_preprocess_spark.operators.sessions import (
+            build_holidays_table,
+        )
+
+        for variant in ("raw_spread", "standard"):
+            if self.catalog.exists(f"{variant}_ticks"):
+                self.ticks_df(variant).createOrReplaceTempView(f"{variant}_ticks")
+        if self.catalog.exists("ohlc_1m"):
+            self.ohlc_df().createOrReplaceTempView("ohlc_1m")
+        ex_rows = [
+            (c.code, c.name, c.timezone, c.open_hour, c.open_minute,
+             c.close_hour, c.close_minute)
+            for c in EXCHANGES.values()
+        ]
+        self.spark.createDataFrame(
+            ex_rows,
+            "code string, name string, timezone string, open_hour int, "
+            "open_minute int, close_hour int, close_minute int",
+        ).createOrReplaceTempView("exchange_sessions")
+        import datetime as dt
+
+        lo_hi = None
+        if self.catalog.exists("raw_spread_ticks"):
+            lo_hi = self.ticks_df("raw_spread").agg(
+                F.min("timestamp"), F.max("timestamp")
+            ).first()
+        if lo_hi and lo_hi[0] is not None:
+            start, end = lo_hi[0].date(), lo_hi[1].date()
+        else:
+            today = dt.date.today()
+            start, end = dt.date(today.year, 1, 1), dt.date(today.year, 12, 31)
+        build_holidays_table(self.spark, start, end).createOrReplaceTempView(
+            "holidays"
+        )
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL against the registered five-table surface (§3.1's SQL
+        entry point, injection-safe via ``spark.sql`` parameterization at
+        call sites)."""
+        self.register_views()
+        return self.spark.sql(query)
+
     def query_ticks_batches(
         self,
         instrument: str = "EURUSD",

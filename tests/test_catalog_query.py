@@ -140,3 +140,34 @@ def test_dry_run_no_side_effects(proc):
     res = proc.update_data("EURUSD", start_date="2024-01-01", dry_run=True)
     assert res.month_count == len(res.months_to_download)
     assert proc.get_data_coverage("EURUSD").total_ticks == cov_before
+
+
+def test_sql_surface_runs_documented_patterns(proc):
+    """The reference's five-table SQL surface: zero-spread share, per-day
+    pips, session-overlap filter (docs/CLICKHOUSE_USER_GUIDE.md:450-515)."""
+    eng = proc.engine
+    zs = eng.sql(
+        "SELECT count(*) AS n, count_if(bid = ask) AS zero_spread "
+        "FROM raw_spread_ticks WHERE instrument = 'EURUSD'"
+    ).first()
+    assert zs["n"] > 0 and 0 <= zs["zero_spread"] <= zs["n"]
+
+    pips = eng.sql(
+        "SELECT to_date(timestamp) AS day, count(*) AS ticks, "
+        "round(avg(ask - bid) * 10000, 4) AS avg_spread_pips "
+        "FROM standard_ticks GROUP BY to_date(timestamp) ORDER BY day"
+    ).collect()
+    assert len(pips) > 0 and all(r["avg_spread_pips"] >= 0 for r in pips)
+
+    overlap = eng.sql(
+        "SELECT count(*) AS n FROM ohlc_1m "
+        "WHERE is_lse_session = 1 AND is_nyse_session = 1"
+    ).first()
+    assert overlap["n"] >= 0
+
+    dims = eng.sql("SELECT count(*) AS n FROM exchange_sessions").first()
+    assert dims["n"] == 10
+    hol = eng.sql(
+        "SELECT count(*) AS n FROM holidays WHERE exchange_code = 'XNYS'"
+    ).first()
+    assert hol["n"] >= 0
