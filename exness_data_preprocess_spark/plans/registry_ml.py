@@ -63,6 +63,7 @@ QUALIFY row_number() OVER (PARTITION BY md5(trim(text)) ORDER BY doc_id) = 1
 # ---------------------------------------------------------------------------
 _NUM_PERM, _BANDS, _ROWS = 16, 4, 4
 _JACCARD_T = 0.8
+_MAX_BUCKET = 1000
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,6 +74,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
         shingle_n=1,
         jaccard_threshold=_JACCARD_T,
+        max_bucket_size=_MAX_BUCKET,
     )
 
 
@@ -94,9 +96,17 @@ WITH d AS (
          array_to_string(sig[b.band_idx * {_ROWS} + 1 : b.band_idx * {_ROWS} + {_ROWS}], ',')
            AS band_key
   FROM sigs CROSS JOIN (VALUES {bands_vals}) AS b(band_idx)
+), kept AS (
+  -- degenerate-band cap: buckets larger than {_MAX_BUCKET} docs are dropped
+  -- (same guard as the Spark operator's max_bucket_size)
+  SELECT banded.* FROM banded
+  JOIN (
+    SELECT band_idx, band_key FROM banded
+    GROUP BY 1, 2 HAVING count(*) <= {_MAX_BUCKET}
+  ) ok USING (band_idx, band_key)
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
+  FROM kept a JOIN kept b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 SELECT p.id_a, p.id_b,
