@@ -296,6 +296,10 @@ def q_ohlc_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rng = F.col("high") - F.col("low")
     body = F.abs(F.col("close") - F.col("open"))
+    # Ratios stay UNROUNDED: their inputs (min_by/max_by picks, integer
+    # sums) are bit-identical across engines, so the raw doubles match
+    # exactly — a query-level round() would only introduce .5-boundary
+    # divergence between the engines' rounding implementations.
     return agg.select(
         "event_type",
         _us("bucket").alias("bucket_us"),
@@ -304,12 +308,12 @@ def q_ohlc_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "low",
         "close",
         "n_events",
-        F.round(
-            F.when(F.col("n_events") > 0, rng / F.col("n_events")), 6
-        ).alias("range_per_event"),
-        F.round(
-            F.when(F.col("n_events") > 0, body / F.col("n_events")), 6
-        ).alias("body_per_event"),
+        F.when(F.col("n_events") > 0, rng / F.col("n_events")).alias(
+            "range_per_event"
+        ),
+        F.when(F.col("n_events") > 0, body / F.col("n_events")).alias(
+            "body_per_event"
+        ),
     )
 
 
@@ -341,10 +345,10 @@ SELECT event_type,
        min(low) AS low,
        arg_max(close, minute) AS close,
        CAST(sum(n_events) AS BIGINT) AS n_events,
-       round(CASE WHEN sum(n_events) > 0
-             THEN (max(high) - min(low)) / sum(n_events) END, 6) AS range_per_event,
-       round(CASE WHEN sum(n_events) > 0
-             THEN abs(arg_max(close, minute) - arg_min(open, minute)) / sum(n_events) END, 6)
+       CASE WHEN sum(n_events) > 0
+            THEN (max(high) - min(low)) / sum(n_events) END AS range_per_event,
+       CASE WHEN sum(n_events) > 0
+            THEN abs(arg_max(close, minute) - arg_min(open, minute)) / sum(n_events) END
          AS body_per_event
 FROM base
 GROUP BY event_type, time_bucket(INTERVAL 1 HOUR, minute)
