@@ -124,6 +124,64 @@ def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.withColumn("pred_lang", best["lang"])
 
 
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: (token, tf, df, rank) — term frequency, document
+    frequency, and a deterministic frequency rank (ties by token).
+
+    The tokenizer-training / coverage-analysis primitive of a corpus
+    pipeline. One explode + one partial-aggregated groupBy: the shuffle
+    carries (token, partial counts), so 100 TB of text reduces to
+    vocabulary-sized state. The rank is a single global window over the
+    (small) vocabulary, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    tf = ex.groupBy("tok").agg(F.count("*").alias("tf"))
+    exd = df.select(
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok")
+    )
+    dfreq = exd.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.orderBy(F.desc("tf"), F.asc("tok"))
+    return (
+        tf.join(dfreq, "tok")
+        .filter(F.col("tf") >= min_count)
+        .withColumn("rank", F.row_number().over(w))
+        .select(F.col("tok").alias("token"), "tf", "df", "rank")
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    buckets: int = 100,
+    seed: str = "split-v1",
+) -> DataFrame:
+    """Append a reproducible ``split`` column (train/val/test) by hashing
+    the document id with a seed string — the standard leakage-safe corpus
+    split: membership depends only on (seed, id), never on partitioning,
+    row order, or cluster size, so re-runs and incremental appends land
+    every doc in the same split.
+
+    bucket = md5(seed || id) mod ``buckets``; the first
+    ``weights[0]·buckets`` buckets are train, then val, then test.
+    """
+    train_hi = int(round(weights[0] * buckets))
+    val_hi = train_hi + int(round(weights[1] * buckets))
+    bucket = md5_h32(F.concat(F.lit(seed), F.col(id_col).cast("string"))) % buckets
+    split = (
+        F.when(bucket < train_hi, F.lit("train"))
+        .when(bucket < val_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

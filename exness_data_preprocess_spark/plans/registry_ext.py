@@ -283,6 +283,59 @@ ORDER BY event_id
 
 
 # ---------------------------------------------------------------------------
+# Corpus vocabulary + deterministic split (training-data pipeline staples)
+# ---------------------------------------------------------------------------
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.textstats import vocabulary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocabulary(docs, min_count=5)
+
+
+ORACLE_VOCABULARY = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+), dfq AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+)
+SELECT tf.tok AS token, tf.tf, dfq.df,
+       CAST(row_number() OVER (ORDER BY tf.tf DESC, tf.tok) AS INT) AS rank
+FROM tf JOIN dfq USING (tok)
+WHERE tf.tf >= 5
+"""
+
+
+def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.textstats import (
+        deterministic_split,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = deterministic_split(docs, "doc_id")
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
+ORACLE_DETERMINISTIC_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('split-v1' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # D2 at coarse granularity: 4h epoch alignment (risk-register item — the
 # toStartOfInterval vs window() origin question, SURVEY.md §7)
 # ---------------------------------------------------------------------------
@@ -426,6 +479,18 @@ def build_ext_queries() -> dict:
             q_flag_filters,
             ORACLE_FLAG_FILTERS,
             "B5/B6/B7: day-equality + threshold + flag conjunctions",
+            True,
+        ),
+        "vocabulary": (
+            q_vocabulary,
+            ORACLE_VOCABULARY,
+            "Corpus vocabulary: tf/df counts + deterministic rank",
+            True,
+        ),
+        "train_val_test_split": (
+            q_deterministic_split,
+            ORACLE_DETERMINISTIC_SPLIT,
+            "Deterministic seeded hash split (leakage-safe, re-run stable)",
             True,
         ),
         "ohlc_resample_4h": (

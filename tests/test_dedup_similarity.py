@@ -148,3 +148,36 @@ def test_doc_fingerprint_stability(docs):
     assert fp[1]["content_md5"] == fp[2]["content_md5"]
     assert fp[1]["content_h60"] == fp[2]["content_h60"]
     assert fp[6]["min_shingle_h32"] is None  # < 3 tokens → guarded NULL
+
+
+def test_deterministic_split_stable_and_weighted(spark, docs):
+    from exness_data_preprocess_spark.operators.textstats import (
+        deterministic_split,
+    )
+
+    a = {r["doc_id"]: r["split"] for r in deterministic_split(docs).collect()}
+    # stability: membership depends only on (seed, id) — repartitioning and
+    # re-running cannot move a doc
+    b = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(docs.repartition(7)).collect()
+    }
+    assert a == b
+    assert set(a.values()) <= {"train", "val", "test"}
+    # different seed → different assignment (with overwhelming probability)
+    c = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(docs, seed="split-v2").collect()
+    }
+    assert c != a
+
+
+def test_vocabulary_counts(spark, docs):
+    from exness_data_preprocess_spark.operators.textstats import vocabulary
+
+    v = {r["token"]: r for r in vocabulary(docs).collect()}
+    # every token's df <= tf, df <= n_docs; ranks are a 1..n permutation
+    n_docs = docs.count()
+    assert all(r["df"] <= r["tf"] and r["df"] <= n_docs for r in v.values())
+    ranks = sorted(r["rank"] for r in v.values())
+    assert ranks == list(range(1, len(ranks) + 1))
