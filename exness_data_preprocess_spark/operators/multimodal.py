@@ -68,13 +68,15 @@ def _decode_audio(payload: bytes) -> np.ndarray:
 
 def decode_video_frames(payload: bytes, n_frames: int) -> list[bytes]:
     """STUB for frame sampling — real implementation: ffmpeg/pyav keyframe
-    extraction. Deterministic fake: content-digest chain."""
+    extraction. Deterministic fake: content-digest chain over hex strings
+    (hex, not raw digests, so an ANSI-SQL oracle with a VARCHAR-only
+    sha256 can reproduce every frame digest)."""
     if payload is None:
         raise NotImplementedError("video decode requires ffmpeg (not bundled)")
     frames = []
     cur = payload
     for _ in range(n_frames):
-        cur = hashlib.sha256(cur).digest()
+        cur = hashlib.sha256(cur).hexdigest().encode("ascii")
         frames.append(cur)
     return frames
 

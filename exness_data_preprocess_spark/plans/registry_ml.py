@@ -234,12 +234,46 @@ QUALIFY rank <= 5
 
 
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate variant — rows-only check (sign-bit buckets sit on fp
-    boundaries an external engine may resolve differently)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_bucketed_neighbors(
         emb, emb.filter(F.col("vec_id") < 10), dim=64, n_planes=8, k=5
     )
+
+
+def _ann_lsh_oracle() -> str:
+    """Sign-bit bucket oracle: the hyperplanes are fixed-seed literals
+    rounded to 6 decimals, and both engines fold the dot product
+    left-to-right, so bucket assignment is bit-reproducible in SQL."""
+    from exness_data_preprocess_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 8, seed=42)
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+        f"i -> v[i] * ([{', '.join(repr(x) for x in plane)}])[i])) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+), sig AS (
+  SELECT vec_id, v, nrm, ({bits}) AS bucket FROM n
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(generate_series(1, len(q.v)),
+                                       i -> q.v[i] * c.v[i]))
+               / (q.nrm * c.nrm), 6) AS cosine
+  FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -353,18 +387,67 @@ FROM d
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing (rows-only checks — mapInPandas stubs)
+# Multimodal plumbing — the decode stubs are deterministic (sha256-derived),
+# so even the Python mapInPandas path is fully hash-checked against SQL.
 # ---------------------------------------------------------------------------
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = multimodal.synthesize_media_from_documents(docs)
-    return multimodal.extract_media_features(media)
+    feats = multimodal.extract_media_features(media)
+    # project the feature vector to scalar columns so the differential
+    # compares exact values (array-valued cells stringify differently
+    # across engines)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "payload_bytes",
+        "payload_sha256",
+        *[
+            F.element_at("features", i + 1).cast("int").alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+WITH m AS (
+  SELECT doc_id AS asset_id,
+         (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS media_type,
+         text
+  FROM documents
+)
+SELECT asset_id, media_type,
+       octet_length(encode(text)) AS payload_bytes,
+       sha256(text) AS payload_sha256,
+       ('0x' || substr(sha256(text), 1, 2))::INT AS f0,
+       ('0x' || substr(sha256(text), 3, 2))::INT AS f1,
+       ('0x' || substr(sha256(text), 5, 2))::INT AS f2,
+       ('0x' || substr(sha256(text), 7, 2))::INT AS f3
+FROM m
+"""
 
 
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = multimodal.synthesize_media_from_documents(docs)
     return multimodal.sample_video_frames(media, n_frames=3)
+
+
+# frame chain: h1 = sha256(payload); frame_i = hex(h_{i+1}) as ascii bytes;
+# output_i = sha256(frame_i) = sha256 of the PREVIOUS hex string.
+ORACLE_VIDEO_FRAMES = """
+WITH v AS (
+  SELECT doc_id AS asset_id, sha256(text) AS h1 FROM documents
+  WHERE (doc_id % 3) = 2
+), c AS (
+  SELECT asset_id, h1, sha256(h1) AS h2, sha256(sha256(h1)) AS h3 FROM v
+)
+SELECT asset_id, 0 AS frame_idx, h2 AS frame_sha256 FROM c
+UNION ALL
+SELECT asset_id, 1, h3 FROM c
+UNION ALL
+SELECT asset_id, 2, sha256(h3) FROM c
+"""
 
 
 def build_ml_queries() -> dict:
@@ -384,16 +467,16 @@ def build_ml_queries() -> dict:
         "embedding_cosine_topk": (q_embedding_cosine_topk,
                                   ORACLE_EMBEDDING_COSINE_TOPK,
                                   "brute-force cosine top-k neighbors"),
-        "ann_lsh_bucketed": (q_ann_lsh_bucketed, None,
-                             "LSH-bucketed approximate neighbors (rows-only)"),
+        "ann_lsh_bucketed": (q_ann_lsh_bucketed, _ann_lsh_oracle(),
+                             "LSH-bucketed approximate neighbors"),
         "lang_id": (q_lang_id, _lang_id_oracle(),
                     "stopword-hit language identification"),
         "text_quality": (q_text_quality, _text_quality_oracle(),
                          "quality scoring features + gate flag"),
         "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT,
                             "md5/h60/min-shingle document fingerprints"),
-        "multimodal_features": (q_multimodal_features, None,
+        "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL_FEATURES,
                                 "binary-column feature extraction (mapInPandas stub)"),
-        "video_frame_sample": (q_video_frame_sample, None,
-                               "video frame sampling plumbing (rows-only)"),
+        "video_frame_sample": (q_video_frame_sample, ORACLE_VIDEO_FRAMES,
+                               "video frame sampling plumbing (digest-chain oracle)"),
     }
