@@ -27,8 +27,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each query (omitted for
-    non-SQL-expressible operators → rows-only check)."""
+    """DuckDB-runnable ANSI SQL twin for each query — every registry
+    entry carries one (the streaming drains and mapInPandas stubs are
+    digest-deterministic, so SQL reproduces them bit-for-bit)."""
     return {
         name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
     }

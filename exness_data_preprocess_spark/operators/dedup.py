@@ -296,7 +296,8 @@ def simhash_pairs(
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, candidate-blocked
     by equality of one of ``bands`` bit-bands (pigeonhole: any pair within
     Hamming ≤ bands-1 shares at least one exact band)."""
-    fps = simhash_fingerprints(df, text_col, id_col, bits)
+    # One narrow row per doc feeding both sides of the band self-join.
+    fps = simhash_fingerprints(df, text_col, id_col, bits).persist()
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     banded = fps.select(
