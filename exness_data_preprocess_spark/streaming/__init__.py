@@ -2,6 +2,7 @@ from exness_data_preprocess_spark.streaming.ohlc_stream import (
     run_available_now_to_memory,
     stream_ohlc_1m,
     tick_file_stream,
+    write_stream_ohlc,
 )
 from exness_data_preprocess_spark.streaming.stateful import stateful_gap_sessions
 
@@ -9,5 +10,6 @@ __all__ = [
     "tick_file_stream",
     "stream_ohlc_1m",
     "run_available_now_to_memory",
+    "write_stream_ohlc",
     "stateful_gap_sessions",
 ]

@@ -92,6 +92,35 @@ def stream_ohlc_1m(
     return agg.select(*cols)
 
 
+def write_stream_ohlc(
+    bars: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = False,
+    processing_interval: str | None = None,
+):
+    """Production sink: append finalized OHLC windows to partitioned
+    parquet with checkpointed exactly-once delivery.
+
+    ``available_now=True`` drains the current backlog and stops (backfill
+    mode); otherwise the query runs continuously, micro-batching on
+    ``processing_interval`` (None → as-fast-as-possible). Restarts resume
+    from the checkpoint with no duplicate or lost windows
+    (tests/test_streaming.py::test_stream_checkpoint_restart_exactly_once).
+    """
+    writer = (
+        bars.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_interval is not None:
+        writer = writer.trigger(processingTime=processing_interval)
+    return writer.start()
+
+
 def run_available_now_to_memory(
     df: DataFrame,
     query_name: str,

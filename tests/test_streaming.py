@@ -133,16 +133,11 @@ def test_stream_checkpoint_restart_exactly_once(spark, tick_dfs, tmp_path):
     ticks(1, 30).write.mode("append").parquet(src)
 
     def drain():
+        from exness_data_preprocess_spark.streaming import write_stream_ohlc
+
         stream = tick_file_stream(spark, src, TICK_SCHEMA)
         bars = stream_ohlc_1m(stream, watermark="2 minutes")
-        q = (
-            bars.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
+        q = write_stream_ohlc(bars, out, ckpt, available_now=True)
         q.awaitTermination(120)
         assert not q.isActive
 
