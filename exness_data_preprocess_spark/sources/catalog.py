@@ -61,7 +61,25 @@ class ParquetCatalog:
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         """Partition-pruned scan; ``year_month`` comes back as a partition
-        column and is dropped from the logical row (it is derivable)."""
+        column and is dropped from the logical row (it is derivable).
+
+        A table that exists but holds no files yet reads as an EMPTY
+        typed frame — the reference's freshly-bootstrapped tables answer
+        queries with zero rows, not errors (clickhouse_manager.py:110-143).
+        """
+        if not self.exists(table):
+            from pyspark.sql import functions as F
+
+            from exness_data_preprocess_spark.schema import (
+                OHLC_1M_SCHEMA,
+                TICK_SCHEMA,
+            )
+
+            schema = OHLC_1M_SCHEMA if table == OHLC_TABLE else TICK_SCHEMA
+            empty = spark.createDataFrame([], schema)
+            return empty.withColumn(
+                "year_month", F.lit(None).cast("string")
+            )
         return spark.read.parquet(self.path(table))
 
     def write_ticks(

@@ -171,3 +171,18 @@ def test_sql_surface_runs_documented_patterns(proc):
         "SELECT count(*) AS n FROM holidays WHERE exchange_code = 'XNYS'"
     ).first()
     assert hol["n"] >= 0
+
+
+def test_fresh_store_queries_return_empty(spark, tmp_path):
+    """A freshly bootstrapped store answers every query surface with zero
+    rows, not errors (reference: empty DDL-created tables)."""
+    from exness_data_preprocess_spark.processor import SparkDataProcessor
+
+    fresh = SparkDataProcessor(spark, tmp_path / "fresh")
+    assert len(fresh.query_ticks("EURUSD")) == 0
+    assert len(fresh.query_ohlc("EURUSD", "1h")) == 0
+    cov = fresh.get_data_coverage("EURUSD")
+    assert cov.total_ticks == 0 and cov.ohlc_bars == 0
+    assert fresh.get_instruments() == []
+    page = fresh.engine.query_ticks_paginated("EURUSD", page_size=10)
+    assert len(page.data) == 0 and not page.has_more
