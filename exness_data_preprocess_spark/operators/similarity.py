@@ -131,16 +131,20 @@ def ivf_topk(
     assigned in one codegen'd scan; the search join shuffles on cell_id
     only — the corpus is never compared globally.
     """
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            F.row_number()
-            .over(Window.orderBy(id_col))
-            .alias("cell_id"),
-            _as_double(vec_col).alias("cent_v"),
-            _norm(_as_double(vec_col)).alias("cent_n"),
-        )
+    # Centroid selection is a bounded "training" step (n_cells rows), so the
+    # ids come to the driver — exactly where trained k-means centroids would
+    # live — and cell numbering is a literal map, not a window. This keeps
+    # the assignment scans window-free (no single-partition WindowExec).
+    cent_ids = [
+        r[0] for r in corpus.select(id_col).orderBy(id_col).limit(n_cells).collect()
+    ]
+    id_to_cell = F.create_map(
+        *[F.lit(v) for i, cid in enumerate(cent_ids, 1) for v in (cid, i)]
+    )
+    cents = corpus.filter(F.col(id_col).isin(cent_ids)).select(
+        id_to_cell[F.col(id_col)].cast("int").alias("cell_id"),
+        _as_double(vec_col).alias("cent_v"),
+        _norm(_as_double(vec_col)).alias("cent_n"),
     )
 
     def assign(df: DataFrame, out_id: str, out_v: str, out_n: str) -> DataFrame:

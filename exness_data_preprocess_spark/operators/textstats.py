@@ -128,6 +128,7 @@ def vocabulary(
     df: DataFrame,
     text_col: str = "text",
     min_count: int = 1,
+    rank_partitions: int = 32,
 ) -> DataFrame:
     """Corpus vocabulary: (token, tf, df, rank) — term frequency, document
     frequency, and a deterministic frequency rank (ties by token).
@@ -135,8 +136,18 @@ def vocabulary(
     The tokenizer-training / coverage-analysis primitive of a corpus
     pipeline. One explode + one partial-aggregated groupBy: the shuffle
     carries (token, partial counts), so 100 TB of text reduces to
-    vocabulary-sized state. The rank is a single global window over the
-    (small) vocabulary, not the corpus.
+    vocabulary-sized state.
+
+    The global rank deliberately avoids a single-partition
+    ``Window.orderBy`` (a 10⁸-token web-corpus vocabulary would funnel
+    through one task). Instead it uses the zipWithIndex decomposition in
+    the DataFrame API: range-partition on the rank order, number rows
+    inside each bounded partition, and add the cumulative row count of the
+    preceding partitions. The per-partition count job touches
+    ``rank_partitions`` rows on the driver — O(partitions), not O(vocab).
+    The range-partitioned frame is persisted so the offset pass and the
+    output pass share one materialization (range-boundary sampling is
+    per-evaluation and would otherwise let the two passes disagree).
     """
     from pyspark.sql import Window
 
@@ -146,12 +157,37 @@ def vocabulary(
         F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok")
     )
     dfreq = exd.groupBy("tok").agg(F.count("*").alias("df"))
-    w = Window.orderBy(F.desc("tf"), F.asc("tok"))
-    return (
-        tf.join(dfreq, "tok")
-        .filter(F.col("tf") >= min_count)
-        .withColumn("rank", F.row_number().over(w))
-        .select(F.col("tok").alias("token"), "tf", "df", "rank")
+    vocab = tf.join(dfreq, "tok").filter(F.col("tf") >= min_count)
+
+    ranged = (
+        vocab.repartitionByRange(rank_partitions, F.desc("tf"), F.asc("tok"))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sizes):  # range partition ids ascend in rank order
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_expr = (
+        F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])[
+            F.col("_pid")
+        ]
+        if offsets
+        else F.lit(0)
+    )
+    w = Window.partitionBy("_pid").orderBy(F.desc("tf"), F.asc("tok"))
+    return ranged.select(
+        F.col("tok").alias("token"),
+        "tf",
+        "df",
+        (F.coalesce(off_expr, F.lit(0)) + F.row_number().over(w))
+        .cast("int")
+        .alias("rank"),
     )
 
 

@@ -663,15 +663,24 @@ ORDER BY l_returnflag, l_linestatus
 
 def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast dimension-join chain (C6 lookup joins,
-    clickhouse_manager.py:249,267) rolled up by region."""
+    clickhouse_manager.py:249,267) rolled up by region.
+
+    Join strategy: only the true dimensions (``nation``, ``region`` — a few
+    dozen rows at any scale factor) carry a broadcast hint.  ``orders`` and
+    ``customer`` are fact-scale tables; their joins with ``lineitem`` are left
+    to Catalyst/AQE, which shuffles them on the join key (or auto-broadcasts
+    when a side is genuinely under ``spark.sql.autoBroadcastJoinThreshold``).
+    Forcing a fact-table broadcast would OOM the driver at production scale.
+    Pinned by ``tests/test_scale_plans.py``.
+    """
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")

@@ -10,6 +10,7 @@ Python). A regression here is invisible at sf0.01 and fatal at 100 TB.
 from __future__ import annotations
 
 import datetime as dt
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -86,7 +87,28 @@ def test_catalog_write_layout(tick_store):
 def test_dim_join_broadcasts(spark):
     plan = plan_of(QUERIES["region_revenue"].spark(spark, SF))
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+
+
+def test_fact_joins_are_not_hint_forced_broadcasts(spark):
+    """The lineitem⋈orders and orders⋈customer joins must NOT carry a
+    broadcast hint — a forced fact-table broadcast is a driver OOM at scale.
+
+    With auto-broadcast disabled, a hint is the only thing that could still
+    produce a BroadcastHashJoin; so under threshold=-1 the two fact joins
+    must plan as shuffle joins while the hinted nation/region dims keep
+    broadcasting.
+    """
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(QUERIES["region_revenue"].spark(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # hinted dims still broadcast (formatted explain: "(N) BroadcastHashJoin")
+    broadcast_joins = re.findall(r"\(\d+\) BroadcastHashJoin", plan)
+    assert len(broadcast_joins) == 2
+    # fact joins fall back to shuffle — no hint forces them
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
 def test_session_enrichment_broadcasts_and_stays_codegen(spark, tick_dfs):
