@@ -8,8 +8,9 @@ models.py:63-101 exactly (10 pairs / 7 timeframes / 2 variants).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Iterator, Literal, get_args
+import json
+from dataclasses import MISSING, dataclass, field, fields
+from typing import Any, Iterator, Literal, get_args
 
 import pandas as pd
 
@@ -87,8 +88,89 @@ def _require_non_negative(**kwargs: int | float | None) -> None:
             raise ValueError(f"{name} must be >= 0, got {value}")
 
 
+_JSON_TYPES = {
+    "str": "string",
+    "int": "integer",
+    "float": "number",
+    "bool": "boolean",
+}
+
+
+class _Serializable:
+    """Dict/JSON round-trip + JSON-schema generation for the dataclass
+    result models — the stdlib twin of what the reference's Pydantic
+    models expose via ``model_dump()`` / ``model_dump_json()`` /
+    ``model_json_schema()`` (exercised by reference tests/test_models.py:
+    18-331).
+
+    - ``to_dict()`` includes computed properties (``_COMPUTED``), like
+      Pydantic's ``@computed_field`` members appear in ``model_dump()``.
+    - ``from_dict()`` ignores computed/unknown keys, so
+      ``from_dict(to_dict())`` round-trips.
+    - ``json_schema()`` emits properties/required/type plus ``minimum: 0``
+      for the ge=0-constrained fields (``_NON_NEGATIVE``).
+    """
+
+    _COMPUTED: tuple[str, ...] = ()
+    _NON_NEGATIVE: tuple[str, ...] = ()
+
+    @staticmethod
+    def _encode(value: Any) -> Any:
+        if isinstance(value, pd.DataFrame):
+            return value.to_dict("records")
+        if isinstance(value, tuple):
+            return list(value)
+        if isinstance(value, list):
+            return [_Serializable._encode(v) for v in value]
+        return value
+
+    @classmethod
+    def _decode_field(cls, name: str, value: Any) -> Any:
+        return value
+
+    def to_dict(self) -> dict[str, Any]:
+        out = {f.name: self._encode(getattr(self, f.name)) for f in fields(self)}
+        for name in self._COMPUTED:
+            out[name] = getattr(self, name)
+        return out
+
+    @classmethod
+    def from_dict(cls, data: dict[str, Any]):
+        names = {f.name for f in fields(cls)}
+        return cls(
+            **{k: cls._decode_field(k, v) for k, v in data.items() if k in names}
+        )
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), default=str)
+
+    @classmethod
+    def from_json(cls, text: str):
+        return cls.from_dict(json.loads(text))
+
+    @classmethod
+    def json_schema(cls) -> dict[str, Any]:
+        props: dict[str, Any] = {}
+        required: list[str] = []
+        for f in fields(cls):
+            ann = f.type if isinstance(f.type, str) else getattr(f.type, "__name__", "")
+            base = ann.split("|")[0].strip()
+            prop: dict[str, Any] = {"type": _JSON_TYPES.get(base, "object")}
+            if f.name in cls._NON_NEGATIVE:
+                prop["minimum"] = 0
+            props[f.name] = prop
+            if f.default is MISSING and f.default_factory is MISSING:
+                required.append(f.name)
+        return {
+            "title": cls.__name__,
+            "type": "object",
+            "properties": props,
+            "required": required,
+        }
+
+
 @dataclass
-class UpdateResult:
+class UpdateResult(_Serializable):
     """Outcome of an incremental data update (models.py:125-223)."""
 
     pair: str
@@ -99,6 +181,15 @@ class UpdateResult:
     gaps_detected: int = 0
     duration_seconds: float = 0.0
 
+    _COMPUTED = ("total_ticks_added", "avg_ticks_per_month")
+    _NON_NEGATIVE = (
+        "ticks_added_raw",
+        "ticks_added_std",
+        "ohlc_bars_generated",
+        "gaps_detected",
+        "duration_seconds",
+    )
+
     def __post_init__(self) -> None:
         _require_non_negative(
             ticks_added_raw=self.ticks_added_raw,
@@ -108,13 +199,26 @@ class UpdateResult:
             duration_seconds=self.duration_seconds,
         )
 
+    @classmethod
+    def _decode_field(cls, name: str, value: Any) -> Any:
+        if name == "months_added":
+            return [tuple(m) for m in value]
+        return value
+
     @property
     def total_ticks_added(self) -> int:
         return self.ticks_added_raw + self.ticks_added_std
 
+    @property
+    def avg_ticks_per_month(self) -> float:
+        """Computed field (models.py:171-189): 0.0 when nothing was added."""
+        if not self.months_added:
+            return 0.0
+        return self.total_ticks_added / len(self.months_added)
+
 
 @dataclass
-class CoverageInfo:
+class CoverageInfo(_Serializable):
     """Storage/coverage stats for one instrument (models.py:226-365)."""
 
     database: str
@@ -125,6 +229,19 @@ class CoverageInfo:
     earliest_date: str | None = None
     latest_date: str | None = None
     date_range_days: int = 0
+
+    _COMPUTED = (
+        "total_ticks",
+        "coverage_percentage",
+        "storage_efficiency_mb_per_million_ticks",
+    )
+    _NON_NEGATIVE = (
+        "storage_bytes",
+        "raw_spread_ticks",
+        "standard_ticks",
+        "ohlc_bars",
+        "date_range_days",
+    )
 
     def __post_init__(self) -> None:
         _require_non_negative(
@@ -137,26 +254,45 @@ class CoverageInfo:
 
     @property
     def total_ticks(self) -> int:
-        """Computed field (models.py:318-325)."""
+        """Computed field (models.py:285-299)."""
         return self.raw_spread_ticks + self.standard_ticks
 
     @property
     def coverage_percentage(self) -> float:
-        """Share of calendar days covered, 0-100 (models.py:327-340)."""
-        if self.date_range_days <= 0:
+        """Exact parity with the reference formula (models.py:301-328):
+        ``date_range_days / (date_range_days * 0.69) * 100`` — which
+        algebraically reduces to a constant ≈144.93% whenever any data
+        exists. The reference intends "actual days / expected trading
+        days (252/365 ≈ 0.69)" but uses the calendar-day span for the
+        numerator, so the ratio degenerates; we reproduce it bit-for-bit
+        (values >100% are even documented there as "full coverage
+        including weekends/holidays"). 0.0 when no data.
+        """
+        if self.date_range_days == 0:
             return 0.0
-        return 100.0
+        expected_trading_days = self.date_range_days * 0.69
+        if expected_trading_days <= 0:
+            return 0.0
+        return (self.date_range_days / expected_trading_days) * 100
+
+    @property
+    def storage_efficiency_mb_per_million_ticks(self) -> float:
+        """Computed field (models.py:330-348): MB per million ticks."""
+        if self.total_ticks == 0:
+            return 0.0
+        storage_mb = self.storage_bytes / (1024 * 1024)
+        return (storage_mb / self.total_ticks) * 1_000_000
 
     @property
     def storage_efficiency_bytes_per_tick(self) -> float:
-        """models.py:342-348."""
+        """Convenience twin in raw bytes (not in the reference)."""
         if self.total_ticks == 0:
             return 0.0
         return self.storage_bytes / self.total_ticks
 
 
 @dataclass
-class CursorResult:
+class CursorResult(_Serializable):
     """One page of keyset pagination (models.py:368-412)."""
 
     data: pd.DataFrame
@@ -164,15 +300,23 @@ class CursorResult:
     has_more: bool
     page_size: int
 
+    _NON_NEGATIVE = ("page_size",)
+
     def __post_init__(self) -> None:
         _require_non_negative(page_size=self.page_size)
+
+    @classmethod
+    def _decode_field(cls, name: str, value: Any) -> Any:
+        if name == "data" and not isinstance(value, pd.DataFrame):
+            return pd.DataFrame(value)
+        return value
 
     def __len__(self) -> int:
         return len(self.data)
 
 
 @dataclass
-class DryRunResult:
+class DryRunResult(_Serializable):
     """Estimation-only update preview (models.py:415-501).
 
     Constant factors replicate processor.py:356-377: ~9.5M ticks and ~11 MB
@@ -187,6 +331,19 @@ class DryRunResult:
 
     TICKS_PER_MONTH: int = 9_500_000
     MB_PER_MONTH: float = 11.0
+
+    _COMPUTED = ("month_count",)
+    _NON_NEGATIVE = (
+        "estimated_ticks",
+        "estimated_size_mb",
+        "estimated_duration_seconds",
+    )
+
+    @classmethod
+    def _decode_field(cls, name: str, value: Any) -> Any:
+        if name == "months_to_download":
+            return [tuple(m) for m in value]
+        return value
 
     @classmethod
     def estimate(cls, pair: str, months: list[tuple[int, int]]) -> "DryRunResult":

@@ -23,6 +23,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from exness_data_preprocess_spark.config import UserConfig, load_config
 from exness_data_preprocess_spark.models import (
     DryRunResult,
     UpdateResult,
@@ -40,29 +41,68 @@ from exness_data_preprocess_spark.sources.ingest import load_ticks_zip
 class SparkDataProcessor:
     """End-to-end facade: ingest, derive, query."""
 
-    def __init__(self, spark: SparkSession, base_path: str | Path,
+    #: fallback storage root when neither an argument nor a config file
+    #: provides one (the reference anchors its data under ~/eon/exness-data,
+    #: processor.py:112)
+    DEFAULT_BASE = Path.home() / "eon" / "exness-data"
+
+    def __init__(self, spark: SparkSession, base_path: str | Path | None = None,
                  landing_dir: str | Path | None = None,
-                 fetcher=None):
+                 fetcher=None,
+                 config: UserConfig | None = None):
         """``fetcher(instrument, variant, year, month, landing_dir) -> Path``
         supplies monthly archives; defaults to the HTTP downloader
         (downloader.py:40-82). Injectable so the full update orchestration
-        is drivable offline (mirror servers, test fixtures)."""
+        is drivable offline (mirror servers, test fixtures).
+
+        ``config`` carries user preferences (reference config.py). When not
+        given, ``~/.exness-preprocess.yaml`` is loaded if present. Precedence
+        everywhere: built-in defaults < config file < explicit arguments.
+        """
         self.spark = spark
+        self.config = config if config is not None else load_config()
+        if base_path is None:
+            base_path = (
+                self.config.base_dir
+                if self.config and self.config.base_dir
+                else self.DEFAULT_BASE
+            )
         self.catalog = ParquetCatalog(base_path)
         self.catalog.ensure_schema()
         self.engine = SparkQueryEngine(spark, self.catalog)
         self.landing = Path(landing_dir) if landing_dir else Path(base_path) / "_landing"
         self.fetcher = fetcher or downloader.download_zip
 
+    # -- config-aware defaults -------------------------------------------------
+    def _default_pair(self, instrument: str | None) -> str:
+        if instrument is not None:
+            return instrument
+        if self.config and self.config.default_pair:
+            return self.config.default_pair
+        return "EURUSD"
+
+    def _default_timeframe(self, timeframe: str | None) -> str:
+        if timeframe is not None:
+            return timeframe
+        if self.config and self.config.default_timeframe:
+            return self.config.default_timeframe
+        return "1m"
+
     # -- queries (delegation, processor.py:456-560) ---------------------------
-    def query_ticks(self, *args, **kwargs):
-        return self.engine.query_ticks(*args, **kwargs)
+    def query_ticks(self, instrument: str | None = None, *args, **kwargs):
+        return self.engine.query_ticks(self._default_pair(instrument), *args, **kwargs)
 
-    def query_ohlc(self, *args, **kwargs):
-        return self.engine.query_ohlc(*args, **kwargs)
+    def query_ohlc(self, instrument: str | None = None,
+                   timeframe: str | None = None, *args, **kwargs):
+        return self.engine.query_ohlc(
+            self._default_pair(instrument),
+            self._default_timeframe(timeframe),
+            *args,
+            **kwargs,
+        )
 
-    def get_data_coverage(self, instrument: str = "EURUSD"):
-        return self.engine.get_data_coverage(instrument)
+    def get_data_coverage(self, instrument: str | None = None):
+        return self.engine.get_data_coverage(self._default_pair(instrument))
 
     def get_instruments(self) -> list[str]:
         return self.engine.get_instruments()

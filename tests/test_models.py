@@ -77,7 +77,12 @@ class TestModels:
         )
         assert c.total_ticks == 100
         assert c.storage_efficiency_bytes_per_tick == 10.0
-        assert c.coverage_percentage == 100.0
+        # exact reference formula (models.py:301-328): days/(days*0.69)*100
+        assert c.coverage_percentage == pytest.approx(3 / (3 * 0.69) * 100)
+        assert c.coverage_percentage == pytest.approx(144.9275362318841)
+        assert c.storage_efficiency_mb_per_million_ticks == pytest.approx(
+            (1000 / (1024 * 1024)) / 100 * 1_000_000
+        )
 
     def test_coverage_zero_safe(self):
         c = CoverageInfo(database="exness")
@@ -101,3 +106,77 @@ class TestModels:
         assert d.month_count == 2
         assert d.estimated_ticks == 2 * 9_500_000 * 2
         assert d.estimated_size_mb == pytest.approx(44.0)
+
+
+class TestSerialization:
+    """Dict/JSON round-trip + schema generation — the stdlib twin of the
+    reference's Pydantic model_dump / model_dump_json / model_json_schema
+    tests (reference tests/test_models.py:18-331)."""
+
+    def test_update_result_dict_round_trip(self):
+        r = UpdateResult(
+            pair="EURUSD",
+            months_added=[(2024, 1), (2024, 2)],
+            ticks_added_raw=100_000,
+            ticks_added_std=100_000,
+            ohlc_bars_generated=5000,
+            gaps_detected=2,
+            duration_seconds=1.5,
+        )
+        d = r.to_dict()
+        # computed properties appear in the dump, like @computed_field
+        assert d["total_ticks_added"] == 200_000
+        assert d["avg_ticks_per_month"] == 100_000.0
+        assert UpdateResult.from_dict(d) == r
+
+    def test_update_result_json_round_trip(self):
+        r = UpdateResult(pair="EURUSD", months_added=[(2024, 3)],
+                         ticks_added_raw=7)
+        s = r.to_json()
+        assert '"ticks_added_raw": 7' in s
+        assert UpdateResult.from_json(s) == r
+
+    def test_update_result_json_schema(self):
+        schema = UpdateResult.json_schema()
+        assert schema["type"] == "object"
+        assert "pair" in schema["required"]
+        assert schema["properties"]["pair"]["type"] == "string"
+        assert schema["properties"]["ticks_added_raw"]["type"] == "integer"
+        assert schema["properties"]["ticks_added_raw"]["minimum"] == 0
+        assert schema["properties"]["duration_seconds"]["type"] == "number"
+
+    def test_coverage_info_round_trip(self):
+        c = CoverageInfo(
+            database="exness", storage_bytes=2048, raw_spread_ticks=3,
+            standard_ticks=4, ohlc_bars=2,
+            earliest_date="2024-01-01 00:00:00",
+            latest_date="2024-02-01 00:00:00", date_range_days=31,
+        )
+        d = c.to_dict()
+        assert d["coverage_percentage"] == pytest.approx(144.9275362318841)
+        assert CoverageInfo.from_dict(d) == c
+        assert CoverageInfo.from_json(c.to_json()) == c
+        assert CoverageInfo.json_schema()["properties"]["storage_bytes"]["minimum"] == 0
+
+    def test_dry_run_round_trip(self):
+        d = DryRunResult.estimate("XAUUSD", [(2025, 6)])
+        back = DryRunResult.from_dict(d.to_dict())
+        assert back == d
+        assert d.to_dict()["month_count"] == 1
+
+    def test_cursor_result_round_trip(self):
+        r = CursorResult(
+            data=pd.DataFrame({"bid": [1.1, 1.2], "ask": [1.2, 1.3]}),
+            next_cursor="2024-01-01 00:00:05",
+            has_more=True,
+            page_size=2,
+        )
+        d = r.to_dict()
+        assert d["data"] == [
+            {"bid": 1.1, "ask": 1.2},
+            {"bid": 1.2, "ask": 1.3},
+        ]
+        back = CursorResult.from_dict(d)
+        assert back.next_cursor == r.next_cursor
+        assert back.has_more is True
+        pd.testing.assert_frame_equal(back.data, r.data)
