@@ -767,6 +767,9 @@ QUERIES: dict[str, QuerySpec] = {
 
 
 def _register_extra_queries() -> None:
+    from exness_data_preprocess_spark.plans.registry_catalog import (
+        catalog_query_specs,
+    )
     from exness_data_preprocess_spark.plans.registry_ext import build_ext_queries
     from exness_data_preprocess_spark.plans.registry_ml import build_ml_queries
 
@@ -774,6 +777,7 @@ def _register_extra_queries() -> None:
         QUERIES[name] = QuerySpec(fn, oracle, desc)
     for name, (fn, oracle, desc, bench) in build_ext_queries().items():
         QUERIES[name] = QuerySpec(fn, oracle, desc, bench)
+    QUERIES.update(catalog_query_specs())
 
 
 _register_extra_queries()

@@ -63,6 +63,26 @@ class SparkQueryEngine:
         return self.catalog.read(self.spark, "ohlc_1m")
 
     # -- queries (clickhouse_query_engine.py:66-132) -------------------------
+    def query_ticks_df(
+        self,
+        instrument: str = "EURUSD",
+        variant: str = "raw_spread",
+        start_date: str | None = None,
+        end_date: str | None = None,
+        limit: int | None = None,
+        offset: int | None = None,
+    ) -> DataFrame:
+        """DataFrame-returning tick scan — the Spark-native surface; the
+        pandas twin below is the reference-parity API edge (A6)."""
+        inst = validate_pair(instrument)
+        df = _range_filter(self.ticks_df(variant), inst, start_date, end_date)
+        df = df.select("timestamp", "bid", "ask").orderBy("timestamp")
+        if offset:
+            df = df.offset(offset)
+        if limit:
+            df = df.limit(limit)
+        return df
+
     def query_ticks(
         self,
         instrument: str = "EURUSD",
@@ -72,17 +92,12 @@ class SparkQueryEngine:
         limit: int | None = None,
         offset: int | None = None,
     ) -> pd.DataFrame:
-        inst = validate_pair(instrument)
-        df = _range_filter(self.ticks_df(variant), inst, start_date, end_date)
-        df = df.select("timestamp", "bid", "ask").orderBy("timestamp")
-        if offset:
-            df = df.offset(offset)
-        if limit:
-            df = df.limit(limit)
-        return df.toPandas()
+        return self.query_ticks_df(
+            instrument, variant, start_date, end_date, limit, offset
+        ).toPandas()
 
     # -- OHLC + resample (clickhouse_query_engine.py:134-277) ---------------
-    def query_ohlc(
+    def query_ohlc_df(
         self,
         instrument: str = "EURUSD",
         timeframe: str = "1m",
@@ -90,7 +105,8 @@ class SparkQueryEngine:
         end_date: str | None = None,
         limit: int | None = None,
         offset: int | None = None,
-    ) -> pd.DataFrame:
+    ) -> DataFrame:
+        """DataFrame-returning OHLC query (direct 1m scan or resample)."""
         inst = validate_pair(instrument)
         validate_timeframe(timeframe)
         minutes = TIMEFRAME_MINUTES[timeframe]
@@ -104,7 +120,20 @@ class SparkQueryEngine:
             df = df.offset(offset)
         if limit:
             df = df.limit(limit)
-        return df.toPandas()
+        return df
+
+    def query_ohlc(
+        self,
+        instrument: str = "EURUSD",
+        timeframe: str = "1m",
+        start_date: str | None = None,
+        end_date: str | None = None,
+        limit: int | None = None,
+        offset: int | None = None,
+    ) -> pd.DataFrame:
+        return self.query_ohlc_df(
+            instrument, timeframe, start_date, end_date, limit, offset
+        ).toPandas()
 
     # -- coverage / instruments (clickhouse_query_engine.py:279-388) --------
     def get_data_coverage(self, instrument: str = "EURUSD"):
