@@ -110,6 +110,30 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("int")
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Real k-means centroids via ``pyspark.ml.clustering.KMeans``
+    (feature-gated: raises ImportError where pyspark.ml is unavailable).
+
+    Returns plain Python lists so the result can feed ``ivf_topk``'s
+    ``centroids`` argument (driver-side literals, broadcast-shaped) and be
+    persisted/shipped like any trained index artifact.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(_as_double(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -117,35 +141,54 @@ def ivf_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into ``n_cells`` cells,
     then search only the query's cell (nprobe=1).
 
-    Centroids are the ``n_cells`` lowest-id corpus vectors — a
-    deterministic, oracle-reproducible stand-in for trained k-means
-    centroids (swap in ``pyspark.ml.clustering.KMeans`` output for real
-    deployments; the plan shape below is unchanged). Assignment is
-    argmax-cosine with ties to the lowest cell id.
+    ``centroids`` (e.g. from :func:`train_ivf_centroids`) selects the
+    trained path; by default centroids are the ``n_cells`` lowest-id
+    corpus vectors — a deterministic, oracle-reproducible stand-in with
+    the identical plan shape. Assignment is argmax-cosine with ties to
+    the lowest cell id.
+
+    Recall/cost trade: at nprobe=1, recall depends on how often a query
+    and its true neighbors co-locate, not on cell balance alone — on
+    near-uniform corpora the stand-in's skewed cells can out-recall
+    balanced k-means cells (measured in
+    tests/test_dedup_similarity.py::test_ivf_trained_vs_standin_recall);
+    trained centroids pay off when the corpus actually clusters, and the
+    standard production answer to low nprobe=1 recall is multi-probe
+    (union several nearest cells at the call site).
 
     Scale shape: centroids broadcast (n_cells rows); each side is
     assigned in one codegen'd scan; the search join shuffles on cell_id
     only — the corpus is never compared globally.
     """
-    # Centroid selection is a bounded "training" step (n_cells rows), so the
-    # ids come to the driver — exactly where trained k-means centroids would
-    # live — and cell numbering is a literal map, not a window. This keeps
-    # the assignment scans window-free (no single-partition WindowExec).
-    cent_ids = [
-        r[0] for r in corpus.select(id_col).orderBy(id_col).limit(n_cells).collect()
-    ]
-    id_to_cell = F.create_map(
-        *[F.lit(v) for i, cid in enumerate(cent_ids, 1) for v in (cid, i)]
-    )
-    cents = corpus.filter(F.col(id_col).isin(cent_ids)).select(
-        id_to_cell[F.col(id_col)].cast("int").alias("cell_id"),
-        _as_double(vec_col).alias("cent_v"),
-        _norm(_as_double(vec_col)).alias("cent_n"),
-    )
+    spark = corpus.sparkSession
+    if centroids is not None:
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids, 1)],
+            "cell_id int, cent_v array<double>",
+        ).select("cell_id", "cent_v", _norm(F.col("cent_v")).alias("cent_n"))
+    else:
+        # Centroid selection is a bounded "training" step (n_cells rows), so
+        # the ids come to the driver — exactly where trained k-means
+        # centroids would live — and cell numbering is a literal map, not a
+        # window. This keeps the assignment scans window-free (no
+        # single-partition WindowExec).
+        cent_ids = [
+            r[0]
+            for r in corpus.select(id_col).orderBy(id_col).limit(n_cells).collect()
+        ]
+        id_to_cell = F.create_map(
+            *[F.lit(v) for i, cid in enumerate(cent_ids, 1) for v in (cid, i)]
+        )
+        cents = corpus.filter(F.col(id_col).isin(cent_ids)).select(
+            id_to_cell[F.col(id_col)].cast("int").alias("cell_id"),
+            _as_double(vec_col).alias("cent_v"),
+            _norm(_as_double(vec_col)).alias("cent_n"),
+        )
 
     def assign(df: DataFrame, out_id: str, out_v: str, out_n: str) -> DataFrame:
         side = df.select(

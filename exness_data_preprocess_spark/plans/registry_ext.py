@@ -34,9 +34,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
-    stage = os.path.join(
-        tempfile.gettempdir(), f"stream_stage_{abs(hash(sf_dir)) % 10_000_000}"
-    )
+    stage = os.path.join(tempfile.gettempdir(), f"stream_stage_{_sf_key(sf_dir)}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
@@ -46,8 +44,17 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def _sf_key(sf_dir: str) -> str:
+    """Salt-stable key for stage dirs / memory-sink names (Python ``hash``
+    is salt-randomized per process — fine within one run, a footgun for
+    checkpoint-dir reuse across processes)."""
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+
+
 def _memname(prefix: str, sf_dir: str) -> str:
-    return f"{prefix}_{abs(hash(sf_dir)) % 10_000_000}"
+    return f"{prefix}_{_sf_key(sf_dir)}"
 
 
 # ---------------------------------------------------------------------------
