@@ -215,6 +215,13 @@ class SparkQueryEngine:
             "holidays"
         )
 
+    def describe_table(self, table: str) -> dict:
+        """Table + column COMMENT metadata (the reference attaches COMMENTs
+        to all five tables, clickhouse_manager.py:110-269)."""
+        from exness_data_preprocess_spark.schema import describe_table
+
+        return describe_table(table)
+
     def sql(self, query: str) -> DataFrame:
         """Run SQL against the registered five-table surface (§3.1's SQL
         entry point, injection-safe via ``spark.sql`` parameterization at

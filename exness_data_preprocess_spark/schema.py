@@ -134,3 +134,125 @@ MEDIA_SCHEMA = T.StructType(
         T.StructField("duration_ms", T.LongType(), True),
     ]
 )
+
+# ---------------------------------------------------------------------------
+# Table / column COMMENT metadata (clickhouse_manager.py:110-269 attaches
+# COMMENTs to all five tables; Spark's analog is StructField metadata,
+# surfaced through describe_table()).
+# ---------------------------------------------------------------------------
+TABLE_COMMENTS: dict[str, str] = {
+    "raw_spread_ticks": (
+        "Primary tick variant: execution prices, ~98% zero-spread rows; "
+        "partitioned by (instrument, year_month), sorted by timestamp"
+    ),
+    "standard_ticks": (
+        "Reference tick variant: quoted prices, bid always < ask; same "
+        "layout as raw_spread_ticks"
+    ),
+    "ohlc_1m": (
+        "Derived 1-minute bars: OHLC from raw bids, spread averages from "
+        "the asof-joined variants, timezone/session/holiday enrichment"
+    ),
+    "exchange_sessions": "Static lookup of the 10 tracked exchanges",
+    "holidays": "Holiday calendar rows per exchange for the covered range",
+}
+
+_TICK_COLUMN_COMMENTS = {
+    "instrument": "currency pair, uppercase (closed 10-pair domain)",
+    "timestamp": "event time, UTC, microsecond precision",
+    "bid": "bid price",
+    "ask": "ask price",
+}
+
+_OHLC_COLUMN_COMMENTS = {
+    "instrument": "currency pair, uppercase",
+    "timestamp": "minute-bucket start, UTC",
+    "open": "first raw bid in the minute (argMin by timestamp)",
+    "high": "max raw bid in the minute",
+    "low": "min raw bid in the minute",
+    "close": "last raw bid in the minute (argMax by timestamp)",
+    "raw_spread_avg": "avg(ask-bid) over raw ticks; NULL when no ticks",
+    "standard_spread_avg": "avg matched standard spread via asof join",
+    "tick_count_raw_spread": "raw ticks in the minute",
+    "tick_count_standard": "raw ticks with an asof-matched standard tick",
+    "ny_hour": "hour of bucket start in America/New_York",
+    "london_hour": "hour of bucket start in Europe/London",
+    "ny_session": "NY session label (Session/After_Hours/Closed)",
+    "london_session": "London session label (Session/Closed)",
+    "is_us_holiday": "1 if NYSE holiday",
+    "is_uk_holiday": "1 if LSE holiday",
+    "is_major_holiday": "1 if both NYSE and LSE holiday",
+}
+
+COLUMN_COMMENTS: dict[str, dict[str, str]] = {
+    "raw_spread_ticks": _TICK_COLUMN_COMMENTS,
+    "standard_ticks": _TICK_COLUMN_COMMENTS,
+    "ohlc_1m": {
+        **_OHLC_COLUMN_COMMENTS,
+        **{
+            c: f"1 if the {c.removeprefix('is_').removesuffix('_session').upper()} "
+            "exchange is open at bucket start (holiday/lunch-break aware)"
+            for c in SESSION_FLAG_COLUMNS
+        },
+    },
+    "exchange_sessions": {
+        "exchange_code": "MIC-style short code",
+        "name": "exchange display name",
+        "timezone": "IANA timezone of the trading calendar",
+        "open_hour": "local opening hour",
+        "open_minute": "local opening minute",
+        "close_hour": "local closing hour",
+        "close_minute": "local closing minute",
+    },
+    "holidays": {
+        "date": "holiday date (exchange-local)",
+        "exchange_code": "exchange the holiday applies to",
+        "holiday_name": "holiday label",
+    },
+}
+
+
+def with_comments(schema: T.StructType, table: str) -> T.StructType:
+    """Return ``schema`` with column COMMENTs attached as field metadata —
+    the Spark twin of the reference's ``COMMENT`` clauses. Metadata
+    survives parquet round-trips and shows in ``describe_table``."""
+    comments = COLUMN_COMMENTS.get(table, {})
+    return T.StructType(
+        [
+            T.StructField(
+                f.name,
+                f.dataType,
+                f.nullable,
+                {**(f.metadata or {}), "comment": comments[f.name]}
+                if f.name in comments
+                else f.metadata,
+            )
+            for f in schema.fields
+        ]
+    )
+
+
+def describe_table(table: str, schema: T.StructType | None = None):
+    """(column, type, comment) rows + the table COMMENT — the reference's
+    ``DESCRIBE``/system.tables surface (clickhouse_manager.py:110-269)."""
+    if schema is None:
+        schema = {
+            "raw_spread_ticks": TICK_SCHEMA,
+            "standard_ticks": TICK_SCHEMA,
+            "ohlc_1m": OHLC_1M_SCHEMA,
+            "exchange_sessions": EXCHANGE_SESSIONS_SCHEMA,
+            "holidays": HOLIDAYS_SCHEMA,
+        }[table]
+    comments = COLUMN_COMMENTS.get(table, {})
+    return {
+        "table": table,
+        "comment": TABLE_COMMENTS.get(table, ""),
+        "columns": [
+            {
+                "name": f.name,
+                "type": f.dataType.simpleString(),
+                "comment": comments.get(f.name, ""),
+            }
+            for f in schema.fields
+        ],
+    }

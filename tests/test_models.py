@@ -180,3 +180,38 @@ class TestSerialization:
         assert back.next_cursor == r.next_cursor
         assert back.has_more is True
         pd.testing.assert_frame_equal(back.data, r.data)
+
+
+class TestTableComments:
+    """COMMENT metadata parity — the reference attaches table/column
+    COMMENTs to all five tables (clickhouse_manager.py:110-269)."""
+
+    def test_all_five_tables_have_comments(self):
+        from exness_data_preprocess_spark.schema import (
+            TABLE_COMMENTS,
+            describe_table,
+        )
+
+        tables = ["raw_spread_ticks", "standard_ticks", "ohlc_1m",
+                  "exchange_sessions", "holidays"]
+        assert set(TABLE_COMMENTS) == set(tables)
+        for t in tables:
+            d = describe_table(t)
+            assert d["comment"]
+            assert all(c["comment"] for c in d["columns"]), t
+
+    def test_ohlc_describe_covers_all_27_columns(self):
+        from exness_data_preprocess_spark.schema import describe_table
+
+        d = describe_table("ohlc_1m")
+        assert len(d["columns"]) == 27
+        names = [c["name"] for c in d["columns"]]
+        assert "is_nyse_session" in names
+
+    def test_with_comments_attaches_field_metadata(self):
+        from exness_data_preprocess_spark.schema import TICK_SCHEMA, with_comments
+
+        s = with_comments(TICK_SCHEMA, "raw_spread_ticks")
+        assert s["timestamp"].metadata["comment"].startswith("event time")
+        # type/nullability untouched
+        assert s["timestamp"].dataType == TICK_SCHEMA["timestamp"].dataType
