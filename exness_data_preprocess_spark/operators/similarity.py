@@ -134,6 +134,39 @@ def train_ivf_centroids(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+def _ivf_centroid_frame(
+    corpus: DataFrame,
+    n_cells: int,
+    centroids: list[list[float]] | None,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Broadcast-sized (cell_id, cent_v, cent_n) frame: trained centroid
+    literals when given, else the deterministic lowest-id stand-in."""
+    spark = corpus.sparkSession
+    if centroids is not None:
+        return spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids, 1)],
+            "cell_id int, cent_v array<double>",
+        ).select("cell_id", "cent_v", _norm(F.col("cent_v")).alias("cent_n"))
+    # Centroid selection is a bounded "training" step (n_cells rows), so
+    # the ids come to the driver — exactly where trained k-means centroids
+    # would live — and cell numbering is a literal map, not a window. This
+    # keeps the assignment scans window-free (no single-partition
+    # WindowExec).
+    cent_ids = [
+        r[0] for r in corpus.select(id_col).orderBy(id_col).limit(n_cells).collect()
+    ]
+    id_to_cell = F.create_map(
+        *[F.lit(v) for i, cid in enumerate(cent_ids, 1) for v in (cid, i)]
+    )
+    return corpus.filter(F.col(id_col).isin(cent_ids)).select(
+        id_to_cell[F.col(id_col)].cast("int").alias("cell_id"),
+        _as_double(vec_col).alias("cent_v"),
+        _norm(_as_double(vec_col)).alias("cent_n"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -165,30 +198,7 @@ def ivf_topk(
     assigned in one codegen'd scan; the search join shuffles on cell_id
     only — the corpus is never compared globally.
     """
-    spark = corpus.sparkSession
-    if centroids is not None:
-        cents = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centroids, 1)],
-            "cell_id int, cent_v array<double>",
-        ).select("cell_id", "cent_v", _norm(F.col("cent_v")).alias("cent_n"))
-    else:
-        # Centroid selection is a bounded "training" step (n_cells rows), so
-        # the ids come to the driver — exactly where trained k-means
-        # centroids would live — and cell numbering is a literal map, not a
-        # window. This keeps the assignment scans window-free (no
-        # single-partition WindowExec).
-        cent_ids = [
-            r[0]
-            for r in corpus.select(id_col).orderBy(id_col).limit(n_cells).collect()
-        ]
-        id_to_cell = F.create_map(
-            *[F.lit(v) for i, cid in enumerate(cent_ids, 1) for v in (cid, i)]
-        )
-        cents = corpus.filter(F.col(id_col).isin(cent_ids)).select(
-            id_to_cell[F.col(id_col)].cast("int").alias("cell_id"),
-            _as_double(vec_col).alias("cent_v"),
-            _norm(_as_double(vec_col)).alias("cent_n"),
-        )
+    cents = _ivf_centroid_frame(corpus, n_cells, centroids, vec_col, id_col)
 
     def assign(df: DataFrame, out_id: str, out_v: str, out_n: str) -> DataFrame:
         side = df.select(
@@ -220,6 +230,67 @@ def ivf_topk(
         .join(c, "cell_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "cell_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Multi-probe IVF: each query searches its ``nprobe`` nearest cells
+    instead of one — the standard recall knob of an IVF index (recall
+    rises with nprobe at proportional candidate cost; nprobe=n_cells
+    degenerates to exact brute force).
+
+    Scale shape matches :func:`ivf_topk`: the corpus is still assigned to
+    exactly one cell (one codegen'd scan), only the tiny query side fans
+    out ×nprobe, and the search join still shuffles on cell_id alone. The
+    probe-ranking window partitions by vector id over ``n_cells`` rows —
+    bounded state per task.
+    """
+    cents = _ivf_centroid_frame(corpus, n_cells, centroids, vec_col, id_col)
+
+    def assign(df: DataFrame, out_id: str, out_v: str, out_n: str,
+               probes: int) -> DataFrame:
+        side = df.select(
+            F.col(id_col).alias(out_id),
+            _as_double(vec_col).alias(out_v),
+            _norm(_as_double(vec_col)).alias(out_n),
+        )
+        acos = F.round(
+            _dot(F.col(out_v), F.col("cent_v")) / (F.col(out_n) * F.col("cent_n")),
+            6,
+        )
+        w = Window.partitionBy(out_id).orderBy(F.desc("acos"), F.asc("cell_id"))
+        return (
+            side.crossJoin(F.broadcast(cents))
+            .select(out_id, out_v, out_n, "cell_id", acos.alias("acos"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= probes)
+            .drop("acos", "rn")
+        )
+
+    c = assign(corpus, "neighbor_id", "cv", "cn", 1)
+    q = assign(queries, "query_id", "qv", "qn", nprobe)
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

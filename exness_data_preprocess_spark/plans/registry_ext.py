@@ -412,6 +412,17 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), n_cells=16, k=5)
 
 
+def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.similarity import (
+        ivf_topk_multiprobe,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk_multiprobe(
+        emb, emb.filter(F.col("vec_id") < 10), n_cells=16, k=5, nprobe=2
+    )
+
+
 _DOT = (
     "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
 )
@@ -442,6 +453,43 @@ WITH e AS (
   WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
 )
 SELECT query_id, cell_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+ORACLE_ANN_IVF_MULTIPROBE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, v AS cent_v,
+         nrm AS cent_n
+  FROM n ORDER BY vec_id LIMIT 16
+), probes AS (
+  SELECT vec_id, v, nrm, cell_id, rn FROM (
+    SELECT n.vec_id, n.v, n.nrm, cents.cell_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY round({_DOT.format(a='n.v', b='cents.cent_v')}
+                            / (n.nrm * cents.cent_n), 6) DESC, cents.cell_id
+           ) AS rn
+    FROM n CROSS JOIN cents
+  )
+), c AS (
+  SELECT vec_id, v, nrm, cell_id FROM probes WHERE rn = 1
+), q AS (
+  SELECT vec_id, v, nrm, cell_id FROM probes WHERE rn <= 2 AND vec_id < 10
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_DOT.format(a='q.v', b='c.v')} / (q.nrm * c.nrm), 6) AS cosine
+  FROM q JOIN c USING (cell_id)
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine,
        CAST(row_number() OVER (PARTITION BY query_id
                                ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
 FROM scored
@@ -510,6 +558,12 @@ def build_ext_queries() -> dict:
             q_ann_ivf_topk,
             ORACLE_ANN_IVF,
             "ANN: IVF coarse-quantized top-k (deterministic centroids)",
+            True,
+        ),
+        "ann_ivf_multiprobe": (
+            q_ann_ivf_multiprobe,
+            ORACLE_ANN_IVF_MULTIPROBE,
+            "ANN: multi-probe IVF (nprobe=2 recall knob)",
             True,
         ),
     }

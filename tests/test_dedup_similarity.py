@@ -223,3 +223,28 @@ def test_ivf_trained_vs_standin_recall(spark):
     assert all(len(c) == dim for c in cents)
     cents2 = train_ivf_centroids(emb, n_cells=16, seed=42, max_iter=5)
     assert cents == cents2
+
+
+def test_ivf_multiprobe_recall_monotone(spark):
+    """nprobe=2 candidates are a superset of nprobe=1 → recall@5 cannot
+    drop; on sf0.01 it strictly improves for the stand-in centroids."""
+    from exness_data_preprocess_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_multiprobe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = pairs(cosine_topk(emb, q, k=5))
+    single = pairs(ivf_topk(emb, q, n_cells=16, k=5))
+    multi = pairs(ivf_topk_multiprobe(emb, q, n_cells=16, k=5, nprobe=2))
+    r1 = len(exact & single) / len(exact)
+    r2 = len(exact & multi) / len(exact)
+    assert r2 >= r1
+    # degenerate full probe == exact
+    full = pairs(ivf_topk_multiprobe(emb, q, n_cells=16, k=5, nprobe=16))
+    assert full == exact
