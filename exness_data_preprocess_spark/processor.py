@@ -125,13 +125,22 @@ class SparkDataProcessor:
         raw = self.engine.ticks_df("raw_spread").filter(F.col("instrument") == inst)
         std = self.engine.ticks_df("standard").filter(F.col("instrument") == inst)
         if start_date:
+            # Redundant year_month bound prunes month partitions (SURVEY §4)
+            ym_lo = start_date[:7].replace("-", "")
             raw = raw.filter(F.col("timestamp") >= F.lit(start_date).cast("timestamp"))
             std = std.filter(F.col("timestamp") >= F.lit(start_date).cast("timestamp"))
+            if "year_month" in raw.columns:
+                raw = raw.filter(F.col("year_month") >= ym_lo)
+                std = std.filter(F.col("year_month") >= ym_lo)
         if end_date:
             # Month-end-exclusive bound (B4): < addMonths(toDate(end), 1)
             bound = F.add_months(F.to_date(F.lit(end_date)), 1).cast("timestamp")
+            ym_hi = end_date[:7].replace("-", "")
             raw = raw.filter(F.col("timestamp") < bound)
             std = std.filter(F.col("timestamp") < bound)
+            if "year_month" in raw.columns:
+                raw = raw.filter(F.col("year_month") <= ym_hi)
+                std = std.filter(F.col("year_month") <= ym_hi)
 
         bars = generate_ohlc_1m(raw, std)
         if start_date is None and end_date is None:

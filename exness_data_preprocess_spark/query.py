@@ -33,17 +33,36 @@ from exness_data_preprocess_spark.operators.resample import resample_ohlc
 from exness_data_preprocess_spark.sources.catalog import ParquetCatalog
 
 
+def _ym(date_str: str) -> str:
+    """'YYYY-MM-DD...' → 'yyyyMM' partition key."""
+    return date_str[:7].replace("-", "")
+
+
 def _range_filter(
     df: DataFrame,
     instrument: str,
     start_date: str | None,
     end_date: str | None,
 ) -> DataFrame:
+    """Instrument + date-range predicates, with redundant ``year_month``
+    bounds so the month partition directories prune (SURVEY §4: Spark
+    cannot derive partition pruning from ``timestamp`` predicates alone —
+    the reference gets this for free from ``PARTITION BY
+    toYYYYMM(timestamp)``). ``yyyyMM`` strings compare lexicographically,
+    so the bounds are plain string comparisons on the partition column.
+    """
     out = df.filter(F.col("instrument") == instrument)
+    prunable = "year_month" in out.columns
     if start_date:
         out = out.filter(F.col("timestamp") >= F.lit(start_date).cast("timestamp"))
+        if prunable:
+            out = out.filter(F.col("year_month") >= _ym(start_date))
     if end_date:
+        # end_date parses to that day's midnight (B2 inclusivity quirk);
+        # its month is still the last month that can contain rows.
         out = out.filter(F.col("timestamp") <= F.lit(end_date).cast("timestamp"))
+        if prunable:
+            out = out.filter(F.col("year_month") <= _ym(end_date))
     return out
 
 

@@ -73,6 +73,25 @@ def test_partition_pruning(spark, tick_store):
     assert "instrument" in pf and "year_month" in pf
 
 
+def test_date_range_queries_prune_month_partitions(spark, tick_store):
+    """query_ticks/query_ohlc date predicates must reach PartitionFilters
+    as derived year_month bounds — without them a date-ranged scan reads
+    every month of the instrument (SURVEY §4's redundant-predicate rule)."""
+    from exness_data_preprocess_spark.query import SparkQueryEngine
+
+    engine = SparkQueryEngine(spark, tick_store)
+    df = engine.query_ticks_df(
+        "EURUSD", start_date="2024-01-01", end_date="2024-01-31"
+    )
+    plan = plan_of(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "year_month" in pf and "202401" in pf
+    # and the pruning actually bites: only the January directory is read
+    assert "202403" not in pf
+    rows = df.collect()
+    assert rows and all(str(r["timestamp"]).startswith("2024-01") for r in rows)
+
+
 def test_catalog_write_layout(tick_store):
     base = tick_store.base / "raw_spread_ticks"
     parts = {p.name for p in base.iterdir() if p.is_dir()}
