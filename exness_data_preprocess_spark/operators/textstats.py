@@ -191,6 +191,62 @@ def vocabulary(
     )
 
 
+URL_REGEX = r"https?://\S+"
+EMAIL_REGEX = r"\S+@\S+\.\S+"
+
+
+def clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Boilerplate scrub — the normalization stage ahead of dedup/tokenize
+    in a corpus pipeline: strip URLs and emails, collapse whitespace,
+    trim, optionally lowercase. Pure column expressions (regexp_replace is
+    JVM-side); ``n_chars_removed`` records how much was stripped.
+
+    Patterns stay in the regex subset Java regex and RE2 interpret
+    identically, so the DuckDB oracle reproduces the result exactly.
+    """
+    orig = F.col(text_col)
+    t = F.regexp_replace(orig, URL_REGEX, " ")
+    t = F.regexp_replace(t, EMAIL_REGEX, " ")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    if lowercase:
+        t = F.lower(t)
+    return df.withColumn(out_col, t).withColumn(
+        "n_chars_removed", F.length(orig) - F.length(F.col(out_col))
+    )
+
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Per-(lang, source) corpus rollup — the reporting aggregate every
+    curation pipeline runs after scoring: doc counts, token totals and
+    extremes, and how many docs pass the quality gate.
+
+    Only exact aggregates (counts, integer sums, min/max) so the output
+    is bit-reproducible across engines; one partial-aggregated shuffle on
+    the (low-cardinality) group key.
+    """
+    scored = quality_features(df, text_col)
+    return (
+        scored.groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("quality_flag").alias("n_quality_pass"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
 def deterministic_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -450,6 +450,96 @@ SELECT asset_id, 2, sha256(h3) FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# Text cleaning + corpus rollup + skew-safe distinct
+# ---------------------------------------------------------------------------
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.textstats import clean_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return clean_text(docs).select("doc_id", "text_clean", "n_chars_removed")
+
+
+# Same replacement order as clean_text: URLs → emails → whitespace collapse
+# + trim → lower. Patterns confined to the Java-regex ∩ RE2 subset.
+ORACLE_TEXT_CLEAN = r"""
+WITH c AS (
+  SELECT doc_id, text,
+         lower(trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(text, 'https?://\S+', ' ', 'g'),
+             '\S+@\S+\.\S+', ' ', 'g'),
+           '\s+', ' ', 'g'))) AS text_clean
+  FROM documents
+)
+SELECT doc_id, text_clean,
+       length(text) - length(text_clean) AS n_chars_removed
+FROM c
+"""
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.textstats import corpus_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_stats(docs)
+
+
+def _corpus_stats_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, source, text, {_TOKS} AS toks,
+         length(text) AS n_chars
+  FROM documents
+), f AS (
+  SELECT lang, source,
+         len(toks) AS n_tokens,
+         round(CASE WHEN len(toks) > 0
+               THEN n_chars::DOUBLE / len(toks) END, 6) AS avg_token_len,
+         round(CASE WHEN n_chars > 0
+               THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / n_chars END, 6)
+           AS punct_ratio,
+         round(CASE WHEN len(toks) > 0
+               THEN len(list_distinct(toks))::DOUBLE / len(toks) END, 6)
+           AS distinct_token_ratio
+  FROM d
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(sum((n_tokens >= 5 AND avg_token_len >= 2.0 AND avg_token_len <= 20.0
+                 AND coalesce(punct_ratio, 0.0) <= 0.2
+                 AND coalesce(distinct_token_ratio, 0.0) >= 0.3)::INT) AS BIGINT)
+         AS n_quality_pass
+FROM f
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+def q_distinct_users_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.plans.registry import load
+    from exness_data_preprocess_spark.operators.skew import (
+        distinct_count_skew_safe,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return distinct_count_skew_safe(ev, ("event_type",), "user_id").orderBy(
+        "event_type"
+    )
+
+
+ORACLE_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def build_ml_queries() -> dict:
     """name → (spark_fn, oracle_sql_or_None, description)."""
     return {
@@ -479,4 +569,11 @@ def build_ml_queries() -> dict:
                                 "binary-column feature extraction (mapInPandas stub)"),
         "video_frame_sample": (q_video_frame_sample, ORACLE_VIDEO_FRAMES,
                                "video frame sampling plumbing (digest-chain oracle)"),
+        "text_clean": (q_text_clean, ORACLE_TEXT_CLEAN,
+                       "URL/email scrub + whitespace normalize + lowercase"),
+        "corpus_stats": (q_corpus_stats, _corpus_stats_oracle(),
+                         "per-(lang,source) corpus rollup, exact aggregates"),
+        "distinct_users_skew_safe": (
+            q_distinct_users_skew_safe, ORACLE_DISTINCT_USERS,
+            "two-stage exact distinct count (hot-key-safe plan shape)"),
     }

@@ -248,3 +248,66 @@ def test_ivf_multiprobe_recall_monotone(spark):
     # degenerate full probe == exact
     full = pairs(ivf_topk_multiprobe(emb, q, n_cells=16, k=5, nprobe=16))
     assert full == exact
+
+
+def test_clean_text_scrubs_urls_emails(spark):
+    from exness_data_preprocess_spark.operators.textstats import clean_text
+
+    df = spark.createDataFrame(
+        [(1, "Visit https://example.com/x?y=1 NOW"),
+         (2, "mail me at bob@example.com  please"),
+         (3, "  Plain   text  ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in clean_text(df).collect()}
+    assert out[1]["text_clean"] == "visit now"
+    assert out[2]["text_clean"] == "mail me at please"
+    assert out[3]["text_clean"] == "plain text"
+    assert out[1]["n_chars_removed"] > 0
+
+
+def test_corpus_stats_exact_aggregates(spark, docs):
+    from exness_data_preprocess_spark.operators.textstats import corpus_stats
+
+    rows = {(r["lang"], r["source"]): r for r in corpus_stats(docs).collect()}
+    en_a = rows[("en", "a")]
+    assert en_a["n_docs"] == 4
+    assert en_a["min_tokens"] == 1  # the degenerate "zz" doc
+    # docs 1, 3 (9 tokens each), 4 (6 tokens), 6 (1 token)
+    assert en_a["total_tokens"] == 9 + 9 + 6 + 1
+    assert rows[("de", "a")]["n_quality_pass"] == 1
+
+
+def test_distinct_count_skew_safe_matches_exact(spark):
+    from exness_data_preprocess_spark.operators.skew import (
+        distinct_count_skew_safe,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 3), ("b", None), ("c", None)],
+        "k string, v int",
+    )
+    got = {r["k"]: r["n_distinct"]
+           for r in distinct_count_skew_safe(df, ("k",), "v").collect()}
+    assert got == {"a": 2, "b": 1}  # NULL-only key drops, like COUNT(DISTINCT)
+
+    # plan shape: no Expand (the distinct-rewrite fingerprint); first
+    # shuffle keys include the value column so hot keys spread
+    plan = distinct_count_skew_safe(df, ("k",), "v")._jdf.queryExecution().toString()
+    assert "Expand" not in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    from exness_data_preprocess_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(50)] + [("cold", 99)], "k string, lv int"
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("never", "N")], "k string, rv string"
+    )
+    plain = {(r["k"], r["lv"], r["rv"])
+             for r in left.join(right, "k").collect()}
+    salted = {(r["k"], r["lv"], r["rv"])
+              for r in salted_join(left, right, "k", n_salts=4).collect()}
+    assert salted == plain
