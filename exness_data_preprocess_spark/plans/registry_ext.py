@@ -153,6 +153,51 @@ WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.event_type = agg.event_type)
 
 
 # ---------------------------------------------------------------------------
+# Streaming dedup — duplicate delivery collapses exactly once (D8 twin)
+# ---------------------------------------------------------------------------
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events file is staged TWICE into the source directory
+    (simulating at-least-once re-delivery); the watermarked
+    dropDuplicatesWithinWatermark stream must emit the original rows
+    exactly once — hash-checked against a plain scan of the table."""
+    import os
+    import tempfile
+
+    from exness_data_preprocess_spark.streaming import stream_dedup_ticks
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    stage = os.path.join(
+        tempfile.gettempdir(), f"stream_dedup_stage_{_sf_key(sf_dir)}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    for name in ("events_a.parquet", "events_b.parquet"):
+        link = os.path.join(stage, name)
+        if not os.path.exists(link):
+            os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.format("parquet").schema(schema).load(stage)
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dd = stream_dedup_ticks(ev, key_cols=("event_id",), on="ts")
+    out = run_available_now_to_memory(
+        dd, _memname("stream_dedup", sf_dir), "append"
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "value",
+    )
+
+
+ORACLE_STREAMING_DEDUP = """
+SELECT event_id, event_type, epoch_us(ts) AS ts_us, user_id, value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # E5: lag/lead window features
 # ---------------------------------------------------------------------------
 def q_lag_lead_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -510,6 +555,12 @@ def build_ext_queries() -> dict:
             q_streaming_sessions,
             ORACLE_STREAMING_SESSIONS,
             "Streaming: applyInPandasWithState session/gap operator",
+            False,
+        ),
+        "streaming_dedup": (
+            q_streaming_dedup,
+            ORACLE_STREAMING_DEDUP,
+            "Streaming: watermarked dedup collapses duplicate delivery",
             False,
         ),
         "lag_lead_features": (

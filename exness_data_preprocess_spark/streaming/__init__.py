@@ -1,5 +1,6 @@
 from exness_data_preprocess_spark.streaming.ohlc_stream import (
     run_available_now_to_memory,
+    stream_dedup_ticks,
     stream_ohlc_1m,
     tick_file_stream,
     write_stream_ohlc,
@@ -8,6 +9,7 @@ from exness_data_preprocess_spark.streaming.stateful import stateful_gap_session
 
 __all__ = [
     "tick_file_stream",
+    "stream_dedup_ticks",
     "stream_ohlc_1m",
     "run_available_now_to_memory",
     "write_stream_ohlc",

@@ -92,6 +92,26 @@ def stream_ohlc_1m(
     return agg.select(*cols)
 
 
+def stream_dedup_ticks(
+    ticks: DataFrame,
+    key_cols: tuple[str, ...] = ("instrument", "timestamp"),
+    on: str = "timestamp",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup on the tick sort key — the streaming twin of the
+    write-side ``dropDuplicates`` (D8 / ReplacingMergeTree semantics).
+
+    ``dropDuplicatesWithinWatermark`` keeps the first row per key and
+    evicts key state once event time passes the watermark, so re-delivered
+    ticks (at-least-once sources, overlapping archive loads) collapse
+    exactly once while state stays bounded by the watermark horizon — the
+    property that lets a 100 TB/day stream run forever.
+    """
+    return ticks.withWatermark(on, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def write_stream_ohlc(
     bars: DataFrame,
     path: str,

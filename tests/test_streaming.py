@@ -164,3 +164,42 @@ def test_stream_checkpoint_restart_exactly_once(spark, tick_dfs, tmp_path):
     )
     merged = final.merge(batch, on=["instrument", "minute"], how="left")
     assert (merged["tick_count"] == merged["count"]).all()
+
+
+def test_stream_dedup_collapses_redelivery(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: re-delivered ticks collapse exactly
+    once across micro-batches while state stays watermark-bounded."""
+    import datetime as dt
+
+    from exness_data_preprocess_spark.schema import TICK_SCHEMA
+    from exness_data_preprocess_spark.streaming import (
+        run_available_now_to_memory,
+        stream_dedup_ticks,
+        tick_file_stream,
+    )
+
+    src = str(tmp_path / "in")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ticks(n, offset=0):
+        return spark.createDataFrame(
+            [
+                ("EURUSD", base + dt.timedelta(seconds=offset + 10 * i),
+                 1.1 + i * 1e-4, 1.1001 + i * 1e-4)
+                for i in range(n)
+            ],
+            TICK_SCHEMA,
+        )
+
+    # batch 1 and an overlapping re-delivery (same keys, same rows)
+    ticks(20).write.mode("append").parquet(src)
+    ticks(20).write.mode("append").parquet(src)
+    # plus fresh rows beyond the overlap
+    ticks(10, offset=200).write.mode("append").parquet(src)
+
+    stream = tick_file_stream(spark, src, TICK_SCHEMA)
+    dd = stream_dedup_ticks(stream, watermark="10 minutes")
+    out = run_available_now_to_memory(dd, "dedup_test_sink", "append").toPandas()
+
+    assert len(out) == 30
+    assert not out.duplicated(["instrument", "timestamp"]).any()
