@@ -1,0 +1,115 @@
+"""Distributed connected components over a duplicate-pair edge list.
+
+Near-dup detection (MinHash/LSH, SimHash, n-gram Jaccard — operators/dedup.py)
+emits *pairs*; a dedup pipeline then needs *clusters* so it can keep one
+canonical document per group and drop the rest. That grouping is connected
+components on the pair graph.
+
+Algorithm: iterative min-label propagation with pointer jumping.  Each round
+every vertex takes the minimum label over
+
+  - its own label,
+  - its neighbors' labels (one hash join edges ⋈ labels),
+  - its label's label (one self-join — "pointer jumping").
+
+Plain neighbor propagation needs O(diameter) rounds; the pointer-jumping
+join contracts label chains by half each round, giving O(log n) rounds on
+path-shaped worst cases while near-dup graphs (dense cliques with tiny
+diameter) converge in 2-3.  Every round is two shuffles on uniformly-hashed
+ids — no single-task stage, no driver-side graph state, so the same loop
+runs on 10^9 edges across 1000 executors.  This is the DataFrame rendering
+of the alternating-star family (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) with the simpler contraction rule.
+
+Reference parity: the reference has no graph operator (its dedup is the
+ReplacingMergeTree exact-key engine, src/exness_data_preprocess/
+clickhouse_manager.py:139-176); this extends the same dedup surface to the
+near-dup clusters a training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "canonical_docs"]
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    id_col: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Label every vertex with the smallest vertex id reachable from it.
+
+    ``edges`` is an undirected pair list (each pair once, either order);
+    ``vertices`` supplies the full id universe so singletons (docs with no
+    near-dup) come out labeled with themselves.
+
+    Returns ``(id_col, component)`` with ``component`` = min id of the
+    connected component.  Deterministic — safe under the value-hash oracle.
+    """
+    # Symmetrize once; only ids travel through the loop.
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.repartition("src").persist()
+
+    labels = vertices.select(
+        F.col(id_col).cast("long").alias("id"), F.col(id_col).cast("long").alias("comp")
+    )
+
+    # Convergence probe: every per-row label is the least() of candidates
+    # that include the row's own label, so labels are monotonically
+    # non-increasing — Σcomp strictly decreases iff any row changed. One
+    # single-stage reduce over the checkpointed frame per round, instead of
+    # a labels⋈labels diff join.
+    prev_sum: int | None = None
+    for _ in range(max_iterations):
+        # min over neighbors' labels
+        nb = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        stepped = (
+            labels.join(nb, "id", "left")
+            .select("id", F.least("comp", "nb_comp").alias("comp"))
+        )
+        # pointer jumping: comp := label(comp)  (labels only shrink, so
+        # least() is the correct merge)
+        jump = labels.select(
+            F.col("id").alias("comp"), F.col("comp").alias("jump_comp")
+        )
+        labels = (
+            stepped.join(jump, "comp", "left")
+            .select("id", F.least("comp", "jump_comp").alias("comp"))
+            .localCheckpoint()  # truncate the per-round lineage
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    sym.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
+
+
+def canonical_docs(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep exactly one doc per component: the component representative
+    (min id).  The join is on the id — a broadcast when the component map
+    is small, a co-partitioned hash join otherwise."""
+    keep = components.filter(F.col(id_col) == F.col("component")).select(id_col)
+    return docs.join(keep, id_col, "left_semi")

@@ -1,0 +1,79 @@
+"""Scale-aware interval (range) join: points → containing intervals.
+
+Spark has no native range-join operator (Databricks' range-join hint is
+proprietary); the naive expression — a cross/theta join with a BETWEEN
+predicate — degenerates to BroadcastNestedLoopJoin, which is O(|L|·|R|)
+and a non-starter at 100 TB.
+
+This implementation is the standard bucketed decomposition:
+
+  1. pick a bucket width W (seconds);
+  2. explode each interval over the buckets it covers
+     (``sequence(floor(start/W), floor(end/W))`` — pure JVM);
+  3. map each point to its single bucket;
+  4. equi-join on the bucket id (hash join, shuffles on a uniform key),
+     then apply the exact BETWEEN as a residual filter.
+
+Each point lands in exactly one bucket, so no post-join dedup is needed.
+Cost is |points| + Σ⌈len/W⌉ join rows: pick W near the median interval
+length so intervals expand to O(1) buckets each.  Skew only appears if
+many intervals stack on one bucket — the residual filter is cheap, and the
+bucket key salts naturally by widening the sequence.
+
+Reference parity: the reference's minute-bucket LEFT JOIN (C3,
+src/exness_data_preprocess/clickhouse_ohlc_generator.py:236-259) is the
+degenerate equal-width case of this operator (interval = 1 point bucket);
+this generalizes it to arbitrary overlapping intervals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["interval_join"]
+
+
+def _bucket(col: Column, width: int) -> Column:
+    return F.floor(F.unix_micros(col) / F.lit(width * 1_000_000)).cast("long")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``start <= ts <= end`` (inclusive bounds, the SQL BETWEEN contract).
+
+    Returns points ⋈ intervals with all columns of both sides.  ``how``
+    may be ``inner`` or ``left`` (left keeps pointless rows with NULL
+    interval columns — the C3 legacy-join shape).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    b_pts = points.withColumn("__bkt", _bucket(F.col(ts_col), bucket_seconds))
+    b_iv = intervals.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                _bucket(F.col(start_col), bucket_seconds),
+                _bucket(F.col(end_col), bucket_seconds),
+            )
+        ),
+    )
+    residual = F.col(ts_col).between(F.col(start_col), F.col(end_col))
+    if how == "inner":
+        return b_pts.join(b_iv, "__bkt").filter(residual).drop("__bkt")
+    # left: inner core + anti-joined leftovers, avoids the nested-loop
+    # left-join Spark would otherwise plan for a range predicate.
+    core = b_pts.join(b_iv, "__bkt").filter(residual).drop("__bkt")
+    matched = core.select(*points.columns).dropDuplicates(points.columns)
+    unmatched = b_pts.drop("__bkt").join(matched, points.columns, "left_anti")
+    for c in intervals.columns:
+        unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
+    return core.unionByName(unmatched)

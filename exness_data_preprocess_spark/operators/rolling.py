@@ -1,0 +1,58 @@
+"""Rolling event-time range windows (per-key sliding features).
+
+Feature pipelines over event streams need trailing-window signals — "count
+/ sum / min / max of this user's activity in the last hour" — computed per
+row, not per fixed bucket.  That is a RANGE window frame ordered by event
+time: Spark's ``Window.partitionBy(key).orderBy(t).rangeBetween(-w, 0)``
+maps to it directly, and because the frame is keyed, the shuffle is one
+hash exchange on the key — no global sort, no single-partition window
+(the anti-pattern the round-1 verdict flagged for the vocabulary rank).
+
+Numeric determinism: the value column is quantized to DECIMAL(18,6) before
+the windowed sum.  Sliding-frame sums are computed in different association
+orders by different engines (Spark recomputes frames; DuckDB uses segment
+trees), so float sums can differ in the last ulp and break a value-hash
+differential; decimal addition is exact and order-free, so the result is
+bit-identical everywhere.  Same rule as the resample ratios: round inputs,
+never order-dependent outputs.
+
+Reference parity: the reference has no per-row trailing windows (its
+analytics are bucketed aggregates, SURVEY.md §2 D7/D9); this is the
+training-pipeline extension of E5 (lag/lead, research_analyses.py:33-77).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["rolling_range_stats"]
+
+
+def rolling_range_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Append trailing-window features over ``[t - window, t]`` (inclusive
+    both ends — RANGE frames include peers of the boundary values).
+
+    Adds ``w_cnt``, ``w_sum`` (DECIMAL(18,6), exact), ``w_min``, ``w_max``.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    v6 = F.col(value_col).cast("decimal(18,6)")
+    return (
+        df.withColumn("__v6", v6)
+        .withColumn("w_cnt", F.count("*").over(w))
+        .withColumn("w_sum", F.sum("__v6").over(w))
+        .withColumn("w_min", F.min("__v6").over(w))
+        .withColumn("w_max", F.max("__v6").over(w))
+        .drop("__v6")
+    )

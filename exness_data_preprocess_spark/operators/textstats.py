@@ -274,6 +274,139 @@ def deterministic_split(
     return df.withColumn("split", split)
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al., arXiv:2112.11446 §A1.1):
+    the fraction of a document that is repeated content.  Boilerplate and
+    template spam repeat tokens/n-grams far above natural-language rates, so
+    corpus filters gate on these ratios.
+
+    Appends (all deterministic ratios, rounded like quality_features):
+      dup_token_ratio    1 − |distinct tokens| / |tokens|
+      top_token_ratio    occurrences of the most frequent token / |tokens|
+      dup_2gram_ratio    1 − |distinct 2-grams| / |2-grams|
+      dup_3gram_ratio    1 − |distinct 3-grams| / |3-grams|
+      repetition_flag    1 = passes (below all repetition ceilings)
+
+    Pure column expressions.  ``top_token_ratio`` scans the token array once
+    per distinct token — O(u·n) per doc with u = per-doc distinct tokens,
+    document-local work that parallelizes embarrassingly; nothing here
+    shuffles.
+    """
+    toks = tokens_col(F.col(text_col))
+    n_tok = F.size(toks)
+    n2 = n_tok - 1  # count of 2-gram positions
+    n3 = n_tok - 2
+    # distinct-shingle counts (shingles_col is already distinct)
+    d1 = F.size(F.array_distinct(toks))
+    d2 = F.size(shingles_col(F.col(text_col), 2))
+    d3 = F.size(shingles_col(F.col(text_col), 3))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    r = lambda c: F.round(c, 6)  # noqa: E731
+    dup_tok = r(F.when(n_tok > 0, 1.0 - d1.cast("double") / n_tok))
+    top_tok = r(F.when(n_tok > 0, top_cnt.cast("double") / n_tok))
+    dup2 = r(F.when(n2 > 0, 1.0 - d2.cast("double") / n2))
+    dup3 = r(F.when(n3 > 0, 1.0 - d3.cast("double") / n3))
+    flag = (
+        (F.coalesce(dup_tok, F.lit(0.0)) <= 0.8)
+        & (F.coalesce(top_tok, F.lit(1.0)) <= 0.3)
+        & (F.coalesce(dup2, F.lit(0.0)) <= 0.9)
+    )
+    return df.select(
+        "*",
+        dup_tok.alias("dup_token_ratio"),
+        top_tok.alias("top_token_ratio"),
+        dup2.alias("dup_2gram_ratio"),
+        dup3.alias("dup_3gram_ratio"),
+        flag.cast("int").alias("repetition_flag"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: str = "sample-v1",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the language/domain
+    rebalancing step of corpus curation (e.g. keep 100% of low-resource
+    languages, 10% of English).
+
+    Membership = md5(seed ‖ id) mod buckets < rate·buckets, so it depends
+    only on (seed, id): re-runs, incremental appends, and cluster resizes
+    keep exactly the same rows (same contract as deterministic_split).
+    The rate table enters as a broadcast-joined literal dim; the filter is
+    a scan-level predicate — no shuffle at any corpus size.
+    """
+    spark = df.sparkSession
+    rate_dim = F.broadcast(
+        spark.createDataFrame(
+            [(k, int(round(v * buckets))) for k, v in sorted(rates.items())],
+            f"{stratum_col} string, __keep_lt int",
+        )
+    )
+    bucket = md5_h32(F.concat(F.lit(seed), F.col(id_col).cast("string"))) % buckets
+    return (
+        df.join(rate_dim, stratum_col, "left")
+        .filter(
+            bucket
+            < F.coalesce(F.col("__keep_lt"), F.lit(int(round(default_rate * buckets))))
+        )
+        .drop("__keep_lt")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing word n-grams with
+    an eval/benchmark set (the train/test-contamination check every LLM
+    pipeline runs; n-gram matching per GPT-3 appendix C / PaLM §7).
+
+    Returns (id, overlap_ngrams, contaminated).  The benchmark's distinct
+    shingle set is tiny next to the corpus (eval suites are MBs, corpora are
+    TBs), so the join is a broadcast semi-lookup: corpus shingles never
+    shuffle, the pass is scan-bound.  ``min_overlap`` distinct matching
+    n-grams gate the flag to suppress single-collision noise.
+    """
+    bench_sh = F.broadcast(
+        benchmark.select(
+            F.explode(shingles_col(F.col(text_col), shingle_n)).alias("s")
+        ).distinct()
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("s")
+    )
+    overlaps = (
+        corpus_sh.join(bench_sh, "s", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("overlap_ngrams"))  # shingles are distinct per doc
+    )
+    return (
+        corpus.select(id_col)
+        .join(overlaps, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("overlap_ngrams", F.lit(0)).alias("overlap_ngrams"),
+            (F.coalesce("overlap_ngrams", F.lit(0)) >= min_overlap)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -772,9 +772,14 @@ def _register_extra_queries() -> None:
     )
     from exness_data_preprocess_spark.plans.registry_ext import build_ext_queries
     from exness_data_preprocess_spark.plans.registry_ml import build_ml_queries
+    from exness_data_preprocess_spark.plans.registry_pipeline import (
+        build_pipeline_queries,
+    )
 
     for name, (fn, oracle, desc) in build_ml_queries().items():
         QUERIES[name] = QuerySpec(fn, oracle, desc)
+    for name, (fn, oracle, desc, bench) in build_pipeline_queries().items():
+        QUERIES[name] = QuerySpec(fn, oracle, desc, bench)
     for name, (fn, oracle, desc, bench) in build_ext_queries().items():
         QUERIES[name] = QuerySpec(fn, oracle, desc, bench)
     QUERIES.update(catalog_query_specs())

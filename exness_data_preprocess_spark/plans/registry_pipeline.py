@@ -1,0 +1,362 @@
+"""Registry entries for the round-2 training-pipeline additions: dup-pair
+→ cluster resolution (connected components), bucketed interval joins,
+benchmark decontamination, rolling event-time windows, repetition-quality
+signals, stratified sampling, and int8 embedding quantization.
+
+Every entry has a DuckDB oracle (the connected-components one is a
+recursive CTE — min-label reachability — so even the iterative graph
+operator is value-hash-checked, not rows-only). Determinism rules follow
+round 1's lessons: decimal-quantized windowed sums, identical IEEE
+expression shapes for ratio math, md5-derived hashes shared bit-for-bit
+between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.operators.graph import connected_components
+from exness_data_preprocess_spark.operators.intervals import interval_join
+from exness_data_preprocess_spark.operators.rolling import rolling_range_stats
+from exness_data_preprocess_spark.operators.similarity import quantize_embeddings
+from exness_data_preprocess_spark.operators.textstats import (
+    decontaminate,
+    repetition_features,
+    stratified_sample,
+)
+from exness_data_preprocess_spark.plans.registry_ml import (
+    ORACLE_DEDUP_NGRAM_JACCARD,
+)
+
+# Shared DuckDB fragments (same idioms as registry_ml)
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_SH3 = (
+    "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform("
+    "generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')))"
+    " ELSE [] END"
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS) → read as long, truncate to µs
+    (mirrors plans/registry.py::load)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pairs → dedup clusters
+# ---------------------------------------------------------------------------
+def q_dup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the n-gram-Jaccard near-dup pairs (threshold 0.9, the
+    dedup_ngram_jaccard edge list) into components; every doc gets the min
+    reachable doc_id as its cluster id — the canonical-doc key a dedup
+    pipeline keeps.
+
+    The edge list is deterministically sparsified to 5% (md5 rule shared
+    with the oracle) before clustering. Near-dup families are near-cliques;
+    dropping 95% of edges keeps them connected but turns direct edges into
+    multi-hop chains — a *stronger* transitivity test for the operator —
+    and bounds the recursive-CTE oracle, whose reachability set is
+    O(component²·degree) and would be cubic on the raw cliques."""
+    from exness_data_preprocess_spark.functions.hashing import md5_h32
+    from exness_data_preprocess_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = (
+        ngram_jaccard_pairs(docs, threshold=0.9)
+        .filter(
+            md5_h32(
+                F.concat(
+                    F.col("id_a").cast("string"),
+                    F.lit(":"),
+                    F.col("id_b").cast("string"),
+                )
+            )
+            % 20
+            == 0
+        )
+        .select("id_a", "id_b")
+    )
+    return connected_components(edges, docs.select("doc_id"))
+
+
+ORACLE_DUP_CC = f"""
+WITH RECURSIVE all_pairs AS ({ORACLE_DEDUP_NGRAM_JACCARD}),
+pairs AS (
+  SELECT id_a, id_b FROM all_pairs
+  WHERE (('0x' || substr(md5(id_a::VARCHAR || ':' || id_b::VARCHAR), 1, 8))::BIGINT)
+        % 20 = 0
+),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(id, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.root FROM walk w JOIN e ON e.src = w.id
+)
+SELECT id AS doc_id, min(root) AS component FROM walk GROUP BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bucketed interval join: events → per-(type, day) activity spans
+# ---------------------------------------------------------------------------
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping range join: every event joined to every (event_type, day)
+    activity span [min ts, max ts] containing it, then rolled up per span.
+    The join goes through the hour-bucketed equi-join decomposition — no
+    BroadcastNestedLoopJoin anywhere in the plan."""
+    ev = _events(spark, sf_dir)
+    iv = ev.groupBy(
+        F.col("event_type").alias("iv_type"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("iv_day"),
+    ).agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    joined = interval_join(
+        ev.select("ts", "user_id"), iv,
+        ts_col="ts", start_col="start_ts", end_col="end_ts",
+        bucket_seconds=3600,
+    )
+    return joined.groupBy("iv_type", "iv_day").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_INTERVAL_JOIN = """
+WITH iv AS (
+  SELECT event_type AS iv_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS iv_day,
+         min(ts) AS s, max(ts) AS e
+  FROM events GROUP BY 1, 2
+)
+SELECT iv.iv_type, iv.iv_day,
+       count(*) AS n_events,
+       count(DISTINCT ev.user_id) AS n_users
+FROM iv JOIN events ev ON ev.ts BETWEEN iv.s AND iv.e
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs from source 'src0' act as the benchmark set; every corpus doc is
+    scored by distinct 3-gram overlap against the benchmark's shingle set
+    (broadcast semi-join — the corpus side never shuffles)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("source") == "src0")
+    return decontaminate(docs, bench, shingle_n=3, min_overlap=3)
+
+
+ORACLE_DECONTAMINATION = f"""
+WITH d AS (
+  SELECT doc_id, source, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, source, {_SH3} AS sh FROM d
+), b AS (
+  SELECT DISTINCT unnest(sh) AS s FROM sh WHERE source = 'src0'
+), cs AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh
+), ov AS (
+  SELECT cs.doc_id, count(*) AS overlap_ngrams
+  FROM cs JOIN b USING (s) GROUP BY cs.doc_id
+)
+SELECT d.doc_id,
+       coalesce(ov.overlap_ngrams, 0) AS overlap_ngrams,
+       (coalesce(ov.overlap_ngrams, 0) >= 3)::INT AS contaminated
+FROM d LEFT JOIN ov USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling event-time range windows (per-user trailing hour)
+# ---------------------------------------------------------------------------
+def q_rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour features per user. Sums run over
+    DECIMAL(18,6)-quantized values (exact, order-free) and are cast to
+    double only at the edge — sliding-frame float sums associate
+    differently across engines and would break the value hash."""
+    ev = _events(spark, sf_dir)
+    r = rolling_range_stats(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        window_seconds=3600,
+    )
+    return r.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "w_cnt",
+        F.col("w_sum").cast("double").alias("w_sum"),
+        F.col("w_min").cast("double").alias("w_min"),
+        F.col("w_max").cast("double").alias("w_max"),
+    )
+
+
+ORACLE_ROLLING = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       count(*) OVER w AS w_cnt,
+       (sum(value::DECIMAL(18,6)) OVER w)::DOUBLE AS w_sum,
+       (min(value::DECIMAL(18,6)) OVER w)::DOUBLE AS w_min,
+       (max(value::DECIMAL(18,6)) OVER w)::DOUBLE AS w_max
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition-quality signals (gopher-style)
+# ---------------------------------------------------------------------------
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_features(docs).select(
+        "doc_id",
+        "dup_token_ratio",
+        "top_token_ratio",
+        "dup_2gram_ratio",
+        "dup_3gram_ratio",
+        "repetition_flag",
+    )
+
+
+ORACLE_REPETITION = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), c AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         len(list_distinct(toks)) AS d1,
+         CASE WHEN len(toks) >= 2 THEN len(list_distinct(list_transform(
+           generate_series(1, len(toks) - 1),
+           i -> array_to_string(toks[i:i+1], ' ')))) ELSE 0 END AS d2,
+         CASE WHEN len(toks) >= 3 THEN len(list_distinct(list_transform(
+           generate_series(1, len(toks) - 2),
+           i -> array_to_string(toks[i:i+2], ' ')))) ELSE 0 END AS d3,
+         list_max(list_transform(list_distinct(toks),
+           t -> len(list_filter(toks, x -> x = t)))) AS topc
+  FROM d
+), r AS (
+  SELECT doc_id,
+         CASE WHEN n > 0 THEN round(1.0 - d1::DOUBLE / n, 6) END AS dup_token_ratio,
+         CASE WHEN n > 0 THEN round(topc::DOUBLE / n, 6) END AS top_token_ratio,
+         CASE WHEN n - 1 > 0 THEN round(1.0 - d2::DOUBLE / (n - 1), 6) END
+           AS dup_2gram_ratio,
+         CASE WHEN n - 2 > 0 THEN round(1.0 - d3::DOUBLE / (n - 2), 6) END
+           AS dup_3gram_ratio
+  FROM c
+)
+SELECT doc_id, dup_token_ratio, top_token_ratio, dup_2gram_ratio, dup_3gram_ratio,
+       (coalesce(dup_token_ratio, 0.0) <= 0.8
+        AND coalesce(top_token_ratio, 1.0) <= 0.3
+        AND coalesce(dup_2gram_ratio, 0.0) <= 0.9)::INT AS repetition_flag
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling
+# ---------------------------------------------------------------------------
+_RATES = {"en": 0.2, "de": 1.0, "fr": 0.5, "es": 0.5, "zh": 0.25}
+_BUCKETS = 1_000_000
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs, _RATES, stratum_col="lang", id_col="doc_id",
+        seed="sample-v1", buckets=_BUCKETS,
+    ).select("doc_id", "lang", "source")
+
+
+def _stratified_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(round(v * _BUCKETS))}"
+        for k, v in sorted(_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE (('0x' || substr(md5('sample-v1' || doc_id::VARCHAR), 1, 8))::BIGINT)
+      % {_BUCKETS} < CASE lang {cases} ELSE 0 END
+"""
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantize_embeddings(emb)
+
+
+ORACLE_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+), q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> round(x / scale)::INT) AS qq
+  FROM s
+)
+SELECT vec_id,
+       round(scale, 6) AS q_scale,
+       md5(array_to_string(qq, ',')) AS q_md5,
+       list_sum(list_transform(qq, x -> x::BIGINT))::BIGINT AS q_sum,
+       list_sum(list_transform(qq, x -> x::BIGINT * x))::BIGINT AS q_sumsq,
+       round(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS norm_f32,
+       round(list_max(list_transform(generate_series(1, len(v)),
+             i -> abs(v[i] - qq[i] * scale))), 6) AS max_abs_err
+FROM q
+"""
+
+
+def build_pipeline_queries() -> dict:
+    """name → (spark_fn, oracle_sql, description, bench).
+
+    ``dup_connected_components`` is correctness-only (bench=False), the
+    same exemption as the streaming drains: an iterative algorithm's
+    wall-clock at sf0.1 is rounds × Spark's fixed per-job floor — it
+    measures scheduling overhead, not plan quality. The per-round plan
+    shape is guarded in tests/test_pipeline_ops.py instead.
+    """
+    return {
+        "dup_connected_components": (
+            q_dup_connected_components, ORACLE_DUP_CC,
+            "near-dup pairs → clusters (min-label CC, recursive-CTE oracle)",
+            False),
+        "interval_join_events": (
+            q_interval_join_events, ORACLE_INTERVAL_JOIN,
+            "bucketed range join: events into overlapping activity spans",
+            True),
+        "decontamination": (
+            q_decontamination, ORACLE_DECONTAMINATION,
+            "benchmark 3-gram overlap contamination flags",
+            True),
+        "rolling_user_stats": (
+            q_rolling_user_stats, ORACLE_ROLLING,
+            "per-user trailing-hour RANGE window features",
+            True),
+        "repetition_quality": (
+            q_repetition_quality, ORACLE_REPETITION,
+            "gopher-style repetition ratios + gate flag",
+            True),
+        "stratified_sample": (
+            q_stratified_sample, _stratified_oracle(),
+            "deterministic per-language downsampling",
+            True),
+        "embedding_quantize": (
+            q_embedding_quantize, ORACLE_QUANTIZE,
+            "symmetric int8 embedding quantization + audit scalars",
+            True),
+    }

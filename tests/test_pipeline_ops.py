@@ -1,0 +1,217 @@
+"""Unit tests for the round-2 pipeline operators: connected components,
+interval join, decontamination, rolling range windows, repetition features,
+stratified sampling, and embedding quantization.
+
+Plan-shape assertions live alongside semantics: the interval join must not
+degrade to BroadcastNestedLoopJoin, and CC must converge on adversarial
+chain graphs (the worst case for label propagation)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.operators.graph import (
+    canonical_docs,
+    connected_components,
+)
+from exness_data_preprocess_spark.operators.intervals import interval_join
+from exness_data_preprocess_spark.operators.rolling import rolling_range_stats
+from exness_data_preprocess_spark.operators.similarity import quantize_embeddings
+from exness_data_preprocess_spark.operators.textstats import (
+    decontaminate,
+    repetition_features,
+    stratified_sample,
+)
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+def _cc_dict(spark, edges, n_vertices):
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    v = spark.createDataFrame([(i,) for i in range(n_vertices)], "doc_id long")
+    out = connected_components(e, v)
+    return {r["doc_id"]: r["component"] for r in out.collect()}
+
+def test_cc_chain_converges_to_min(spark):
+    # 0-1-2-...-19 as a path: worst case for plain propagation; pointer
+    # jumping must still converge well under max_iterations=25
+    comp = _cc_dict(spark, [(i, i + 1) for i in range(19)], 20)
+    assert set(comp.values()) == {0}
+
+
+def test_cc_multiple_components_and_singletons(spark):
+    edges = [(1, 2), (2, 3), (5, 6), (8, 9), (9, 5)]
+    comp = _cc_dict(spark, edges, 12)
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[5] == comp[6] == comp[8] == comp[9] == 5
+    for singleton in (0, 4, 7, 10, 11):
+        assert comp[singleton] == singleton
+
+
+def test_cc_nonconvergence_raises(spark):
+    e = spark.createDataFrame([(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    v = spark.createDataFrame([(i,) for i in range(41)], "doc_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, v, max_iterations=1)
+
+
+def test_canonical_docs_keeps_one_per_component(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
+    )
+    comp = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (3, 2), (4, 4), (5, 4)],
+        "doc_id long, component long",
+    )
+    kept = sorted(r["doc_id"] for r in canonical_docs(docs, comp).collect())
+    assert kept == [0, 2, 4]
+
+
+# ---------------------------------------------------------------------------
+# interval join
+# ---------------------------------------------------------------------------
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h) + dt.timedelta(minutes=m, seconds=s)
+
+
+def test_interval_join_inner_matches_between(spark):
+    pts = spark.createDataFrame(
+        [(i, _ts(9, 0, i * 40)) for i in range(90)], "pid long, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, _ts(9, 0), _ts(9, 10)),
+            (2, _ts(9, 5), _ts(9, 30)),  # overlaps interval 1
+            (3, _ts(23, 0), _ts(23, 59)),  # matches nothing
+        ],
+        "iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    got = interval_join(pts, iv, bucket_seconds=300).collect()
+    expect = [
+        (p, i)
+        for p in range(90)
+        for (i, s, e) in [(1, _ts(9, 0), _ts(9, 10)), (2, _ts(9, 5), _ts(9, 30))]
+        if s <= _ts(9, 0, p * 40) <= e
+    ]
+    assert sorted((r["pid"], r["iv_id"]) for r in got) == sorted(expect)
+
+
+def test_interval_join_left_keeps_unmatched_points(spark):
+    pts = spark.createDataFrame(
+        [(1, _ts(9)), (2, _ts(12))], "pid long, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [(7, _ts(8), _ts(10))], "iv_id long, start_ts timestamp, end_ts timestamp"
+    )
+    rows = {r["pid"]: r["iv_id"] for r in interval_join(pts, iv, how="left").collect()}
+    assert rows == {1: 7, 2: None}
+
+
+def test_interval_join_plan_has_no_nested_loop(spark):
+    pts = spark.createDataFrame([(1, _ts(9))], "pid long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(7, _ts(8), _ts(10))], "iv_id long, start_ts timestamp, end_ts timestamp"
+    )
+    plan = interval_join(pts, iv)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# rolling range window
+# ---------------------------------------------------------------------------
+def test_rolling_range_stats_trailing_hour(spark):
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=30), 2.0),
+        (1, base + dt.timedelta(minutes=61), 4.0),  # first row ages out
+        (2, base, 10.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        (r["user_id"], r["ts"]): (r["w_cnt"], float(r["w_sum"]))
+        for r in rolling_range_stats(df).collect()
+    }
+    assert out[(1, base)] == (1, 1.0)
+    assert out[(1, base + dt.timedelta(minutes=30))] == (2, 3.0)
+    assert out[(1, base + dt.timedelta(minutes=61))] == (2, 6.0)
+    assert out[(2, base)] == (1, 10.0)
+
+
+def test_rolling_window_is_keyed_not_global(spark):
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)], "user_id long, ts timestamp, value double"
+    )
+    plan = rolling_range_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "user_id" in plan.split("Window")[1][:400]  # partition spec present
+
+
+# ---------------------------------------------------------------------------
+# text ops
+# ---------------------------------------------------------------------------
+def test_repetition_features_flags_repeated_doc(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam spam"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert out[1]["repetition_flag"] == 0
+    assert out[1]["dup_token_ratio"] == 0.9
+    assert out[1]["top_token_ratio"] == 1.0
+    assert out[2]["repetition_flag"] == 1
+    assert out[2]["dup_token_ratio"] == 0.0
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(400)], "doc_id long, lang string"
+    )
+    rates = {"en": 0.25, "de": 1.0}
+    a = sorted(r["doc_id"] for r in stratified_sample(df, rates).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(df, rates).collect())
+    assert a == b  # rerun-stable
+    de = [i for i in a if i % 2 == 0]
+    en = [i for i in a if i % 2 == 1]
+    assert len(de) == 200  # rate 1.0 keeps everything
+    assert 20 <= len(en) <= 80  # rate 0.25 of 200, hash-binomial spread
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unrelated tail here"),  # 2 shared 3-grams
+            (2, "totally different words with no overlap at all"),
+            (3, "alpha beta gamma delta epsilon zeta plus suffix"),  # 4 shared
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(corpus, bench, min_overlap=3).collect()}
+    assert out[1]["overlap_ngrams"] == 2 and out[1]["contaminated"] == 0
+    assert out[2]["overlap_ngrams"] == 0 and out[2]["contaminated"] == 0
+    assert out[3]["overlap_ngrams"] == 4 and out[3]["contaminated"] == 1
+
+
+# ---------------------------------------------------------------------------
+# quantization
+# ---------------------------------------------------------------------------
+def test_quantize_embeddings_bounds_and_error(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [2.0, 2.0, -2.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # scale = max|x|/127; q of the max-magnitude element is ±127
+    assert out[1]["q_scale"] == round(1.0 / 127, 6)
+    assert out[2]["q_sumsq"] <= 4 * 127 * 127
+    for r in out.values():
+        assert r["max_abs_err"] <= r["q_scale"] / 2 + 1e-9
