@@ -340,7 +340,9 @@ ORDER BY event_id
 def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exness_data_preprocess_spark.operators.textstats import vocabulary
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
+
+    docs = _docs_spread(spark, sf_dir)
     return vocabulary(docs, min_count=5)
 
 

@@ -40,6 +40,17 @@ _TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 _H32 = "(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table with the per-doc CPU work spread across cores.
+
+    The test tables are single small parquet files → 1-task scans, which
+    serialize expression-heavy passes (minhash signatures, shingling,
+    regex features). A real corpus is thousands of files and parallelizes
+    at the scan; this repartition reproduces that shape locally for ~2 MB
+    of shuffle — strictly plumbing, not operator semantics."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(32)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -157,7 +168,7 @@ SELECT doc_id, ({bits})::BIGINT AS simhash FROM s
 # Exact n-gram Jaccard pairs (blocked by lang)
 # ---------------------------------------------------------------------------
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     return ngram_jaccard_pairs(
         docs, block_cols=("lang",), shingle_n=1, threshold=0.9
     )
@@ -280,7 +291,7 @@ QUALIFY rank <= 5
 # Language ID
 # ---------------------------------------------------------------------------
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     return lang_scores(docs).select(
         "doc_id",
         *[F.col(f"score_{lang}") for lang in sorted(STOPWORDS)],
@@ -319,7 +330,7 @@ SELECT doc_id, {cols}, {case_sql} AS pred_lang FROM s
 # Quality features
 # ---------------------------------------------------------------------------
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     return quality_features(docs).select(
         "doc_id",
         "n_tokens",
@@ -367,7 +378,7 @@ FROM f
 # Document fingerprints
 # ---------------------------------------------------------------------------
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     return doc_fingerprint(docs)
 
 
@@ -391,7 +402,7 @@ FROM d
 # so even the Python mapInPandas path is fully hash-checked against SQL.
 # ---------------------------------------------------------------------------
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     media = multimodal.synthesize_media_from_documents(docs)
     feats = multimodal.extract_media_features(media)
     # project the feature vector to scalar columns so the differential
@@ -428,7 +439,7 @@ FROM m
 
 
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     media = multimodal.synthesize_media_from_documents(docs)
     return multimodal.sample_video_frames(media, n_frames=3)
 
@@ -456,7 +467,7 @@ SELECT asset_id, 2, sha256(h3) FROM c
 def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exness_data_preprocess_spark.operators.textstats import clean_text
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     return clean_text(docs).select("doc_id", "text_clean", "n_chars_removed")
 
 
@@ -481,7 +492,7 @@ FROM c
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exness_data_preprocess_spark.operators.textstats import corpus_stats
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     return corpus_stats(docs)
 
 

@@ -63,8 +63,9 @@ def q_dup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(component²·degree) and would be cubic on the raw cliques."""
     from exness_data_preprocess_spark.functions.hashing import md5_h32
     from exness_data_preprocess_spark.operators.dedup import ngram_jaccard_pairs
+    from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     edges = (
         ngram_jaccard_pairs(docs, threshold=0.9)
         .filter(
@@ -150,7 +151,9 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs from source 'src0' act as the benchmark set; every corpus doc is
     scored by distinct 3-gram overlap against the benchmark's shingle set
     (broadcast semi-join — the corpus side never shuffles)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
+
+    docs = _docs_spread(spark, sf_dir)
     bench = docs.filter(F.col("source") == "src0")
     return decontaminate(docs, bench, shingle_n=3, min_overlap=3)
 
@@ -217,7 +220,9 @@ WINDOW w AS (
 # Repetition-quality signals (gopher-style)
 # ---------------------------------------------------------------------------
 def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
+
+    docs = _docs_spread(spark, sf_dir)
     return repetition_features(docs).select(
         "doc_id",
         "dup_token_ratio",
