@@ -9,7 +9,7 @@ expressions → whole-stage codegen; a 100 TB corpus pass runs at scan speed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from exness_data_preprocess_spark.functions.hashing import md5_h32, md5_h60
@@ -415,6 +415,48 @@ def decontaminate(
             .cast("int")
             .alias("contaminated"),
         )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "lang",
+    budget: int = 512,
+) -> DataFrame:
+    """Sequence packing: lay documents end-to-end (in ``id_col`` order,
+    within ``part_col``) into fixed ``budget``-token training sequences,
+    and report where each doc lands — the batch-construction step of a
+    pretraining pipeline (docs are concatenated and the stream is cut
+    every ``budget`` tokens; GPT-style packing).
+
+    Appends:
+      n_tokens     whitespace token count (docs longer than ``budget``
+                   contribute exactly ``budget`` tokens — head truncation)
+      pack_id      0-based index of the sequence holding the doc's first
+                   token (docs may straddle into pack_id+1)
+      pack_offset  position of the doc's first token inside that sequence
+
+    One keyed running-sum window: shuffle on ``part_col``, sort within
+    partitions.  At 100 TB a single partition key would still be one
+    task's sort — shard the partition column further (e.g. (lang,
+    split-bucket)) exactly like the vocabulary rank decomposition;
+    packing only needs a deterministic order, not a single global one.
+    """
+    tok = token_count_ws(F.col(text_col))
+    capped = F.least(tok, F.lit(budget))
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(capped).over(w)
+    start = cum - capped  # tokens laid down before this doc
+    return (
+        df.withColumn("n_tokens", tok)
+        .withColumn("pack_id", F.floor(start / budget))
+        .withColumn("pack_offset", start % budget)
     )
 
 

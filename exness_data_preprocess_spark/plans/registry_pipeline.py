@@ -326,6 +326,84 @@ FROM q
 """
 
 
+# ---------------------------------------------------------------------------
+# Batch sessionization (batch twin of streaming_gap_sessions)
+# ---------------------------------------------------------------------------
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-min-gap sessions rolled up to one row per session."""
+    from exness_data_preprocess_spark.operators.sessionize import sessionize
+
+    ev = _events(spark, sf_dir)
+    s = sessionize(ev, key_col="user_id", ts_col="ts",
+                   tiebreak_col="event_id", gap_seconds=1800)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("start_us"),
+        F.max(F.unix_micros("ts")).alias("end_us"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH x AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), y AS (
+  SELECT *, sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS session_seq
+  FROM x
+)
+SELECT user_id, session_seq::BIGINT AS session_seq,
+       count(*) AS n_events,
+       min(epoch_us(ts)) AS start_us,
+       max(epoch_us(ts)) AS end_us,
+       count(DISTINCT event_type) AS n_types
+FROM y GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (fixed token-budget training sequences)
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 512
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.textstats import pack_sequences
+    from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
+
+    docs = _docs_spread(spark, sf_dir)
+    return pack_sequences(docs, budget=_PACK_BUDGET).select(
+        "doc_id", "lang", "n_tokens", "pack_id", "pack_offset"
+    )
+
+
+ORACLE_PACKING = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(least(n_tokens, {_PACK_BUDGET})) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - least(n_tokens, {_PACK_BUDGET}) AS start
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       (start // {_PACK_BUDGET})::BIGINT AS pack_id,
+       (start % {_PACK_BUDGET})::BIGINT AS pack_offset
+FROM c
+"""
+
+
 def build_pipeline_queries() -> dict:
     """name → (spark_fn, oracle_sql, description, bench).
 
@@ -363,5 +441,13 @@ def build_pipeline_queries() -> dict:
         "embedding_quantize": (
             q_embedding_quantize, ORACLE_QUANTIZE,
             "symmetric int8 embedding quantization + audit scalars",
+            True),
+        "sessionize_events": (
+            q_sessionize_events, ORACLE_SESSIONIZE,
+            "batch gap-sessionization rolled up per session",
+            True),
+        "sequence_packing": (
+            q_sequence_packing, ORACLE_PACKING,
+            "token-budget sequence packing (pack id + offset per doc)",
             True),
     }

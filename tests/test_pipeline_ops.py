@@ -215,3 +215,55 @@ def test_quantize_embeddings_bounds_and_error(spark):
     assert out[2]["q_sumsq"] <= 4 * 127 * 127
     for r in out.values():
         assert r["max_abs_err"] <= r["q_scale"] / 2 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# sessionization & packing
+# ---------------------------------------------------------------------------
+def test_sessionize_splits_on_gap(spark):
+    base = dt.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [
+        (1, 1, base),
+        (2, 1, base + dt.timedelta(minutes=10)),
+        (3, 1, base + dt.timedelta(minutes=41)),   # 31 min gap → new session
+        (4, 2, base),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    from exness_data_preprocess_spark.operators.sessionize import sessionize
+
+    out = {r["event_id"]: r["session_seq"] for r in sessionize(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_sessionize_gap_boundary_stays_in_session(spark):
+    base = dt.datetime(2024, 5, 1, 9, 0, 0)
+    df = spark.createDataFrame(
+        [(1, 1, base), (2, 1, base + dt.timedelta(seconds=1800))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    from exness_data_preprocess_spark.operators.sessionize import sessionize
+
+    out = {r["event_id"]: r["session_seq"] for r in sessionize(df).collect()}
+    assert out == {1: 1, 2: 1}  # exactly-gap pause does not split
+
+
+def test_pack_sequences_layout(spark):
+    from exness_data_preprocess_spark.operators.textstats import pack_sequences
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "a " * 300),   # 300 tokens (trailing split token counts)
+            (2, "en", "b " * 300),
+            (3, "en", "c " * 700),   # > budget → capped at 512
+            (4, "de", "d " * 10),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, budget=512).collect()}
+    # doc1 starts pack 0 offset 0; its capped span is its token count
+    assert (out[1]["pack_id"], out[1]["pack_offset"]) == (0, 0)
+    n1 = out[1]["n_tokens"]
+    assert (out[2]["pack_id"], out[2]["pack_offset"]) == (n1 // 512, n1 % 512)
+    n2 = n1 + out[2]["n_tokens"]
+    assert (out[3]["pack_id"], out[3]["pack_offset"]) == (n2 // 512, n2 % 512)
+    assert (out[4]["pack_id"], out[4]["pack_offset"]) == (0, 0)  # own partition
