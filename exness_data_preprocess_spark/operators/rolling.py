@@ -48,11 +48,14 @@ def rolling_range_stats(
         .rangeBetween(-window_seconds * 1_000_000, 0)
     )
     v6 = F.col(value_col).cast("decimal(18,6)")
-    return (
-        df.withColumn("__v6", v6)
-        .withColumn("w_cnt", F.count("*").over(w))
-        .withColumn("w_sum", F.sum("__v6").over(w))
-        .withColumn("w_min", F.min("__v6").over(w))
-        .withColumn("w_max", F.max("__v6").over(w))
-        .drop("__v6")
+    # All four aggregates in ONE select over the same window spec → a
+    # single Window node (one shuffle + one sort). Chained withColumn
+    # calls would re-derive the sort key per column and plan four
+    # stacked Window operators.
+    return df.select(
+        "*",
+        F.count("*").over(w).alias("w_cnt"),
+        F.sum(v6).over(w).alias("w_sum"),
+        F.min(v6).over(w).alias("w_min"),
+        F.max(v6).over(w).alias("w_max"),
     )

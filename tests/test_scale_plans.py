@@ -172,3 +172,64 @@ def test_whole_stage_codegen_covers_ohlc(spark):
     assert "isFinalPlan=true" in plan
     assert "* HashAggregate" in plan  # both agg stages compile
     assert "* ColumnarToRow" in plan  # vectorized parquet scan feeds codegen
+
+
+# ---------------------------------------------------------------------------
+# Round-2 pipeline operators: plan shape at scale
+# ---------------------------------------------------------------------------
+def test_decontamination_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must broadcast; the corpus side must reach
+    the semi-join without a shuffle exchange (scan → project → join)."""
+    from exness_data_preprocess_spark.plans.registry import QUERIES
+
+    plan = plan_of(QUERIES["decontamination"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    semi = plan.split("LeftSemi")[0]
+    # corpus side of the semi join: no Exchange between scan and join
+    assert "Exchange hashpartitioning" not in semi.split("BroadcastExchange")[0]
+
+
+def test_stratified_sample_is_broadcast_filter(spark):
+    from exness_data_preprocess_spark.plans.registry import QUERIES
+
+    plan = plan_of(QUERIES["stratified_sample"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rolling_and_sessionize_windows_are_keyed(spark):
+    from exness_data_preprocess_spark.plans.registry import QUERIES
+
+    for name, key in (("rolling_user_stats", "user_id"),
+                      ("sessionize_events", "user_id"),
+                      ("sequence_packing", "lang")):
+        plan = plan_of(QUERIES[name].spark(spark, SF))
+        assert f"windowspecdefinition({key}" in plan, (
+            f"{name}: window not partitioned by {key}"
+        )
+        assert re.search(r"windowspecdefinition\((_w\d|\w+ ASC)", plan) is None, (
+            f"{name}: unpartitioned window present"
+        )
+
+
+def test_rolling_stats_is_single_window_node(spark):
+    """The four trailing aggregates must share one Window operator (one
+    shuffle + one sort), not stack four."""
+    from exness_data_preprocess_spark.plans.registry import QUERIES
+
+    plan = plan_of(QUERIES["rolling_user_stats"].spark(spark, SF))
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 1
+
+
+def test_interval_join_query_avoids_nested_loop(spark):
+    from exness_data_preprocess_spark.plans.registry import QUERIES
+
+    plan = plan_of(QUERIES["interval_join_events"].spark(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantize_is_single_scan_no_shuffle(spark):
+    from exness_data_preprocess_spark.plans.registry import QUERIES
+
+    plan = plan_of(QUERIES["embedding_quantize"].spark(spark, SF))
+    assert "Exchange" not in plan
