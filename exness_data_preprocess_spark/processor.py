@@ -107,6 +107,23 @@ class SparkDataProcessor:
     def get_instruments(self) -> list[str]:
         return self.engine.get_instruments()
 
+    def compact_storage(
+        self, instrument: str | None = None, table: str | None = None
+    ) -> dict[str, dict[str, int]]:
+        """Consolidate small files left by incremental appends (the
+        maintenance ClickHouse's background merges perform implicitly;
+        explicit here — see ParquetCatalog.compact). Compacts all three
+        tables, or one via ``table``; optionally scoped to an instrument."""
+        tables = (
+            [table] if table else ["raw_spread_ticks", "standard_ticks", "ohlc_1m"]
+        )
+        inst = self._default_pair(instrument) if instrument else None
+        return {
+            t: self.catalog.compact(self.spark, t, instrument=inst)
+            for t in tables
+            if self.catalog.exists(t)
+        }
+
     # -- write path (processor.py:285-454) ------------------------------------
     def insert_ticks(self, df: DataFrame, variant: str) -> int:
         """Dedup + partitioned append (clickhouse_manager.py:271-330)."""

@@ -124,3 +124,57 @@ class ParquetCatalog:
         p = self.base / table / f"instrument={instrument.upper()}"
         if p.exists():
             shutil.rmtree(p)
+
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        instrument: str | None = None,
+        target_rows_per_file: int = 5_000_000,
+    ) -> dict[str, int]:
+        """Small-file compaction — the maintenance job ClickHouse's
+        background merges do implicitly (the reference never needs it;
+        MergeTree parts self-compact, clickhouse_manager.py:159-176) and a
+        Parquet lake must run explicitly: months ingested in many small
+        appends accumulate one file per append per partition, and at 100 TB
+        a scan pays per-file open/footer costs plus tiny rowgroups that
+        defeat min/max skipping.
+
+        Rewrites each affected (instrument, year_month) partition into
+        ⌈rows / target_rows_per_file⌉ timestamp-sorted files via dynamic
+        partition overwrite — same atomicity as the range-DELETE path (M2),
+        data identical, layout consolidated.  Returns ``{"files_before":
+        n, "files_after": m}``.
+
+        Scale shape: the rewrite is one shuffle of only the touched
+        partitions (predicate-pruned scan), and sortWithinPartitions
+        restores the rowgroup min/max ordering the sparse-index analog
+        depends on.
+        """
+
+        def _count_files() -> int:
+            root = self.base / table
+            if instrument is not None:
+                root = root / f"instrument={instrument.upper()}"
+            return sum(1 for _ in root.rglob("*.parquet")) if root.exists() else 0
+
+        before = _count_files()
+        if before == 0:
+            return {"files_before": 0, "files_after": 0}
+        df = spark.read.parquet(self.path(table))
+        if instrument is not None:
+            df = df.filter(F.col("instrument") == instrument.upper())
+        # Break lineage from the files being replaced: Spark refuses to
+        # overwrite a path it is reading. localCheckpoint materializes the
+        # pruned partitions once; at cluster scale swap this for a
+        # temp-dir write + atomic rename per partition.
+        df = df.localCheckpoint()
+        (
+            df.repartition("instrument", "year_month")
+            .sortWithinPartitions("timestamp")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", target_rows_per_file)
+            .partitionBy(*PARTITION_COLS)
+            .parquet(self.path(table))
+        )
+        return {"files_before": before, "files_after": _count_files()}

@@ -186,3 +186,64 @@ def test_fresh_store_queries_return_empty(spark, tmp_path):
     assert fresh.get_instruments() == []
     page = fresh.engine.query_ticks_paginated("EURUSD", page_size=10)
     assert len(page.data) == 0 and not page.has_more
+
+
+def test_compact_consolidates_small_files(spark, tmp_path):
+    """Many small appends → compact() rewrites each partition into few
+    sorted files with identical data (M-family maintenance twin of the
+    MergeTree background merge)."""
+    import datetime as dt
+
+    from exness_data_preprocess_spark.schema import TICK_SCHEMA
+    from exness_data_preprocess_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(tmp_path)
+    cat.ensure_schema()
+    base = dt.datetime(2024, 2, 1, 0, 0, 0)
+    for batch in range(6):  # 6 appends → ≥6 files in the partition
+        rows = [
+            ("EURUSD", base + dt.timedelta(minutes=batch * 50 + i), 1.1, 1.1001)
+            for i in range(50)
+        ]
+        cat.write_ticks(
+            spark.createDataFrame(rows, TICK_SCHEMA), "raw_spread_ticks"
+        )
+    before_df = (
+        cat.read(spark, "raw_spread_ticks")
+        .select("instrument", "timestamp", "bid", "ask")
+        .toPandas()
+        .sort_values(["instrument", "timestamp"])
+        .reset_index(drop=True)
+    )
+    stats = cat.compact(spark, "raw_spread_ticks", instrument="EURUSD")
+    assert stats["files_before"] >= 6
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] >= 1
+    after_df = (
+        cat.read(spark, "raw_spread_ticks")
+        .select("instrument", "timestamp", "bid", "ask")
+        .toPandas()
+        .sort_values(["instrument", "timestamp"])
+        .reset_index(drop=True)
+    )
+    assert before_df.equals(after_df)
+
+
+def test_processor_compact_storage_facade(spark, tmp_path):
+    import datetime as dt
+
+    from exness_data_preprocess_spark.processor import SparkDataProcessor
+    from exness_data_preprocess_spark.schema import TICK_SCHEMA
+
+    proc = SparkDataProcessor(spark, tmp_path)
+    base = dt.datetime(2024, 3, 1)
+    for b in range(3):
+        rows = [
+            ("XAUUSD", base + dt.timedelta(minutes=b * 30 + i), 2000.0, 2000.5)
+            for i in range(30)
+        ]
+        proc.insert_ticks(spark.createDataFrame(rows, TICK_SCHEMA), "raw_spread")
+    out = proc.compact_storage(instrument="XAUUSD", table="raw_spread_ticks")
+    st = out["raw_spread_ticks"]
+    assert st["files_after"] < st["files_before"]
+    assert len(proc.query_ticks("XAUUSD")) == 90
