@@ -198,6 +198,59 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# Streaming attribution join — purchase ← preceding clicks (stream-stream)
+# ---------------------------------------------------------------------------
+def q_streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two streams read from the same landing dir (purchases, clicks);
+    the watermarked stream-stream join emits every (purchase, click of the
+    same user within the preceding 6 h) pair — drained availableNow and
+    hash-checked against the batch join."""
+    from exness_data_preprocess_spark.streaming import stream_stream_time_join
+
+    ev = _events_stream(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = stream_stream_time_join(
+        purchases, clicks,
+        left_key="p_user", right_key="c_user",
+        left_ts="p_ts", right_ts="c_ts",
+        lookback_seconds=6 * 3600, watermark="1 hour",
+    )
+    out = run_available_now_to_memory(
+        j, _memname("stream_attrib", sf_dir), "append"
+    )
+    return out.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+    )
+
+
+ORACLE_STREAMING_ATTRIBUTION = """
+SELECT a.event_id AS purchase_id,
+       b.event_id AS click_id,
+       a.user_id,
+       epoch_us(a.ts) AS purchase_ts_us,
+       epoch_us(b.ts) AS click_ts_us
+FROM events a
+JOIN events b
+  ON a.event_type = 'purchase' AND b.event_type = 'click'
+ AND a.user_id = b.user_id
+ AND b.ts BETWEEN a.ts - INTERVAL 6 HOUR AND a.ts
+"""
+
+
+# ---------------------------------------------------------------------------
 # E5: lag/lead window features
 # ---------------------------------------------------------------------------
 def q_lag_lead_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -563,6 +616,12 @@ def build_ext_queries() -> dict:
             q_streaming_dedup,
             ORACLE_STREAMING_DEDUP,
             "Streaming: watermarked dedup collapses duplicate delivery",
+            False,
+        ),
+        "streaming_attribution_join": (
+            q_streaming_attribution_join,
+            ORACLE_STREAMING_ATTRIBUTION,
+            "Streaming: watermarked stream-stream time-range join",
             False,
         ),
         "lag_lead_features": (

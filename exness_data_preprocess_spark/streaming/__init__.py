@@ -2,6 +2,7 @@ from exness_data_preprocess_spark.streaming.ohlc_stream import (
     run_available_now_to_memory,
     stream_dedup_ticks,
     stream_ohlc_1m,
+    stream_stream_time_join,
     tick_file_stream,
     write_stream_ohlc,
 )
@@ -11,6 +12,7 @@ __all__ = [
     "tick_file_stream",
     "stream_dedup_ticks",
     "stream_ohlc_1m",
+    "stream_stream_time_join",
     "run_available_now_to_memory",
     "write_stream_ohlc",
     "stateful_gap_sessions",

@@ -169,3 +169,41 @@ def run_available_now_to_memory(
         if q.isActive:  # pragma: no cover - only on timeout
             q.stop()
     return df.sparkSession.table(query_name)
+
+
+def stream_stream_time_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback_seconds: int,
+    watermark: str,
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each left row matches right
+    rows of equal key inside ``[left_ts − lookback, left_ts]`` — the
+    attribution/enrichment join (purchase ← preceding clicks, trade ←
+    preceding quotes).
+
+    The event-time range condition is what makes this runnable forever:
+    Spark derives state watermarks from it, so each side buffers only
+    ``lookback + watermark delay`` of history per key and evicts older
+    state — state size is bounded by rate × horizon, independent of
+    stream age. ``watermark`` must be ≥ the lateness you accept; a match
+    emits as soon as both rows have arrived.
+
+    Column names must be disjoint across the two sides (rename before
+    calling) — the join keeps all columns of both.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (
+            F.col(right_ts)
+            >= F.col(left_ts) - F.expr(f"INTERVAL {lookback_seconds} SECONDS")
+        )
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+    return lw.join(rw, cond, "inner")

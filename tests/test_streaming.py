@@ -203,3 +203,46 @@ def test_stream_dedup_collapses_redelivery(spark, tmp_path):
 
     assert len(out) == 30
     assert not out.duplicated(["instrument", "timestamp"]).any()
+
+
+def test_stream_stream_time_join_matches_batch(spark, tmp_path):
+    """Stream-stream join with an event-time range: drained result equals
+    the batch join, and only in-window pairs emit."""
+    import datetime as dt
+
+    from exness_data_preprocess_spark.streaming import (
+        run_available_now_to_memory,
+        stream_stream_time_join,
+    )
+
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        # (id, user, ts, kind)
+        (1, 7, base, "click"),
+        (2, 7, base + dt.timedelta(minutes=5), "purchase"),   # joins click 1
+        (3, 7, base + dt.timedelta(minutes=90), "purchase"),  # out of 1h window
+        (4, 8, base + dt.timedelta(minutes=2), "click"),
+        (5, 9, base + dt.timedelta(minutes=3), "purchase"),   # no click for user 9
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, kind string"
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.format("parquet").schema(schema).load(src)
+    purchases = stream.filter("kind = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = stream.filter("kind = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = stream_stream_time_join(
+        purchases, clicks, "p_user", "c_user", "p_ts", "c_ts",
+        lookback_seconds=3600, watermark="10 minutes",
+    )
+    out = run_available_now_to_memory(j, "ss_join_test", "append").toPandas()
+    assert sorted(zip(out["purchase_id"], out["click_id"])) == [(2, 1)]
