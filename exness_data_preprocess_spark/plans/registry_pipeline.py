@@ -404,6 +404,74 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# Data-quality audit + ANALYZE statistics
+# ---------------------------------------------------------------------------
+def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative quality audit over events: every rule is a conditional
+    count inside ONE aggregate over one scan."""
+    from exness_data_preprocess_spark.operators.validate import validate
+
+    ev = _events(spark, sf_dir)
+    return validate(
+        ev,
+        {
+            "null_user_id": F.col("user_id").isNull(),
+            "null_event_type": F.col("event_type").isNull(),
+            "negative_value": F.col("value") < 0,
+            "empty_props": F.length(F.col("props")) == 0,
+        },
+    )
+
+
+ORACLE_VALIDATE = """
+SELECT 'null_user_id' AS rule,
+       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS violations,
+       count(*) AS total_rows FROM events
+UNION ALL
+SELECT 'null_event_type',
+       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT, count(*)
+FROM events
+UNION ALL
+SELECT 'negative_value',
+       sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT, count(*)
+FROM events
+UNION ALL
+SELECT 'empty_props',
+       sum(CASE WHEN len(props) = 0 THEN 1 ELSE 0 END)::BIGINT, count(*)
+FROM events
+"""
+
+
+def q_analyze_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics (int/string columns — cross-engine
+    string rendering is exact for those; the approx-NDV column is
+    engine-specific HLL and is exercised by pytest instead)."""
+    from exness_data_preprocess_spark.operators.validate import analyze_columns
+
+    ev = _events(spark, sf_dir)
+    return analyze_columns(ev, ["event_id", "user_id", "event_type"]).select(
+        "column", "min_value", "max_value", "null_count", "total_rows"
+    )
+
+
+ORACLE_ANALYZE = """
+SELECT 'event_id' AS column, min(event_id)::VARCHAR AS min_value,
+       max(event_id)::VARCHAR AS max_value,
+       sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_count,
+       count(*) AS total_rows
+FROM events
+UNION ALL
+SELECT 'user_id', min(user_id)::VARCHAR, max(user_id)::VARCHAR,
+       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT, count(*)
+FROM events
+UNION ALL
+SELECT 'event_type', min(event_type), max(event_type),
+       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT, count(*)
+FROM events
+"""
+
+
 def build_pipeline_queries() -> dict:
     """name → (spark_fn, oracle_sql, description, bench).
 
@@ -449,5 +517,13 @@ def build_pipeline_queries() -> dict:
         "sequence_packing": (
             q_sequence_packing, ORACLE_PACKING,
             "token-budget sequence packing (pack id + offset per doc)",
+            True),
+        "validate_events": (
+            q_validate_events, ORACLE_VALIDATE,
+            "single-scan declarative data-quality audit",
+            True),
+        "analyze_events": (
+            q_analyze_events, ORACLE_ANALYZE,
+            "ANALYZE-style per-column min/max/null statistics",
             True),
     }

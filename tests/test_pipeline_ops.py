@@ -267,3 +267,52 @@ def test_pack_sequences_layout(spark):
     n2 = n1 + out[2]["n_tokens"]
     assert (out[3]["pack_id"], out[3]["pack_offset"]) == (n2 // 512, n2 % 512)
     assert (out[4]["pack_id"], out[4]["pack_offset"]) == (0, 0)  # own partition
+
+
+# ---------------------------------------------------------------------------
+# validation & statistics
+# ---------------------------------------------------------------------------
+def test_validate_ticks_counts_violations(spark):
+    import datetime as dt
+
+    rows = [
+        ("EURUSD", dt.datetime(2024, 1, 1), 1.1, 1.1001),   # clean
+        ("EURUSD", dt.datetime(2024, 1, 2), -1.0, 1.1),     # nonpositive bid
+        ("EURUSD", dt.datetime(2024, 1, 3), 1.2, 1.1),      # inverted spread
+        ("EURUSD", dt.datetime(2024, 1, 4), 1.0, 1.2),      # >10% spread
+    ]
+    df = spark.createDataFrame(
+        rows, "instrument string, timestamp timestamp, bid double, ask double"
+    )
+    from exness_data_preprocess_spark.operators.validate import validate_ticks
+
+    out = {r["rule"]: r["violations"] for r in validate_ticks(df).collect()}
+    assert out["nonpositive_bid"] == 1
+    assert out["inverted_spread"] == 1
+    # rows 2 and 4: rules are independent — the negative-bid row also
+    # trips the spread ceiling (2.1 > -0.1)
+    assert out["unreasonable_spread"] == 2
+    assert out["null_instrument"] == 0
+
+
+def test_validate_is_single_aggregate_scan(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [("EURUSD", dt.datetime(2024, 1, 1), 1.1, 1.1001)],
+        "instrument string, timestamp timestamp, bid double, ask double",
+    )
+    from exness_data_preprocess_spark.operators.validate import validate_ticks
+
+    plan = validate_ticks(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 4  # partial+final, one aggregate pair
+
+
+def test_analyze_columns_ndv_close_to_exact(spark):
+    df = spark.range(0, 10_000).withColumn("k", (F.col("id") % 137))
+    from exness_data_preprocess_spark.operators.validate import analyze_columns
+
+    out = {r["column"]: r for r in analyze_columns(df, ["k"]).collect()}
+    assert out["k"]["null_count"] == 0
+    assert abs(out["k"]["approx_ndv"] - 137) / 137 < 0.05
+    assert out["k"]["min_value"] == "0" and out["k"]["max_value"] == "136"
