@@ -180,7 +180,12 @@ def _bucketed_fill(
         ],
     )
 
-    joined = in_filled.join(F.broadcast(carry_in), [*by, _BUCKET], "left")
+    # No broadcast hint: carry_in is one row per (key, bucket) — tiny for
+    # the reference's instrument×month domain but unbounded in general
+    # (10M keys × 120 buckets is not a broadcast). AQE broadcasts it at
+    # runtime when it is actually small; otherwise the join co-partitions
+    # on the same (key, bucket) the pass-1 window already shuffled on.
+    joined = in_filled.join(carry_in, [*by, _BUCKET], "left")
     return joined.select(
         *left_cols,
         _SIDE,
