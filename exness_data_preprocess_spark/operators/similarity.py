@@ -387,3 +387,148 @@ def quantize_embeddings(
         ).alias("norm_f32"),
         F.round(err, 6).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — encode + asymmetric-distance top-k
+# ---------------------------------------------------------------------------
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Deterministic stand-in codebooks: the ``k`` lowest-id vectors'
+    subvectors, one codebook per subspace (``[sub][code][dim/m]``).
+
+    The oracle-reproducible analog of trained per-subspace k-means
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI'11); swap in pyspark.ml KMeans per subspace exactly like
+    train_ivf_centroids — the plan shape below does not change.
+    """
+    rows = (
+        corpus.select(id_col, _as_double(vec_col).alias("v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    dim = len(rows[0]["v"])
+    d_sub = dim // m
+    return [
+        [list(r["v"][s * d_sub:(s + 1) * d_sub]) for r in rows]
+        for s in range(m)
+    ]
+
+
+def _codebook_frame(spark, books: list[list[list[float]]]) -> DataFrame:
+    data = [
+        (s, c, books[s][c])
+        for s in range(len(books))
+        for c in range(len(books[s]))
+    ]
+    return spark.createDataFrame(data, "sub int, code int, cvec array<double>")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector as ``m`` codebook indices (nearest centroid per
+    subspace, squared-L2, ties to the lowest code).
+
+    Returns (id, sub, code) — the exploded layout ADC search consumes; a
+    64-dim float32 vector compresses to m=4 bytes of codes. Scale shape:
+    the codebook is a broadcast dim (m·k rows); encoding is one scan of
+    the corpus fanned out ×m, aggregated back by (id, sub) with map-side
+    partial min_by — no shuffle wider than one row per (vector, sub).
+    """
+    m = len(books)
+    d_sub = len(books[0][0])
+    cb = F.broadcast(_codebook_frame(corpus.sparkSession, books))
+    sub = corpus.select(
+        F.col(id_col),
+        _as_double(vec_col).alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+    ).select(
+        id_col,
+        "sub",
+        F.slice("v", F.col("sub") * d_sub + 1, d_sub).alias("sv"),
+    )
+    dist = F.aggregate(
+        F.zip_with("sv", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        sub.join(cb, "sub")
+        .groupBy(id_col, "sub")
+        .agg(F.min_by("code", F.struct(dist.alias("d"), F.col("code"))).alias("code"))
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    topk: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: exact query-to-centroid lookup tables,
+    summed over each corpus vector's codes.
+
+    Determinism: per-subspace partial distances are quantized to
+    DECIMAL(28,12) before the cross-row sum, so the total is exact and
+    independent of aggregation order (float sums would associate
+    differently between engines and break both the value hash and,
+    at ties, the ranking). Scale shape: the LUT is queries × m·k rows —
+    a broadcast dim; the corpus side joins on (sub, code) and shuffles
+    once on the vector id for the sum; top-k is a per-query window over
+    candidate rows.
+    """
+    m = len(books)
+    d_sub = len(books[0][0])
+    enc = pq_encode(corpus, books, vec_col, id_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    cb = F.broadcast(_codebook_frame(queries.sparkSession, books))
+    q_sub = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+    ).select(
+        "query_id",
+        "sub",
+        F.slice("qv", F.col("sub") * d_sub + 1, d_sub).alias("qsv"),
+    )
+    pdist = F.aggregate(
+        F.zip_with("qsv", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = F.broadcast(
+        q_sub.join(cb, "sub").select(
+            "query_id", "sub", "code",
+            pdist.cast("decimal(28,12)").alias("pd"),
+        )
+    )
+    cand = (
+        enc.join(lut, ["sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pd").alias("adc"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("adc").cast("double").alias("adc_dist"), "rank",
+        )
+    )

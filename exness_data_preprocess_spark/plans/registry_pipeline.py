@@ -472,6 +472,89 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization: encode + ADC top-k
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_K, _PQ_DSUB = 4, 16, 16  # 64-dim → 4 subspaces × 16 dims, 16 codes
+
+_PQ_CB_SQL = f"""
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), cb AS (
+  SELECT s.sub, b.rk - 1 AS code,
+         b.v[s.sub * {_PQ_DSUB} + 1 : s.sub * {_PQ_DSUB} + {_PQ_DSUB}] AS cvec
+  FROM (
+    SELECT v, row_number() OVER (ORDER BY vec_id) AS rk
+    FROM e ORDER BY vec_id LIMIT {_PQ_K}
+  ) b, (VALUES (0), (1), (2), (3)) s(sub)
+), enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT e.vec_id, cb.sub, cb.code,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cb.sub
+             ORDER BY list_sum(list_transform(
+               generate_series(1, {_PQ_DSUB}),
+               i -> (e.v[cb.sub * {_PQ_DSUB} + i] - cb.cvec[i])
+                    * (e.v[cb.sub * {_PQ_DSUB} + i] - cb.cvec[i])
+             )), cb.code
+           ) AS rn
+    FROM e CROSS JOIN cb
+  ) WHERE rn = 1
+)"""
+
+
+def _pq_books(spark: SparkSession, sf_dir: str):
+    from exness_data_preprocess_spark.operators.similarity import pq_codebooks
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb, pq_codebooks(emb, m=_PQ_M, k=_PQ_K)
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.similarity import pq_encode
+
+    emb, books = _pq_books(spark, sf_dir)
+    return pq_encode(emb, books)
+
+
+ORACLE_PQ_ENCODE = f"""
+WITH {_PQ_CB_SQL}
+SELECT vec_id, sub, code FROM enc
+"""
+
+
+def q_pq_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.similarity import pq_adc_topk
+
+    emb, books = _pq_books(spark, sf_dir)
+    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 10), books, topk=5)
+
+
+ORACLE_PQ_ADC = f"""
+WITH {_PQ_CB_SQL}, lut AS (
+  SELECT q.vec_id AS query_id, cb.sub, cb.code,
+         CAST(list_sum(list_transform(
+           generate_series(1, {_PQ_DSUB}),
+           i -> (q.v[cb.sub * {_PQ_DSUB} + i] - cb.cvec[i])
+                * (q.v[cb.sub * {_PQ_DSUB} + i] - cb.cvec[i])
+         )) AS DECIMAL(28,12)) AS pd
+  FROM e q CROSS JOIN cb
+  WHERE q.vec_id < 10
+), cand AS (
+  SELECT l.query_id, en.vec_id AS neighbor_id, sum(l.pd) AS adc
+  FROM enc en JOIN lut l ON en.sub = l.sub AND en.code = l.code
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc::DOUBLE AS adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY adc, neighbor_id
+         ) AS rank
+  FROM cand WHERE query_id != neighbor_id
+) WHERE rank <= 5
+"""
+
+
 def build_pipeline_queries() -> dict:
     """name → (spark_fn, oracle_sql, description, bench).
 
@@ -525,5 +608,13 @@ def build_pipeline_queries() -> dict:
         "analyze_events": (
             q_analyze_events, ORACLE_ANALYZE,
             "ANALYZE-style per-column min/max/null statistics",
+            True),
+        "pq_encode": (
+            q_pq_encode, ORACLE_PQ_ENCODE,
+            "product-quantization codes (4x16-dim subspaces, 16 codes)",
+            True),
+        "pq_ann_adc": (
+            q_pq_ann_adc, ORACLE_PQ_ADC,
+            "PQ asymmetric-distance top-k (decimal-exact LUT sums)",
             True),
     }

@@ -311,3 +311,43 @@ def test_salted_join_matches_plain_join(spark):
     salted = {(r["k"], r["lv"], r["rv"])
               for r in salted_join(left, right, "k", n_salts=4).collect()}
     assert salted == plain
+
+
+def test_pq_encode_first_k_vectors_encode_to_self(spark):
+    """The stand-in codebooks ARE the first k vectors' subvectors, so those
+    vectors must encode to their own index with zero distance."""
+    from exness_data_preprocess_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    books = pq_codebooks(emb, m=4, k=16)
+    enc = pq_encode(emb.filter("vec_id < 16"), books)
+    rows = enc.collect()
+    assert len(rows) == 16 * 4
+    assert all(r["code"] == r["vec_id"] for r in rows)
+
+
+def test_pq_adc_ranks_true_neighbor_first_on_separated_data(spark):
+    """Two well-separated clusters: ADC must rank same-cluster vectors
+    above cross-cluster ones."""
+    import numpy as np
+
+    from exness_data_preprocess_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(40):
+        center = 10.0 if i % 2 else -10.0
+        rows.append((i, (center + rng.randn(64) * 0.1).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_codebooks(df, m=4, k=16)
+    out = pq_adc_topk(df, df.filter("vec_id < 2"), books, topk=3).collect()
+    for r in out:
+        assert r["neighbor_id"] % 2 == r["query_id"] % 2, (
+            "cross-cluster vector ranked into top-3"
+        )
