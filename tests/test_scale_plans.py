@@ -233,3 +233,40 @@ def test_quantize_is_single_scan_no_shuffle(spark):
 
     plan = plan_of(QUERIES["embedding_quantize"].spark(spark, SF))
     assert "Exchange" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed identically on the join key must join with NO
+    shuffle on either side — the pre-shuffled-storage contract."""
+    import uuid
+
+    from exness_data_preprocess_spark.sources.bucketed import (
+        read_table,
+        write_bucketed,
+    )
+
+    a = spark.range(0, 5000).withColumn("v", F.col("id") * 2)
+    b = spark.range(0, 5000).withColumn("w", F.col("id") % 97)
+    ta, tb = f"bkt_a_{uuid.uuid4().hex[:8]}", f"bkt_b_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # disable auto-broadcast so the co-location property is what's tested
+    # (tiny test tables would otherwise broadcast and mask it)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(a, ta, ["id"], num_buckets=8, sort_cols=["id"])
+        write_bucketed(b, tb, ["id"], num_buckets=8, sort_cols=["id"])
+        j = read_table(spark, ta).join(read_table(spark, tb), "id")
+        plan = plan_of(j)
+        assert not re.search(r"\(\d+\) Exchange", plan), "bucketed join shuffles"
+        assert "Bucketed: true" in plan
+        assert j.count() == 5000
+        # sanity: same join on plain parquet DOES shuffle
+        pa, pb = str(tmp_path / "pa"), str(tmp_path / "pb")
+        a.write.parquet(pa)
+        b.write.parquet(pb)
+        plain = spark.read.parquet(pa).join(spark.read.parquet(pb), "id")
+        assert re.search(r"\(\d+\) Exchange", plan_of(plain))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
