@@ -555,6 +555,44 @@ SELECT query_id, neighbor_id, adc::DOUBLE AS adc_dist, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Semi-structured extraction: JSON props → typed columns → rollup
+# ---------------------------------------------------------------------------
+def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON ``props`` column with a typed ``from_json`` schema
+    (JVM-side Jackson parse under codegen — the Spark way to lift
+    semi-structured payloads into columns; no regex, no Python), then a
+    standard rollup. At 100 TB the parse is scan-fused; only the
+    (event_type)-keyed aggregate shuffles."""
+    ev = _events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_k_gt_50"),
+        )
+    )
+
+
+ORACLE_JSON_EXTRACT = """
+WITH p AS (
+  SELECT event_type, json_extract_string(props, '$.k')::INT AS k FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       sum(k)::BIGINT AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       sum(CASE WHEN k > 50 THEN 1 ELSE 0 END)::BIGINT AS n_k_gt_50
+FROM p GROUP BY 1
+"""
+
+
 def build_pipeline_queries() -> dict:
     """name → (spark_fn, oracle_sql, description, bench).
 
@@ -616,5 +654,9 @@ def build_pipeline_queries() -> dict:
         "pq_ann_adc": (
             q_pq_ann_adc, ORACLE_PQ_ADC,
             "PQ asymmetric-distance top-k (decimal-exact LUT sums)",
+            True),
+        "json_extract_stats": (
+            q_json_extract_stats, ORACLE_JSON_EXTRACT,
+            "typed from_json extraction + keyed rollup",
             True),
     }

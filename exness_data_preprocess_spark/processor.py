@@ -107,6 +107,29 @@ class SparkDataProcessor:
     def get_instruments(self) -> list[str]:
         return self.engine.get_instruments()
 
+    def validate_data(self, instrument: str | None = None) -> dict:
+        """Run the declarative tick-quality audit over both variants:
+        {table: {rule: violations}} plus per-table row totals. One
+        aggregate scan per table (see operators/validate.py)."""
+        from exness_data_preprocess_spark.operators.validate import validate_ticks
+
+        out: dict = {}
+        for variant in ("raw_spread", "standard"):
+            table = f"{variant}_ticks"
+            if not self.catalog.exists(table):
+                continue
+            df = self.engine.ticks_df(variant)
+            if instrument:
+                df = df.filter(
+                    F.col("instrument") == self._default_pair(instrument)
+                )
+            rows = validate_ticks(df).collect()
+            out[table] = {
+                "total_rows": rows[0]["total_rows"] if rows else 0,
+                "violations": {r["rule"]: r["violations"] for r in rows},
+            }
+        return out
+
     def compact_storage(
         self, instrument: str | None = None, table: str | None = None
     ) -> dict[str, dict[str, int]]:

@@ -247,3 +247,22 @@ def test_processor_compact_storage_facade(spark, tmp_path):
     st = out["raw_spread_ticks"]
     assert st["files_after"] < st["files_before"]
     assert len(proc.query_ticks("XAUUSD")) == 90
+
+
+def test_processor_validate_data(spark, tmp_path):
+    import datetime as dt
+
+    from exness_data_preprocess_spark.processor import SparkDataProcessor
+    from exness_data_preprocess_spark.schema import TICK_SCHEMA
+
+    proc = SparkDataProcessor(spark, tmp_path)
+    rows = [
+        ("EURUSD", dt.datetime(2024, 1, 1, 0, 0, 0), 1.1, 1.1001),
+        ("EURUSD", dt.datetime(2024, 1, 1, 0, 0, 1), 1.2, 1.1),  # inverted
+    ]
+    proc.insert_ticks(spark.createDataFrame(rows, TICK_SCHEMA), "raw_spread")
+    report = proc.validate_data("EURUSD")
+    tbl = report["raw_spread_ticks"]
+    assert tbl["total_rows"] == 2
+    assert tbl["violations"]["inverted_spread"] == 1
+    assert tbl["violations"]["null_instrument"] == 0
