@@ -369,3 +369,27 @@ class BatchIterator:
 
     def __iter__(self) -> Iterator[pd.DataFrame]:
         return self.batches
+
+
+# ---------------------------------------------------------------------------
+# Domain helper functions (reference models.py:509-560)
+# ---------------------------------------------------------------------------
+def supported_pairs() -> tuple[str, ...]:
+    """All supported currency pairs (reference models.py:509-525)."""
+    from typing import get_args
+
+    return get_args(PairType)
+
+
+def supported_timeframes() -> tuple[str, ...]:
+    """All supported OHLC timeframes (reference models.py:527-543)."""
+    from typing import get_args
+
+    return get_args(TimeframeType)
+
+
+def supported_variants() -> tuple[str, ...]:
+    """All supported data variants (reference models.py:545-560)."""
+    from typing import get_args
+
+    return get_args(VariantType)

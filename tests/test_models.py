@@ -215,3 +215,33 @@ class TestTableComments:
         assert s["timestamp"].metadata["comment"].startswith("event time")
         # type/nullability untouched
         assert s["timestamp"].dataType == TICK_SCHEMA["timestamp"].dataType
+
+
+class TestPackageSurface:
+    """The package root must expose the reference's one-for-one import
+    surface (reference __init__.py:96-125)."""
+
+    def test_top_level_exports(self):
+        import exness_data_preprocess_spark as pkg
+
+        for name in (
+            "SparkDataProcessor", "SparkQueryEngine", "ParquetCatalog",
+            "UpdateResult", "CoverageInfo", "CursorResult", "DryRunResult",
+            "PairType", "TimeframeType", "VariantType",
+            "supported_pairs", "supported_timeframes", "supported_variants",
+            "load_config", "get_spark",
+        ):
+            assert hasattr(pkg, name), name
+
+    def test_supported_domains(self):
+        from exness_data_preprocess_spark import (
+            supported_pairs,
+            supported_timeframes,
+            supported_variants,
+        )
+
+        assert "EURUSD" in supported_pairs()
+        assert set(supported_timeframes()) == {
+            "1m", "5m", "15m", "30m", "1h", "4h", "1d"
+        }
+        assert supported_variants() == ("raw_spread", "standard")
