@@ -4,11 +4,11 @@ Two maintenance passes every production lake runs:
 
 - ``validate_ticks`` — the ingest contract as a *report*: one row per
   rule with its violation count over the scanned range.  The reference
-  enforces the same invariants imperatively while normalizing CSVs
-  (src/exness_data_preprocess/data_processor.py's cleaning steps); at
-  100 TB you also want the declarative audit you can run over data at
-  rest.  One aggregate pass — every rule is a conditional count in a
-  single scan, no per-rule jobs.
+  enforces its schema imperatively at insert time (column normalization
+  and variant checks, clickhouse_manager.py:271-330; typed CSV parse,
+  tick_loader.py:37-67); at 100 TB you also want the declarative audit
+  you can run over data at rest.  One aggregate pass — every rule is a
+  conditional count in a single scan, no per-rule jobs.
 
 - ``analyze_columns`` — per-column min/max/null-count/approx-NDV, the
   optimizer-statistics pass (Spark's ``ANALYZE TABLE`` computes the same
