@@ -556,6 +556,41 @@ SELECT query_id, neighbor_id, adc::DOUBLE AS adc_dist, rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# ROLLUP reporting: per-(lang, source) + per-lang subtotals + grand total
+# ---------------------------------------------------------------------------
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets aggregation via ``DataFrame.rollup`` — subtotals and
+    the grand total in one pass (Catalyst expands to a single Expand +
+    aggregate; one shuffle for all three grouping levels, not three
+    jobs). NULL group keys are rendered as sentinels so the differential
+    can hash them (Spark and SQL agree on ROLLUP null semantics)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+    )
+    return r.select(
+        F.coalesce("lang", F.lit("<all>")).alias("lang"),
+        F.coalesce("source", F.lit("<all>")).alias("source"),
+        "n_docs",
+        "total_chars",
+    )
+
+
+ORACLE_CORPUS_ROLLUP = """
+SELECT coalesce(lang, '<all>') AS lang,
+       coalesce(source, '<all>') AS source,
+       count(*) AS n_docs,
+       sum(len(text))::BIGINT AS total_chars
+FROM documents
+GROUP BY ROLLUP (lang, source)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Semi-structured extraction: JSON props → typed columns → rollup
 # ---------------------------------------------------------------------------
 def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -658,5 +693,9 @@ def build_pipeline_queries() -> dict:
         "json_extract_stats": (
             q_json_extract_stats, ORACLE_JSON_EXTRACT,
             "typed from_json extraction + keyed rollup",
+            True),
+        "corpus_rollup": (
+            q_corpus_rollup, ORACLE_CORPUS_ROLLUP,
+            "ROLLUP grouping sets: subtotals + grand total in one pass",
             True),
     }
