@@ -251,6 +251,47 @@ JOIN events b
 
 
 # ---------------------------------------------------------------------------
+# Streaming running-stats anomaly flags (stateful op #2 — numeric state)
+# ---------------------------------------------------------------------------
+def q_streaming_running_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running-mean deviation flags via applyInPandasWithState;
+    the state is exact scaled-int accumulators, so the availableNow drain
+    hash-matches the expanding-window batch twin bit-for-bit."""
+    from exness_data_preprocess_spark.streaming.anomaly import (
+        stateful_running_anomaly,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    out = stateful_running_anomaly(ev, key_col="user_id", threshold=250.0)
+    return run_available_now_to_memory(
+        out, _memname("stream_anomaly", sf_dir), "append"
+    )
+
+
+ORACLE_STREAMING_ANOMALY = """
+WITH v AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value, 6) * 1000000 AS BIGINT) AS v6
+  FROM events
+), w AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, v6,
+         count(*) OVER wnd AS n_prev,
+         coalesce(sum(v6) OVER wnd, 0)::BIGINT AS sum6_prev
+  FROM v
+  WINDOW wnd AS (
+    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT event_id, user_id, ts_us, v6, n_prev, sum6_prev,
+       CASE WHEN n_prev > 0
+             AND abs(v6 * n_prev - sum6_prev) > 250000000 * n_prev
+            THEN 1 ELSE 0 END AS anomaly
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
 # E5: lag/lead window features
 # ---------------------------------------------------------------------------
 def q_lag_lead_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,6 +663,12 @@ def build_ext_queries() -> dict:
             q_streaming_attribution_join,
             ORACLE_STREAMING_ATTRIBUTION,
             "Streaming: watermarked stream-stream time-range join",
+            False,
+        ),
+        "streaming_running_anomaly": (
+            q_streaming_running_anomaly,
+            ORACLE_STREAMING_ANOMALY,
+            "Streaming: stateful running-mean anomaly flags (int state)",
             False,
         ),
         "lag_lead_features": (

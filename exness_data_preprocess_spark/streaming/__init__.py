@@ -6,6 +6,7 @@ from exness_data_preprocess_spark.streaming.ohlc_stream import (
     tick_file_stream,
     write_stream_ohlc,
 )
+from exness_data_preprocess_spark.streaming.anomaly import stateful_running_anomaly
 from exness_data_preprocess_spark.streaming.stateful import stateful_gap_sessions
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "run_available_now_to_memory",
     "write_stream_ohlc",
     "stateful_gap_sessions",
+    "stateful_running_anomaly",
 ]

@@ -246,3 +246,44 @@ def test_stream_stream_time_join_matches_batch(spark, tmp_path):
     )
     out = run_available_now_to_memory(j, "ss_join_test", "append").toPandas()
     assert sorted(zip(out["purchase_id"], out["click_id"])) == [(2, 1)]
+
+
+def test_running_anomaly_state_carries_across_batches(spark, tmp_path):
+    """Two files → (typically) two micro-batches: the second batch's
+    n_prev/sum6_prev must continue from the first batch's state, and the
+    deviation flag must fire on the planted outlier."""
+    import datetime as dt
+
+    from exness_data_preprocess_spark.streaming import run_available_now_to_memory
+    from exness_data_preprocess_spark.streaming.anomaly import (
+        stateful_running_anomaly,
+    )
+
+    base = dt.datetime(2024, 7, 1, 9, 0, 0)
+    src = str(tmp_path / "src")
+    rows1 = [(i, 1, base + dt.timedelta(seconds=i), 10.0) for i in range(5)]
+    rows2 = [
+        (5, 1, base + dt.timedelta(seconds=5), 10.0),
+        (6, 1, base + dt.timedelta(seconds=6), 900.0),  # outlier
+    ]
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    # one file per append so maxFilesPerTrigger=1 replays them in order
+    spark.createDataFrame(rows1, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows2, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.format("parquet").schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", "1").load(src)
+    out = run_available_now_to_memory(
+        stateful_running_anomaly(stream, threshold=250.0),
+        "anomaly_test_sink",
+        "append",
+    ).toPandas().sort_values("event_id")
+
+    assert list(out["n_prev"]) == list(range(7))
+    assert out[out["event_id"] == 6]["anomaly"].iloc[0] == 1
+    assert out[out["event_id"] != 6]["anomaly"].sum() == 0
