@@ -53,6 +53,8 @@ def main() -> None:
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 4)
     wall = round(time.time() - t_all, 4)
+    ordered = sorted(timings.values())
+    median = round(ordered[len(ordered) // 2], 4) if ordered else 0.0
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -62,6 +64,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # the query set grows round-over-round; totals aren't
+                # comparable across rounds, medians and counts are
+                "n_queries": len(timings),
+                "median_query_sec": median,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
                 "wall_including_warmup": wall,
             }
