@@ -418,6 +418,36 @@ def decontaminate(
     )
 
 
+def quality_percentile_filter(
+    df: DataFrame,
+    score_col: str,
+    keep_fraction: float = 0.6,
+    part_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``keep_fraction`` of rows per stratum by score — the
+    percentile-threshold curation step ("keep the best 60% per language"),
+    which adapts to each stratum's score distribution instead of a global
+    absolute cutoff.
+
+    ``percent_rank`` over a (stratum)-keyed window: one shuffle on the
+    stratum key, sort within partitions; ties broken by id so membership
+    is deterministic. At extreme per-stratum cardinality, swap the exact
+    window for an approxQuantile threshold + scan-level filter (two
+    passes, no sort) — same contract, documented trade.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(part_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__pr", F.percent_rank().over(w))
+        .filter(F.col("__pr") <= keep_fraction)
+        .drop("__pr")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str = "text",

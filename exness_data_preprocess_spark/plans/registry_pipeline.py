@@ -556,6 +556,45 @@ SELECT query_id, neighbor_id, adc::DOUBLE AS adc_dist, rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# Percentile-threshold quality curation (top-N% per language)
+# ---------------------------------------------------------------------------
+def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the top 60% of docs per language by distinct-token count —
+    percent_rank over a keyed window (adapts to each language's
+    distribution; ties broken by doc_id)."""
+    from exness_data_preprocess_spark.operators.textstats import (
+        quality_percentile_filter,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))).alias(
+            "score"
+        ),
+    )
+    return quality_percentile_filter(scored, "score", keep_fraction=0.6)
+
+
+ORACLE_QUALITY_PCT = """
+WITH s AS (
+  SELECT doc_id, lang,
+         len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')))
+           AS score
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, score,
+         percent_rank() OVER (
+           PARTITION BY lang ORDER BY score DESC, doc_id ASC
+         ) AS pr
+  FROM s
+)
+SELECT doc_id, lang, score FROM r WHERE pr <= 0.6
+"""
+
+
+# ---------------------------------------------------------------------------
 # ROLLUP reporting: per-(lang, source) + per-lang subtotals + grand total
 # ---------------------------------------------------------------------------
 def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,5 +736,9 @@ def build_pipeline_queries() -> dict:
         "corpus_rollup": (
             q_corpus_rollup, ORACLE_CORPUS_ROLLUP,
             "ROLLUP grouping sets: subtotals + grand total in one pass",
+            True),
+        "quality_percentile_filter": (
+            q_quality_percentile_filter, ORACLE_QUALITY_PCT,
+            "top-60%-per-language percentile curation filter",
             True),
     }

@@ -316,3 +316,18 @@ def test_analyze_columns_ndv_close_to_exact(spark):
     assert out["k"]["null_count"] == 0
     assert abs(out["k"]["approx_ndv"] - 137) / 137 < 0.05
     assert out["k"]["min_value"] == "0" and out["k"]["max_value"] == "136"
+
+
+def test_quality_percentile_filter_keeps_top_fraction_per_stratum(spark):
+    from exness_data_preprocess_spark.operators.textstats import (
+        quality_percentile_filter,
+    )
+
+    rows = [(i, "en" if i < 100 else "de", float(i)) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    kept = quality_percentile_filter(df, "score", keep_fraction=0.5).collect()
+    en = sorted(r["doc_id"] for r in kept if r["lang"] == "en")
+    de = sorted(r["doc_id"] for r in kept if r["lang"] == "de")
+    # percent_rank = (rank-1)/(n-1) ≤ 0.5 keeps floor(0.5·(n-1))+1 rows
+    assert len(en) == 50 and min(en) == 50   # top half of 0..99 by score
+    assert len(de) == 25 and min(de) == 125  # top 25 of 100..149
