@@ -48,7 +48,8 @@ def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex features). A real corpus is thousands of files and parallelizes
     at the scan; this repartition reproduces that shape locally for ~2 MB
     of shuffle — strictly plumbing, not operator semantics."""
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(32)
+    width = spark.sparkContext.defaultParallelism
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(width)
 
 
 # ---------------------------------------------------------------------------
