@@ -250,6 +250,124 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Dedup an incoming batch against an already-ingested corpus — the
+    production shape of dedup at 100 TB: the corpus is NOT re-self-joined
+    per ingest; only new×corpus candidates are generated.
+
+    Two stages sharing the LSH machinery of :func:`minhash_lsh_pairs`:
+
+    1. exact — content digest of each new doc looked up against the
+       corpus digests (hash join on a uniform 32-hex key);
+    2. near — banded minhash signatures of BOTH sides joined on
+       (band_idx, band_key), *cross-side only*, then exact-Jaccard
+       verified at ``jaccard_threshold``.
+
+    Returns one row per new doc: (doc_id, exact_dup, near_dup,
+    best_match_id, keep). At steady state the corpus signatures/digests
+    are precomputed artifacts (write once at ingest); here they derive
+    from ``corpus_df`` so the operator is self-contained.
+    """
+    rows_per_band = num_perm // bands
+
+    def digest(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out),
+            F.md5(F.trim(F.col(text_col))).alias("k"),
+        )
+
+    corp_min = (
+        digest(corpus_df, "cid").groupBy("k").agg(F.min("cid").alias("exact_id"))
+    )
+    exact = (
+        digest(new_df, "new_id").join(corp_min, "k", "left")
+        .select("new_id", "exact_id")
+    )
+
+    # same band construction as minhash_lsh_pairs (kept expression-identical
+    # so signatures/buckets agree with the self-join operator + its oracle)
+    def banded_of(df: DataFrame) -> DataFrame:
+        comps = minhash_components(df, text_col, id_col, num_perm, shingle_n)
+        return comps.select(
+            "id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"m{i}").cast("string")
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ],
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band_idx", "band_key"),
+        )
+
+    cand = (
+        banded_of(new_df)
+        .withColumnRenamed("id", "new_id")
+        .join(
+            banded_of(corpus_df).withColumnRenamed("id", "cid"),
+            ["band_idx", "band_key"],
+        )
+        .select("new_id", "cid")
+        .dropDuplicates(["new_id", "cid"])
+    )
+    t = float(jaccard_threshold)
+    sh_new = new_df.select(
+        F.col(id_col).alias("new_id"),
+        shingles_col(F.col(text_col), shingle_n).alias("sh_n"),
+    )
+    sh_corp = corpus_df.select(
+        F.col(id_col).alias("cid"),
+        shingles_col(F.col(text_col), shingle_n).alias("sh_c"),
+    )
+    verified = (
+        cand.join(sh_new, "new_id")
+        .join(sh_corp, "cid")
+        .withColumn("inter", F.size(F.array_intersect("sh_n", "sh_c")))
+        .withColumn(
+            "jac",
+            F.col("inter")
+            / (F.size("sh_n") + F.size("sh_c") - F.col("inter")),
+        )
+        .filter(F.round("jac", 6) >= t)
+    )
+    near = verified.groupBy("new_id").agg(F.min("cid").alias("near_id"))
+
+    return (
+        new_df.select(F.col(id_col).alias("new_id"))
+        .join(exact, "new_id", "left")
+        .join(near, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.col("exact_id").isNotNull().cast("int").alias("exact_dup"),
+            F.col("near_id").isNotNull().cast("int").alias("near_dup"),
+            F.least("exact_id", "near_id").alias("best_match_id"),
+            (F.col("exact_id").isNull() & F.col("near_id").isNull())
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 def simhash_fingerprints(

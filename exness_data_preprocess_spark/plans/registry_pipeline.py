@@ -556,6 +556,83 @@ SELECT query_id, neighbor_id, adc::DOUBLE AS adc_dist, rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus (production ingest shape)
+# ---------------------------------------------------------------------------
+_INC_SPLIT = 250  # docs below → "existing corpus", rest → incoming batch
+_INC_PERM, _INC_BANDS, _INC_ROWS, _INC_T = 16, 4, 4, 0.8
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.dedup import incremental_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < _INC_SPLIT)
+    new = docs.filter(F.col("doc_id") >= _INC_SPLIT)
+    return incremental_dedup(
+        new, corpus,
+        num_perm=_INC_PERM, bands=_INC_BANDS,
+        jaccard_threshold=_INC_T,
+    )
+
+
+def _incremental_oracle() -> str:
+    from exness_data_preprocess_spark.functions.hashing import (
+        MERSENNE_P,
+        minhash_coeffs,
+    )
+
+    h32 = "(('0x' || substr(md5(s), 1, 8))::BIGINT)"
+    perms = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE_P}))"
+        for a, b in minhash_coeffs(_INC_PERM)
+    )
+    bands_vals = ", ".join(f"({b})" for b in range(_INC_BANDS))
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS sh FROM documents
+), hashed AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {h32}) AS hs FROM d
+), sigs AS (
+  SELECT doc_id, [{perms}] AS sig FROM hashed
+), banded AS (
+  SELECT doc_id, b.band_idx,
+         array_to_string(
+           sig[b.band_idx * {_INC_ROWS} + 1 : b.band_idx * {_INC_ROWS} + {_INC_ROWS}],
+           ',') AS band_key
+  FROM sigs CROSS JOIN (VALUES {bands_vals}) AS b(band_idx)
+), cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS cid
+  FROM banded n JOIN banded c USING (band_idx, band_key)
+  WHERE n.doc_id >= {_INC_SPLIT} AND c.doc_id < {_INC_SPLIT}
+), ver AS (
+  SELECT new_id, min(cid) AS near_id
+  FROM cand
+  JOIN d dn ON dn.doc_id = cand.new_id
+  JOIN d dc ON dc.doc_id = cand.cid
+  WHERE round(len(list_intersect(dn.sh, dc.sh))::DOUBLE
+              / (len(dn.sh) + len(dc.sh) - len(list_intersect(dn.sh, dc.sh))),
+              6) >= {_INC_T}
+  GROUP BY 1
+), ex AS (
+  SELECT n.doc_id AS new_id, min(c.doc_id) AS exact_id
+  FROM documents n JOIN documents c
+    ON md5(trim(n.text)) = md5(trim(c.text))
+   AND n.doc_id >= {_INC_SPLIT} AND c.doc_id < {_INC_SPLIT}
+  GROUP BY 1
+)
+SELECT n.doc_id,
+       (ex.exact_id IS NOT NULL)::INT AS exact_dup,
+       (ver.near_id IS NOT NULL)::INT AS near_dup,
+       least(ex.exact_id, ver.near_id) AS best_match_id,
+       (ex.exact_id IS NULL AND ver.near_id IS NULL)::INT AS keep
+FROM documents n
+LEFT JOIN ex ON ex.new_id = n.doc_id
+LEFT JOIN ver ON ver.new_id = n.doc_id
+WHERE n.doc_id >= {_INC_SPLIT}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Percentile-threshold quality curation (top-N% per language)
 # ---------------------------------------------------------------------------
 def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -740,5 +817,9 @@ def build_pipeline_queries() -> dict:
         "quality_percentile_filter": (
             q_quality_percentile_filter, ORACLE_QUALITY_PCT,
             "top-60%-per-language percentile curation filter",
+            True),
+        "incremental_dedup": (
+            q_incremental_dedup, _incremental_oracle(),
+            "new-batch-vs-corpus dedup (exact digest + cross-side LSH)",
             True),
     }

@@ -351,3 +351,33 @@ def test_pq_adc_ranks_true_neighbor_first_on_separated_data(spark):
         assert r["neighbor_id"] % 2 == r["query_id"] % 2, (
             "cross-cluster vector ranked into top-3"
         )
+
+
+def test_incremental_dedup_flags(spark):
+    """Exact dup, near dup, and fresh docs each classify correctly against
+    the corpus side."""
+    from exness_data_preprocess_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),          # exact dup of 1
+            (11, "one two three four five six seven"),       # near dup of 2
+            (12, "completely different content here now"),   # fresh
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_dedup(new, corpus, jaccard_threshold=0.8).collect()
+    }
+    assert (out[10]["exact_dup"], out[10]["best_match_id"], out[10]["keep"]) == (1, 1, 0)
+    assert (out[11]["exact_dup"], out[11]["near_dup"]) == (0, 1)
+    assert out[11]["best_match_id"] == 2 and out[11]["keep"] == 0
+    assert (out[12]["exact_dup"], out[12]["near_dup"], out[12]["keep"]) == (0, 0, 1)
