@@ -368,6 +368,63 @@ def incremental_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Edit-distance (Levenshtein) near-dup pairs
+# ---------------------------------------------------------------------------
+def levenshtein_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    length_bucket: int = 20,
+    max_distance: int = 10,
+) -> DataFrame:
+    """Near-dup pairs by character edit distance ≤ ``max_distance`` —
+    the character-level complement of the token-set families (catches
+    small in-word edits n-gram Jaccard dilutes).
+
+    Blocking: (block_cols, ⌊len/length_bucket⌋), plus the adjacent
+    bucket, so any pair within ``max_distance ≤ length_bucket`` edits is
+    guaranteed to share a block (|len(a) − len(b)| ≤ distance).  The
+    O(n·m) Levenshtein DP runs JVM-side (builtin expression) on block
+    candidates only, and a cheap |len diff| prune runs before it.
+    """
+    if max_distance > length_bucket:
+        raise ValueError("max_distance must be ≤ length_bucket for blocking")
+    blocks = [F.col(c) for c in block_cols]
+    base = df.select(
+        *blocks,
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        F.length(text_col).alias("ln"),
+        F.floor(F.length(text_col) / length_bucket).alias("bkt"),
+    )
+    # both sides land in their own bucket AND the next one: any pair with
+    # |len(a) − len(b)| ≤ length_bucket (⊇ ≤ max_distance) shares ≥1
+    # block; the trailing dropDuplicates collapses multi-block collisions
+    probe = base.select(
+        *blocks, "id", "t", "ln",
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("bkt"),
+    )
+    a = probe.select(
+        *blocks, "bkt",
+        F.col("id").alias("id_a"), F.col("t").alias("t_a"), F.col("ln").alias("ln_a"),
+    )
+    b = probe.select(
+        *[F.col(c) for c in block_cols], "bkt",
+        F.col("id").alias("id_b"), F.col("t").alias("t_b"), F.col("ln").alias("ln_b"),
+    )
+    return (
+        a.join(b, [*block_cols, "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.abs(F.col("ln_a") - F.col("ln_b")) <= max_distance)
+        .withColumn("edit_distance", F.levenshtein("t_a", "t_b"))
+        .filter(F.col("edit_distance") <= max_distance)
+        .select(*block_cols, "id_a", "id_b", "edit_distance")
+        .dropDuplicates([*block_cols, "id_a", "id_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 def simhash_fingerprints(

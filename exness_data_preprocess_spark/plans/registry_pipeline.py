@@ -633,6 +633,32 @@ WHERE n.doc_id >= {_INC_SPLIT}
 
 
 # ---------------------------------------------------------------------------
+# Edit-distance near-dup pairs (character-level complement of Jaccard)
+# ---------------------------------------------------------------------------
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.dedup import levenshtein_pairs
+    from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
+
+    docs = _docs_spread(spark, sf_dir)
+    return levenshtein_pairs(docs, length_bucket=20, max_distance=10)
+
+
+ORACLE_LEVENSHTEIN = """
+WITH d AS (
+  SELECT doc_id, lang, text, len(text) AS ln, (len(text) // 20) AS bkt
+  FROM documents
+), p AS (
+  SELECT doc_id, lang, text, ln, u.b AS bkt
+  FROM d, unnest([bkt, bkt + 1]) AS u(b)
+)
+SELECT DISTINCT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.text, b.text) AS edit_distance
+FROM p a JOIN p b ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+WHERE abs(a.ln - b.ln) <= 10 AND levenshtein(a.text, b.text) <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Percentile-threshold quality curation (top-N% per language)
 # ---------------------------------------------------------------------------
 def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,5 +847,9 @@ def build_pipeline_queries() -> dict:
         "incremental_dedup": (
             q_incremental_dedup, _incremental_oracle(),
             "new-batch-vs-corpus dedup (exact digest + cross-side LSH)",
+            True),
+        "dedup_levenshtein": (
+            q_dedup_levenshtein, ORACLE_LEVENSHTEIN,
+            "length-blocked edit-distance near-dup pairs",
             True),
     }

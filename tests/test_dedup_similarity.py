@@ -381,3 +381,22 @@ def test_incremental_dedup_flags(spark):
     assert (out[11]["exact_dup"], out[11]["near_dup"]) == (0, 1)
     assert out[11]["best_match_id"] == 2 and out[11]["keep"] == 0
     assert (out[12]["exact_dup"], out[12]["near_dup"], out[12]["keep"]) == (0, 0, 1)
+
+
+def test_levenshtein_pairs_cross_bucket_blocking(spark):
+    """A pair straddling a length-bucket boundary must still be found
+    (the adjacent-bucket probe), and pairs beyond max_distance must not."""
+    from exness_data_preprocess_spark.operators.dedup import levenshtein_pairs
+
+    t19 = "x" * 19          # bucket 0
+    t21 = "x" * 21          # bucket 1, distance 2 from t19
+    far = "y" * 21          # bucket 1, distance 21 from t19
+    df = spark.createDataFrame(
+        [(1, "en", t19), (2, "en", t21), (3, "en", far)],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in levenshtein_pairs(df, length_bucket=20, max_distance=10).collect()
+    }
+    assert out == {(1, 2): 2}  # cross-bucket pair found; far pair filtered
