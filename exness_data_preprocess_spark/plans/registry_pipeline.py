@@ -633,6 +633,155 @@ WHERE n.doc_id >= {_INC_SPLIT}
 
 
 # ---------------------------------------------------------------------------
+# Batch windowed event dedup (batch twin of streaming_dedup)
+# ---------------------------------------------------------------------------
+def q_events_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse repeats: keep an event only if the same (user, type) did
+    not fire within the preceding 5 minutes — the batch rendering of the
+    watermarked streaming dedup (keyed lag window, no global state)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id", "event_type").orderBy(us, "event_id")
+    prev = F.lag(us).over(w)
+    return (
+        ev.withColumn("__keep", prev.isNull() | (us - prev > 300 * 1_000_000))
+        .filter("__keep")
+        .select("event_id", "user_id", "event_type", us.alias("ts_us"))
+    )
+
+
+ORACLE_EVENTS_WINDOW_DEDUP = """
+WITH x AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id
+         ) AS prev_us
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts_us
+FROM x WHERE prev_us IS NULL OR ts_us - prev_us > 300000000
+"""
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel: quality → repetition → dedup → split, per language
+# ---------------------------------------------------------------------------
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel composing four operators, reported as
+    per-language survivor counts at each stage:
+
+      n_docs → n_quality (quality gate) → n_clean (+ repetition gate)
+      → n_unique (exact dedup within clean) → n_train (deterministic split)
+
+    The counts are exact ints, so the whole composition is
+    value-hash-checkable; each stage is the actual operator, not a
+    re-implementation."""
+    from exness_data_preprocess_spark.operators.dedup import exact_dedup
+    from exness_data_preprocess_spark.operators.textstats import (
+        deterministic_split,
+        quality_features,
+        repetition_features,
+    )
+    from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
+
+    docs = _docs_spread(spark, sf_dir)
+    scored = repetition_features(quality_features(docs))
+    clean = scored.filter(
+        (F.col("quality_flag") == 1) & (F.col("repetition_flag") == 1)
+    )
+    uniq = exact_dedup(clean)
+    train = deterministic_split(uniq).filter(F.col("split") == "train")
+
+    def per_lang(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("lang").agg(F.count("*").alias(name))
+
+    out = (
+        per_lang(docs, "n_docs")
+        .join(per_lang(scored.filter("quality_flag = 1"), "n_quality"), "lang", "left")
+        .join(per_lang(clean, "n_clean"), "lang", "left")
+        .join(per_lang(uniq, "n_unique"), "lang", "left")
+        .join(per_lang(train, "n_train"), "lang", "left")
+    )
+    return out.select(
+        "lang",
+        "n_docs",
+        *[F.coalesce(c, F.lit(0)).alias(c) for c in
+          ("n_quality", "n_clean", "n_unique", "n_train")],
+    )
+
+
+def _curation_oracle() -> str:
+    from exness_data_preprocess_spark.operators.textstats import STOPWORDS
+
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, text, {_TOKS} AS toks, length(text) AS n_chars
+  FROM documents
+), f AS (
+  SELECT doc_id, lang, text, toks,
+         len(toks) AS n,
+         round(CASE WHEN len(toks) > 0
+               THEN n_chars::DOUBLE / len(toks) END, 6) AS avg_len,
+         round(CASE WHEN n_chars > 0
+               THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE
+                    / n_chars END, 6) AS punct_ratio,
+         round(CASE WHEN len(toks) > 0
+               THEN len(list_distinct(toks))::DOUBLE / len(toks) END, 6)
+           AS distinct_ratio,
+         CASE WHEN len(toks) > 0 THEN round(
+           1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 6) END
+           AS dup_tok,
+         CASE WHEN len(toks) > 0 THEN round(
+           list_max(list_transform(list_distinct(toks),
+             t -> len(list_filter(toks, x -> x = t))))::DOUBLE / len(toks), 6) END
+           AS top_tok,
+         CASE WHEN len(toks) - 1 > 0 THEN round(
+           1.0 - (CASE WHEN len(toks) >= 2 THEN len(list_distinct(list_transform(
+             generate_series(1, len(toks) - 1),
+             i -> array_to_string(toks[i:i+1], ' ')))) ELSE 0 END)::DOUBLE
+           / (len(toks) - 1), 6) END AS dup2
+  FROM d
+), flags AS (
+  SELECT doc_id, lang, text,
+         (n >= 5 AND avg_len >= 2.0 AND avg_len <= 20.0
+          AND coalesce(punct_ratio, 0.0) <= 0.2
+          AND coalesce(distinct_ratio, 0.0) >= 0.3)::INT AS q_flag,
+         (coalesce(dup_tok, 0.0) <= 0.8 AND coalesce(top_tok, 1.0) <= 0.3
+          AND coalesce(dup2, 0.0) <= 0.9)::INT AS r_flag,
+         -- stopword_ratio is computed but unused by the gate (parity with
+         -- quality_features); keep the list literal referenced:
+         len(list_filter(toks, t -> list_contains([{en}], t))) AS _sw
+  FROM f
+), staged AS (
+  SELECT doc_id, lang,
+         q_flag,
+         (q_flag = 1 AND r_flag = 1)::INT AS is_clean,
+         CASE WHEN q_flag = 1 AND r_flag = 1 THEN row_number() OVER (
+           PARTITION BY (q_flag = 1 AND r_flag = 1), md5(trim(text))
+           ORDER BY doc_id
+         ) END AS rn
+  FROM flags
+), final AS (
+  SELECT doc_id, lang, q_flag, is_clean,
+         (rn = 1)::INT AS is_unique,
+         (rn = 1 AND (('0x' || substr(md5('split-v1' || doc_id::VARCHAR), 1, 8))
+            ::BIGINT) % 100 < 80)::INT AS is_train
+  FROM staged
+)
+SELECT lang,
+       count(*) AS n_docs,
+       sum(q_flag)::BIGINT AS n_quality,
+       sum(is_clean)::BIGINT AS n_clean,
+       coalesce(sum(is_unique), 0)::BIGINT AS n_unique,
+       coalesce(sum(is_train), 0)::BIGINT AS n_train
+FROM final GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Edit-distance near-dup pairs (character-level complement of Jaccard)
 # ---------------------------------------------------------------------------
 def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -851,5 +1000,13 @@ def build_pipeline_queries() -> dict:
         "dedup_levenshtein": (
             q_dedup_levenshtein, ORACLE_LEVENSHTEIN,
             "length-blocked edit-distance near-dup pairs",
+            True),
+        "events_window_dedup": (
+            q_events_window_dedup, ORACLE_EVENTS_WINDOW_DEDUP,
+            "batch windowed dedup (keyed lag; streaming_dedup twin)",
+            True),
+        "curation_pipeline": (
+            q_curation_pipeline, _curation_oracle(),
+            "per-language curation funnel: quality→repetition→dedup→split",
             True),
     }
