@@ -261,6 +261,7 @@ def incremental_dedup(
     bands: int = 4,
     shingle_n: int = 1,
     jaccard_threshold: float = 0.8,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Dedup an incoming batch against an already-ingested corpus — the
     production shape of dedup at 100 TB: the corpus is NOT re-self-joined
@@ -319,13 +320,25 @@ def incremental_dedup(
             ).alias("band_idx", "band_key"),
         )
 
-    cand = (
-        banded_of(new_df)
-        .withColumnRenamed("id", "new_id")
-        .join(
-            banded_of(corpus_df).withColumnRenamed("id", "cid"),
-            ["band_idx", "band_key"],
+    b_new = banded_of(new_df).withColumnRenamed("id", "new_id")
+    b_corp = banded_of(corpus_df).withColumnRenamed("id", "cid")
+    if max_bucket_size is not None:
+        # Same degenerate-band guard as minhash_lsh_pairs, counted over
+        # BOTH sides (a boilerplate band key collects the whole dup family
+        # and turns the cross join quadratic). Dropped buckets mean missed
+        # dups in that band — the standard LSH cap trade, mirrored by the
+        # oracle.
+        counts = (
+            b_new.select("band_idx", "band_key")
+            .unionByName(b_corp.select("band_idx", "band_key"))
+            .groupBy("band_idx", "band_key")
+            .count()
         )
+        ok = counts.filter(F.col("count") <= max_bucket_size).drop("count")
+        b_new = b_new.join(ok, ["band_idx", "band_key"], "left_semi")
+        b_corp = b_corp.join(ok, ["band_idx", "band_key"], "left_semi")
+    cand = (
+        b_new.join(b_corp, ["band_idx", "band_key"])
         .select("new_id", "cid")
         .dropDuplicates(["new_id", "cid"])
     )
@@ -338,10 +351,23 @@ def incremental_dedup(
         F.col(id_col).alias("cid"),
         shingles_col(F.col(text_col), shingle_n).alias("sh_c"),
     )
-    verified = (
+    # size-ratio prune (jac ≥ t ⇒ min/max size ratio ≥ t) before the wide
+    # arrays, then spread + plan-truncate so the array-intersect verify
+    # runs in a wide stage (same pushed-filter-into-coalesced-stage trap
+    # as levenshtein_pairs).
+    width = new_df.sparkSession.sparkContext.defaultParallelism
+    staged = (
         cand.join(sh_new, "new_id")
         .join(sh_corp, "cid")
-        .withColumn("inter", F.size(F.array_intersect("sh_n", "sh_c")))
+        .filter(
+            (F.size("sh_n") >= F.size("sh_c") * t)
+            & (F.size("sh_c") >= F.size("sh_n") * t)
+        )
+        .repartition(width)
+        .localCheckpoint()
+    )
+    verified = (
+        staged.withColumn("inter", F.size(F.array_intersect("sh_n", "sh_c")))
         .withColumn(
             "jac",
             F.col("inter")
@@ -399,28 +425,50 @@ def levenshtein_pairs(
         F.floor(F.length(text_col) / length_bucket).alias("bkt"),
     )
     # both sides land in their own bucket AND the next one: any pair with
-    # |len(a) − len(b)| ≤ length_bucket (⊇ ≤ max_distance) shares ≥1
-    # block; the trailing dropDuplicates collapses multi-block collisions
+    # |len(a) − len(b)| ≤ length_bucket (⊇ ≤ max_distance) shares ≥1 block
     probe = base.select(
-        *blocks, "id", "t", "ln",
+        *blocks, "id", "ln",
         F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("bkt"),
     )
     a = probe.select(
         *blocks, "bkt",
-        F.col("id").alias("id_a"), F.col("t").alias("t_a"), F.col("ln").alias("ln_a"),
+        F.col("id").alias("id_a"), F.col("ln").alias("ln_a"),
     )
     b = probe.select(
         *[F.col(c) for c in block_cols], "bkt",
-        F.col("id").alias("id_b"), F.col("t").alias("t_b"), F.col("ln").alias("ln_b"),
+        F.col("id").alias("id_b"), F.col("ln").alias("ln_b"),
     )
-    return (
+    # ids-only candidates, deduped BEFORE the O(n·m) DP — a pair can
+    # collide in two blocks and must pay for the distance only once; the
+    # text payload joins back on the (much smaller) surviving pair set
+    cand = (
         a.join(b, [*block_cols, "bkt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.abs(F.col("ln_a") - F.col("ln_b")) <= max_distance)
-        .withColumn("edit_distance", F.levenshtein("t_a", "t_b"))
+        .select(*block_cols, "id_a", "id_b")
+        .dropDuplicates([*block_cols, "id_a", "id_b"])
+    )
+    texts = base.select(*blocks, "id", "t")
+    paired = cand.join(
+        texts.select(*blocks, F.col("id").alias("id_a"), F.col("t").alias("t_a")),
+        [*block_cols, "id_a"],
+    ).join(
+        texts.select(*blocks, F.col("id").alias("id_b"), F.col("t").alias("t_b")),
+        [*block_cols, "id_b"],
+    )
+    # The pair frame is small in BYTES but huge in CPU (each row pays an
+    # O(n·m) DP), so AQE's size-based coalescing funnels the join stage
+    # into one task — and predicate pushdown drags the distance filter
+    # down into that stage, serializing the DP no matter what follows.
+    # Repartition to the cluster width and truncate the plan so the DP
+    # provably evaluates in the wide stage: the CPU-bound-not-byte-bound
+    # case size heuristics can't see. (Measured 128 s → 7 s at sf0.1.)
+    width = df.sparkSession.sparkContext.defaultParallelism
+    spread = paired.repartition(width).localCheckpoint()
+    return (
+        spread.withColumn("edit_distance", F.levenshtein("t_a", "t_b"))
         .filter(F.col("edit_distance") <= max_distance)
         .select(*block_cols, "id_a", "id_b", "edit_distance")
-        .dropDuplicates([*block_cols, "id_a", "id_b"])
     )
 
 

@@ -560,12 +560,14 @@ SELECT query_id, neighbor_id, adc::DOUBLE AS adc_dist, rank FROM (
 # ---------------------------------------------------------------------------
 _INC_SPLIT = 250  # docs below → "existing corpus", rest → incoming batch
 _INC_PERM, _INC_BANDS, _INC_ROWS, _INC_T = 16, 4, 4, 0.8
+_INC_CAP = 1000  # max_bucket_size — degenerate-band guard, modeled in SQL
 
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exness_data_preprocess_spark.operators.dedup import incremental_dedup
+    from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") < _INC_SPLIT)
     new = docs.filter(F.col("doc_id") >= _INC_SPLIT)
     return incremental_dedup(
@@ -600,9 +602,17 @@ WITH d AS (
            sig[b.band_idx * {_INC_ROWS} + 1 : b.band_idx * {_INC_ROWS} + {_INC_ROWS}],
            ',') AS band_key
   FROM sigs CROSS JOIN (VALUES {bands_vals}) AS b(band_idx)
+), kept AS (
+  -- degenerate-band cap over BOTH sides (corpus + new = all docs), the
+  -- same max_bucket_size guard the Spark operator applies
+  SELECT banded.* FROM banded
+  JOIN (
+    SELECT band_idx, band_key FROM banded
+    GROUP BY 1, 2 HAVING count(*) <= {_INC_CAP}
+  ) ok USING (band_idx, band_key)
 ), cand AS (
   SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS cid
-  FROM banded n JOIN banded c USING (band_idx, band_key)
+  FROM kept n JOIN kept c USING (band_idx, band_key)
   WHERE n.doc_id >= {_INC_SPLIT} AND c.doc_id < {_INC_SPLIT}
 ), ver AS (
   SELECT new_id, min(cid) AS near_id
@@ -789,12 +799,12 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
 
     docs = _docs_spread(spark, sf_dir)
-    return levenshtein_pairs(docs, length_bucket=20, max_distance=10)
+    return levenshtein_pairs(docs, length_bucket=10, max_distance=10)
 
 
 ORACLE_LEVENSHTEIN = """
 WITH d AS (
-  SELECT doc_id, lang, text, len(text) AS ln, (len(text) // 20) AS bkt
+  SELECT doc_id, lang, text, len(text) AS ln, (len(text) // 10) AS bkt
   FROM documents
 ), p AS (
   SELECT doc_id, lang, text, ln, u.b AS bkt
