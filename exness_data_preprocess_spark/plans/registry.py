@@ -43,12 +43,12 @@ class QuerySpec:
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as long nanos and truncate to µs — exactly
-        # what DuckDB does when it surfaces the column as TIMESTAMP (µs).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # events.ts is parquet TIMESTAMP(NANOS); reader-version-dependent
+        # surfacing is normalized in plans/events_io.py to the µs UTC
+        # timestamp DuckDB sees for the same file.
+        from exness_data_preprocess_spark.plans.events_io import load_events
+
+        return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

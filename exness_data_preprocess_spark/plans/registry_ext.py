@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from exness_data_preprocess_spark.plans.events_io import normalize_event_ts
 from exness_data_preprocess_spark.streaming import (
     run_available_now_to_memory,
     stateful_gap_sessions,
@@ -41,7 +42,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(path, link)
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.format("parquet").schema(schema).load(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def _sf_key(sf_dir: str) -> str:
@@ -177,7 +178,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.symlink(path, link)
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.format("parquet").schema(schema).load(stage)
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = normalize_event_ts(raw)
     dd = stream_dedup_ticks(ev, key_cols=("event_id",), on="ts")
     out = run_available_now_to_memory(
         dd, _memname("stream_dedup", sf_dir), "append"

@@ -39,11 +39,11 @@ _SH3 = (
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS) → read as long, truncate to µs
-    (mirrors plans/registry.py::load)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """events.ts is parquet TIMESTAMP(NANOS) → normalized to µs UTC
+    (shared reader-version-robust path, plans/events_io.py)."""
+    from exness_data_preprocess_spark.plans.events_io import load_events
+
+    return load_events(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
