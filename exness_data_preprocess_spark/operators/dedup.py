@@ -691,3 +691,99 @@ def embedding_cosine_pairs(
         .select(*on, "id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Directed near-dup pairs by *containment*: C(A→B) = |A∩B| / |A| ≥ t
+    with A ≠ B. Catches the asymmetric case Jaccard misses — a short doc
+    wholly embedded in a much longer one (quote inclusion, boilerplate
+    wrapping), where |A∪B| dilutes Jaccard below any usable threshold.
+
+    Same prefix-filter machinery as :func:`ngram_jaccard_pairs` (Bayardo
+    WWW'07 adapted to the asymmetric overlap bound): C ≥ t forces
+    |A∩B| ≥ ⌈t·|A|⌉, so A must collide with B on one of its first
+    |A| − ⌈t·|A|⌉ + 1 rarest shingles. Because only A's size bounds the
+    overlap, A's prefix joins the FULL inverted index (B-side unpruned) —
+    still bucketed by shingle, never all-pairs. The only B-side prune is
+    |B| ≥ ⌈t·|A|⌉ (overlap can't exceed |B|).
+
+    Extends the dedup family the reference's ReplacingMergeTree engine
+    dedup (clickhouse_manager.py:159,179) can't express.
+    """
+    t = threshold
+    blocks = [F.col(c) for c in block_cols]
+    ex = df.select(
+        *blocks,
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("s"),
+    )
+    freq = ex.groupBy(*block_cols, "s").agg(F.count("*").alias("df"))
+    base = (
+        ex.join(freq, [*block_cols, "s"])
+        .groupBy(*block_cols, "id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("s")))
+            ).alias("o")
+        )
+        .select(
+            *block_cols,
+            "id",
+            F.transform("o", lambda x: x["s"]).alias("sh"),
+            F.size("o").alias("sz"),
+        )
+        .persist()
+    )
+    prefix_len = (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int")
+    pref = base.select(
+        *blocks,
+        "id",
+        F.explode(F.slice("sh", F.lit(1), prefix_len)).alias("s"),
+    )
+    full = base.select(
+        *blocks, F.col("id").alias("id_b"), F.explode("sh").alias("s")
+    )
+    cand = (
+        pref.select(*blocks, F.col("id").alias("id_a"), "s")
+        .join(full, [*block_cols, "s"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(*block_cols, "id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sz = base.select("id", "sz")
+    pruned = (
+        cand.join(
+            sz.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sz.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .filter(F.col("sz_b") >= F.ceil(F.lit(t) * F.col("sz_a")))
+    )
+    verified = pruned.join(
+        base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
+    )
+    containment = (
+        F.size(F.array_intersect("sh_a", "sh_b")) / F.col("sz_a")
+    )
+    return (
+        verified.select(
+            *block_cols,
+            "id_a",
+            "id_b",
+            F.round(containment, 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
