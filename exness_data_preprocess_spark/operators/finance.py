@@ -7,17 +7,23 @@ volatility and correlation features driver-side in pandas) into
 distributed, oracle-checkable engine operators.
 
 Determinism contract (round-1 rules):
-- Sums that feed a value hash run over DECIMAL-quantized terms (exact,
-  order-free), cast to double only at the edge.
+- Sums that feed a value hash run over DECIMAL-quantized or exact-integer
+  terms (exact, order-free), cast to double only at the edge.
 - Ratio math uses a single IEEE division of two exact operands — same
   bits in any engine.
 - No transcendental functions on the hash path: realized volatility uses
   *simple* (arithmetic) returns, not log returns, because ``ln`` is not
-  guaranteed bit-identical across libm implementations; a last-ulp
-  difference under decimal quantization is a latent hash-flake.
-  ``corr`` outputs are rounded to 6 decimals (the accepted idiom from
-  ``autocorr_lag1``) since co-moment accumulation order differs between
-  engines.
+  guaranteed bit-identical across libm implementations. ``sqrt`` is fine:
+  IEEE 754 requires it correctly rounded.
+- Pearson correlation is computed from exact integer co-moment sums
+  (counts are integers), not ``F.corr`` — both for bit-reproducibility
+  and because Spark 4's ANSI mode makes ``corr``'s internal division
+  throw DIVIDE_BY_ZERO on constant series instead of returning NULL.
+
+ANSI-safety convention (Spark 4 defaults ``spark.sql.ansi.enabled=true``):
+- any ratio whose denominator can be zero goes through ``F.try_divide``;
+  the NULL result is the documented output for the degenerate case
+  (zero previous price → no return; constant series → no correlation).
 
 Scale shape: every window is keyed (series × bucket / series × day) —
 state per task is one bucket of one key, never a global sort. The
@@ -37,6 +43,7 @@ def twap_hourly(
     key_col: str = "event_type",
     ts_col: str = "ts",
     value_col: str = "value",
+    tie_col: str = "event_id",
 ) -> DataFrame:
     """Event-anchored time-weighted average price per (key, hour).
 
@@ -48,9 +55,12 @@ def twap_hourly(
     boundary-filled TWAP would be this plus one asof carry of the prior
     close, operators/asof.py).
 
-    Weighted sums run as DECIMAL(18,6) × µs-duration products — exact
-    integers-scaled arithmetic, summed order-free — and a single double
-    division at the edge.
+    Weighted sums run as DECIMAL(18,6) × DECIMAL(18,0)-µs-duration
+    products — exact integer-scaled arithmetic, summed order-free — and a
+    single double division at the edge. ``_dur`` is strictly positive
+    (the last observation's duration to bucket end is > 0 because
+    ``date_trunc`` maps a boundary timestamp into the bucket it opens),
+    so the edge division cannot hit zero.
     """
     hour = F.date_trunc("hour", F.col(ts_col))
     ts_us = F.unix_micros(F.col(ts_col))
@@ -59,7 +69,7 @@ def twap_hourly(
         F.col(key_col),
         hour.alias("bucket_hour"),
         ts_us.alias("ts_us"),
-        F.col("event_id").alias("tie"),
+        F.col(tie_col).alias("tie"),
         F.col(value_col).cast("decimal(18,6)").alias("v"),
     )
     e = e.withColumn(
@@ -73,7 +83,9 @@ def twap_hourly(
     return (
         e.groupBy(key_col, "bucket_hour")
         .agg(
-            F.sum(F.col("v") * F.col("dur_us")).alias("_wv"),
+            # dur cast to decimal(18,0) keeps the product inside
+            # decimal(38,6) in both Spark and DuckDB — exact in each.
+            F.sum(F.col("v") * F.col("dur_us").cast("decimal(18,0)")).alias("_wv"),
             F.sum("dur_us").alias("_dur"),
             F.count("*").alias("n_events"),
         )
@@ -94,14 +106,27 @@ def realized_volatility_daily(
     key_col: str = "event_type",
     ts_col: str = "ts",
     value_col: str = "value",
+    tie_col: str = "event_id",
 ) -> DataFrame:
     """Per (key, day) realized variance over simple returns.
 
-    rv = Σ r², r = (vₜ − vₜ₋₁) / vₜ₋₁ within the day, observations
-    ordered by (ts, event_id). The division and subtraction are
-    bit-reproducible IEEE ops; each squared return is quantized to
-    DECIMAL(28,12) (identical input bits → identical decimal in every
-    engine) and summed exactly.
+    rv = Σ r², r = vₜ / vₜ₋₁ − 1 within the day, observations ordered by
+    (ts, tie). The division runs through ``try_divide``: a zero previous
+    value yields a NULL return that is excluded from both rv and
+    n_returns (documented convention, mirrored in the oracle) instead of
+    throwing DIVIDE_BY_ZERO under ANSI mode. ``value_col`` is cast to
+    double up front so the division is a single IEEE double op even for
+    decimal inputs.
+
+    The *return* (not the squared return) is quantized to DECIMAL(18,9)
+    and squared in exact decimal arithmetic. Quantizing r² would be
+    engine-divergent: near-zero prices push r² to ~1e8, and rounding
+    that to 12 decimals needs >17 significant digits — beyond what a
+    double carries — so Spark's shortest-string cast and DuckDB's
+    exact-binary cast disagree in the last ulp. |r| stays ≤ ~1e4, where
+    scale-9 quantization sits safely inside double precision and both
+    engines round identically; the decimal square and exact sum are then
+    order-free and bit-identical in each engine.
 
     Mirrors the reference's per-period volatility features
     (docs/research/.../phase3_volatility_model.py:159-215) as a
@@ -113,15 +138,23 @@ def realized_volatility_daily(
         F.col(key_col),
         day.alias("day"),
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
-        F.col("event_id").alias("tie"),
-        F.col(value_col).alias("v"),
+        F.col(tie_col).alias("tie"),
+        F.col(value_col).cast("double").alias("v"),
     )
-    r = F.col("v") / F.lag("v").over(w) - F.lit(1.0)
-    e = e.withColumn("term", (r * r).cast("decimal(28,12)"))
+    r = (F.try_divide(F.col("v"), F.lag("v").over(w)) - F.lit(1.0)).cast(
+        "decimal(18,9)"
+    )
+    e = e.withColumn("term", r * r)
     return (
         e.groupBy(key_col, "day")
         .agg(
-            F.sum("term").cast("double").alias("rv"),
+            # The exact sum carries scale 18; casting THAT to double is
+            # engine-divergent (a scale-18 int128 → double needs two
+            # roundings in DuckDB). Re-quantize to scale 6 first — an
+            # exact integer-decimal rounding — so the scaled value fits
+            # in 2^53 and the final double conversion is single-rounded
+            # and bit-identical in both engines.
+            F.sum("term").cast("decimal(28,6)").cast("double").alias("rv"),
             F.count("term").alias("n_returns"),
         )
         .select(
@@ -146,7 +179,15 @@ def hourly_count_corr_daily(
 
     Hour buckets with zero events of both types contribute no point (the
     bucket set is derived from observed rows identically in any engine).
-    ``corr`` is rounded to 6 decimals at the edge (autocorr_lag1 idiom).
+
+    The correlation is assembled from exact integer co-moment sums
+    (counts are longs; n·Σxy − ΣxΣy etc. are exact), cast to double for
+    one sqrt (IEEE correctly-rounded) and one ``try_divide`` — so a
+    constant series (zero variance, guaranteed for single-hour days)
+    yields NULL rather than an ANSI DIVIDE_BY_ZERO from ``F.corr``'s
+    internals. Rounded to 6 decimals at the edge (autocorr_lag1 idiom).
+    At extreme scale the long co-moments could overflow; upgrade the
+    sums to DECIMAL(38,0) if hourly counts ever approach 2³¹.
     """
     t = F.col(key_col)
     hourly = (
@@ -160,15 +201,23 @@ def hourly_count_corr_daily(
             F.count(F.when(t == type_b, 1)).alias("cnt_b"),
         )
     )
+    daily = hourly.groupBy("day").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("cnt_a").alias("sx"),
+        F.sum("cnt_b").alias("sy"),
+        F.sum(F.col("cnt_a") * F.col("cnt_a")).alias("sxx"),
+        F.sum(F.col("cnt_b") * F.col("cnt_b")).alias("syy"),
+        F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("sxy"),
+    )
+    n = F.col("n_hours")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    var_x = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    var_y = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     return (
-        hourly.groupBy("day")
-        .agg(
-            F.round(F.corr("cnt_a", "cnt_b"), 6).alias("corr_ab"),
-            F.count("*").alias("n_hours"),
-        )
-        .select(
+        daily.select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
-            "corr_ab",
+            F.round(F.try_divide(cov, F.sqrt(var_x * var_y)), 6).alias("corr_ab"),
             "n_hours",
         )
+        .orderBy("day")
     )

@@ -639,6 +639,115 @@ QUALIFY rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# D9 extensions: TWAP / realized volatility / count-series correlation
+# (operators/finance.py — reference computes these driver-side in pandas,
+#  docs/research/.../phase3_volatility_model.py:159-215,
+#  phase4_statistical_tests.py:137)
+# ---------------------------------------------------------------------------
+def q_twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.finance import twap_hourly
+    from exness_data_preprocess_spark.plans.registry import load
+
+    return twap_hourly(load(spark, sf_dir, "events")).orderBy(
+        "event_type", "hour_us"
+    )
+
+
+ORACLE_TWAP_HOURLY = """
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
+         epoch_us(ts) AS ts_us, event_id AS tie,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+), d AS (
+  SELECT event_type, bucket_hour, v,
+         coalesce(lead(ts_us) OVER (PARTITION BY event_type, bucket_hour
+                                    ORDER BY ts_us, tie),
+                  epoch_us(bucket_hour) + 3600000000) - ts_us AS dur_us
+  FROM e
+)
+SELECT event_type, epoch_us(bucket_hour) AS hour_us,
+       CAST(sum(v * CAST(dur_us AS DECIMAL(18,0))) AS DOUBLE)
+         / CAST(CAST(sum(dur_us) AS BIGINT) AS DOUBLE) AS twap,
+       CAST(sum(dur_us) AS BIGINT) AS weighted_us,
+       count(*) AS n_events
+FROM d
+GROUP BY event_type, bucket_hour
+ORDER BY event_type, hour_us
+"""
+
+
+def q_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.finance import (
+        realized_volatility_daily,
+    )
+    from exness_data_preprocess_spark.plans.registry import load
+
+    return realized_volatility_daily(load(spark, sf_dir, "events")).orderBy(
+        "event_type", "day"
+    )
+
+
+ORACLE_REALIZED_VOL = """
+WITH e AS (
+  SELECT event_type, ts::DATE AS day, epoch_us(ts) AS ts_us,
+         event_id AS tie, CAST(value AS DOUBLE) AS v
+  FROM events
+), r AS (
+  SELECT event_type, day,
+         CAST(CASE WHEN lag(v) OVER w = 0 THEN NULL
+                   ELSE v / lag(v) OVER w - 1.0 END AS DECIMAL(18,9)) AS ret
+  FROM e
+  WINDOW w AS (PARTITION BY event_type, day ORDER BY ts_us, tie)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       -- round(), not a DECIMAL cast: DuckDB's decimal downscale cast
+       -- truncates, while round() is exact int128 half-away-from-zero —
+       -- the same result as Spark's HALF_UP cast for these positive sums.
+       CAST(round(sum(ret * ret), 6) AS DOUBLE) AS rv,
+       count(ret) AS n_returns
+FROM r
+GROUP BY event_type, day
+ORDER BY event_type, day
+"""
+
+
+def q_hourly_count_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.finance import (
+        hourly_count_corr_daily,
+    )
+    from exness_data_preprocess_spark.plans.registry import load
+
+    return hourly_count_corr_daily(load(spark, sf_dir, "events"))
+
+
+ORACLE_HOURLY_COUNT_CORR = """
+WITH h AS (
+  SELECT ts::DATE AS day, date_trunc('hour', ts) AS h,
+         count(CASE WHEN event_type = 'click' THEN 1 END) AS cnt_a,
+         count(CASE WHEN event_type = 'view' THEN 1 END) AS cnt_b
+  FROM events
+  WHERE event_type IN ('click', 'view')
+  GROUP BY 1, 2
+), d AS (
+  SELECT day, count(*) AS n_hours,
+         sum(cnt_a) AS sx, sum(cnt_b) AS sy,
+         sum(cnt_a * cnt_a) AS sxx, sum(cnt_b * cnt_b) AS syy,
+         sum(cnt_a * cnt_b) AS sxy
+  FROM h GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       round(CAST(n_hours * sxy - sx * sy AS DOUBLE)
+             / nullif(sqrt(CAST(n_hours * sxx - sx * sx AS DOUBLE)
+                           * CAST(n_hours * syy - sy * sy AS DOUBLE)), 0),
+             6) AS corr_ab,
+       n_hours
+FROM d
+ORDER BY day
+"""
+
+
 def build_ext_queries() -> dict:
     """name → (spark_fn, oracle_sql|None, description, bench)"""
     return {
@@ -724,6 +833,24 @@ def build_ext_queries() -> dict:
             q_ann_ivf_multiprobe,
             ORACLE_ANN_IVF_MULTIPROBE,
             "ANN: multi-probe IVF (nprobe=2 recall knob)",
+            True,
+        ),
+        "twap_hourly": (
+            q_twap_hourly,
+            ORACLE_TWAP_HOURLY,
+            "D9+: event-anchored hourly TWAP (decimal-exact weighted sums)",
+            True,
+        ),
+        "realized_volatility": (
+            q_realized_volatility,
+            ORACLE_REALIZED_VOL,
+            "D9+: daily realized variance over simple returns (ANSI-safe)",
+            True,
+        ),
+        "hourly_count_corr": (
+            q_hourly_count_corr,
+            ORACLE_HOURLY_COUNT_CORR,
+            "D9+: daily Pearson corr of hourly count series (exact co-moments)",
             True,
         ),
     }

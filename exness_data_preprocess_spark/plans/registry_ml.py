@@ -139,7 +139,9 @@ _SIMHASH_BITS = 32
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # _docs_spread: the 32 conditional sign-sums per token are CPU-bound;
+    # a single-file scan would serialize them into one task (r2 bench x8.7).
+    docs = _docs_spread(spark, sf_dir)
     return simhash_fingerprints(docs, bits=_SIMHASH_BITS).withColumnRenamed(
         "id", "doc_id"
     )
