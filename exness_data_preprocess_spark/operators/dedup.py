@@ -30,11 +30,41 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from typing import NamedTuple
+
 from exness_data_preprocess_spark.functions.hashing import (
     MERSENNE_P,
     md5_h32,
     minhash_coeffs,
 )
+
+
+def _truncate_plan(df: DataFrame, durable: bool) -> DataFrame:
+    """Cut lineage so a following CPU-bound stage runs at the frame's
+    repartitioned width instead of being coalesced/pushed into the scan
+    (AQE sizes stages by bytes; it cannot see per-row DP/array-intersect
+    cost).
+
+    ``durable=False`` → ``localCheckpoint()``: fastest, but the truncated
+    blocks live only on their executors — an executor loss kills the job.
+    Right for local/interactive runs. ``durable=True`` → reliable
+    ``checkpoint()`` into the configured checkpoint dir (set one with
+    ``sc.setCheckpointDir`` on a cluster — HDFS/S3); survives executor
+    loss, costs one round-trip write. A dir is auto-provisioned under the
+    local filesystem only as a convenience fallback for single-node runs.
+    """
+    if not durable:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:  # pragma: no cover - API variance
+        has_dir = False
+    if not has_dir:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark_graft_ckpt_"))
+    return df.checkpoint()
 
 # ---------------------------------------------------------------------------
 # Tokenization / shingling (shared with textstats)
@@ -252,9 +282,77 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 # Incremental dedup: new batch vs existing corpus
 # ---------------------------------------------------------------------------
+class DedupIndex(NamedTuple):
+    """Precomputed corpus-side dedup artifacts (built once at ingest,
+    persisted alongside the corpus, read back per incoming batch).
+
+    - ``digests``: (``cid``, ``k``) — md5 content digest per corpus doc.
+    - ``bands``: (``cid``, ``band_idx``, ``band_key``) — banded minhash
+      signature rows, the LSH join side.
+    - ``shingles``: (``cid``, ``sh_c``) — distinct shingle sets for the
+      exact-Jaccard verify.
+
+    All three are plain DataFrames so callers can ``write.parquet`` them
+    at ingest and hand back ``spark.read.parquet`` frames later — at
+    100 TB the corpus minhash pass happens ONCE per doc, not once per
+    incoming batch.
+    """
+
+    digests: DataFrame
+    bands: DataFrame
+    shingles: DataFrame
+
+
+def build_dedup_index(
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+) -> DedupIndex:
+    """Build the corpus-side artifacts :func:`incremental_dedup` consumes.
+
+    Expression-identical to the operator's self-contained path (and to
+    :func:`minhash_lsh_pairs` / the DuckDB oracle), so feeding the index
+    back produces bit-identical results. Each frame is one scan-shaped
+    pass over the corpus — run it at ingest, append-write the outputs.
+    """
+    rows_per_band = num_perm // bands
+    digests = corpus_df.select(
+        F.col(id_col).alias("cid"),
+        F.md5(F.trim(F.col(text_col))).alias("k"),
+    )
+    comps = minhash_components(corpus_df, text_col, id_col, num_perm, shingle_n)
+    banded = comps.select(
+        F.col("id").alias("cid"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{i}").cast("string")
+                            for i in range(
+                                b * rows_per_band, (b + 1) * rows_per_band
+                            )
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    shingles = corpus_df.select(
+        F.col(id_col).alias("cid"),
+        shingles_col(F.col(text_col), shingle_n).alias("sh_c"),
+    )
+    return DedupIndex(digests=digests, bands=banded, shingles=shingles)
+
+
 def incremental_dedup(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 16,
@@ -262,6 +360,8 @@ def incremental_dedup(
     shingle_n: int = 1,
     jaccard_threshold: float = 0.8,
     max_bucket_size: int | None = 1000,
+    corpus_index: DedupIndex | None = None,
+    durable: bool = False,
 ) -> DataFrame:
     """Dedup an incoming batch against an already-ingested corpus — the
     production shape of dedup at 100 TB: the corpus is NOT re-self-joined
@@ -276,10 +376,18 @@ def incremental_dedup(
        verified at ``jaccard_threshold``.
 
     Returns one row per new doc: (doc_id, exact_dup, near_dup,
-    best_match_id, keep). At steady state the corpus signatures/digests
-    are precomputed artifacts (write once at ingest); here they derive
-    from ``corpus_df`` so the operator is self-contained.
+    best_match_id, keep).
+
+    Corpus artifacts come from ``corpus_index`` when given (the steady
+    state: :func:`build_dedup_index` ran once at ingest; only the small
+    incoming batch is digested/minhashed per call). Without an index they
+    derive from ``corpus_df`` so the operator stays self-contained —
+    correct, but it re-scans the corpus twice per call; at 100 TB always
+    pass the index. ``durable`` selects the plan-truncation mode for the
+    CPU-bound verify stage (see :func:`_truncate_plan`).
     """
+    if corpus_index is None and corpus_df is None:
+        raise ValueError("need corpus_df or corpus_index")
     rows_per_band = num_perm // bands
 
     def digest(df: DataFrame, out: str) -> DataFrame:
@@ -287,14 +395,6 @@ def incremental_dedup(
             F.col(id_col).alias(out),
             F.md5(F.trim(F.col(text_col))).alias("k"),
         )
-
-    corp_min = (
-        digest(corpus_df, "cid").groupBy("k").agg(F.min("cid").alias("exact_id"))
-    )
-    exact = (
-        digest(new_df, "new_id").join(corp_min, "k", "left")
-        .select("new_id", "exact_id")
-    )
 
     # same band construction as minhash_lsh_pairs (kept expression-identical
     # so signatures/buckets agree with the self-join operator + its oracle)
@@ -320,8 +420,26 @@ def incremental_dedup(
             ).alias("band_idx", "band_key"),
         )
 
+    if corpus_index is None:
+        corpus_index = DedupIndex(
+            digests=digest(corpus_df, "cid"),
+            bands=banded_of(corpus_df).withColumnRenamed("id", "cid"),
+            shingles=corpus_df.select(
+                F.col(id_col).alias("cid"),
+                shingles_col(F.col(text_col), shingle_n).alias("sh_c"),
+            ),
+        )
+
+    corp_min = corpus_index.digests.groupBy("k").agg(
+        F.min("cid").alias("exact_id")
+    )
+    exact = (
+        digest(new_df, "new_id").join(corp_min, "k", "left")
+        .select("new_id", "exact_id")
+    )
+
     b_new = banded_of(new_df).withColumnRenamed("id", "new_id")
-    b_corp = banded_of(corpus_df).withColumnRenamed("id", "cid")
+    b_corp = corpus_index.bands
     if max_bucket_size is not None:
         # Same degenerate-band guard as minhash_lsh_pairs, counted over
         # BOTH sides (a boilerplate band key collects the whole dup family
@@ -347,10 +465,7 @@ def incremental_dedup(
         F.col(id_col).alias("new_id"),
         shingles_col(F.col(text_col), shingle_n).alias("sh_n"),
     )
-    sh_corp = corpus_df.select(
-        F.col(id_col).alias("cid"),
-        shingles_col(F.col(text_col), shingle_n).alias("sh_c"),
-    )
+    sh_corp = corpus_index.shingles
     # size-ratio prune (jac ≥ t ⇒ min/max size ratio ≥ t) before the wide
     # arrays, then spread + plan-truncate so the array-intersect verify
     # runs in a wide stage (same pushed-filter-into-coalesced-stage trap
@@ -364,8 +479,8 @@ def incremental_dedup(
             & (F.size("sh_c") >= F.size("sh_n") * t)
         )
         .repartition(width)
-        .localCheckpoint()
     )
+    staged = _truncate_plan(staged, durable)
     verified = (
         staged.withColumn("inter", F.size(F.array_intersect("sh_n", "sh_c")))
         .withColumn(
@@ -403,6 +518,7 @@ def levenshtein_pairs(
     block_cols: tuple[str, ...] = ("lang",),
     length_bucket: int = 20,
     max_distance: int = 10,
+    durable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by character edit distance ≤ ``max_distance`` —
     the character-level complement of the token-set families (catches
@@ -464,7 +580,7 @@ def levenshtein_pairs(
     # provably evaluates in the wide stage: the CPU-bound-not-byte-bound
     # case size heuristics can't see. (Measured 128 s → 7 s at sf0.1.)
     width = df.sparkSession.sparkContext.defaultParallelism
-    spread = paired.repartition(width).localCheckpoint()
+    spread = _truncate_plan(paired.repartition(width), durable)
     return (
         spread.withColumn("edit_distance", F.levenshtein("t_a", "t_b"))
         .filter(F.col("edit_distance") <= max_distance)

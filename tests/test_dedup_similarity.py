@@ -400,3 +400,79 @@ def test_levenshtein_pairs_cross_bucket_blocking(spark):
         for r in levenshtein_pairs(df, length_bucket=20, max_distance=10).collect()
     }
     assert out == {(1, 2): 2}  # cross-bucket pair found; far pair filtered
+
+
+def test_incremental_dedup_index_fed_identical(spark, tmp_path):
+    """Feeding precomputed corpus artifacts (the 100 TB steady-state path,
+    round-trip through parquet like a real ingest) must produce exactly
+    the self-contained result."""
+    from exness_data_preprocess_spark.operators.dedup import (
+        DedupIndex,
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five six"),
+            (3, "lorem ipsum dolor sit amet words"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),
+            (11, "one two three four five six seven"),
+            (12, "completely different content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    self_contained = sorted(
+        map(tuple, incremental_dedup(new, corpus, jaccard_threshold=0.8).collect())
+    )
+    idx = build_dedup_index(corpus)
+    paths = {}
+    for part in ("digests", "bands", "shingles"):
+        p = str(tmp_path / part)
+        getattr(idx, part).write.parquet(p)
+        paths[part] = p
+    fed = DedupIndex(*(spark.read.parquet(paths[p]) for p in ("digests", "bands", "shingles")))
+    from_index = sorted(
+        map(
+            tuple,
+            incremental_dedup(
+                new, jaccard_threshold=0.8, corpus_index=fed
+            ).collect(),
+        )
+    )
+    assert from_index == self_contained
+
+
+def test_truncate_plan_durable_and_local_identical(spark):
+    """durable=True (reliable checkpoint) and durable=False
+    (localCheckpoint) must return the same rows for both consumers."""
+    from exness_data_preprocess_spark.operators.dedup import (
+        incremental_dedup,
+        levenshtein_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "p q r s t")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "a b c d e f"), (11, "z y x w v")], "doc_id long, text string"
+    )
+    inc_local = sorted(map(tuple, incremental_dedup(new, corpus).collect()))
+    inc_durable = sorted(
+        map(tuple, incremental_dedup(new, corpus, durable=True).collect())
+    )
+    assert inc_local == inc_durable
+
+    df = spark.createDataFrame(
+        [(1, "en", "x" * 19), (2, "en", "x" * 21)],
+        "doc_id long, lang string, text string",
+    )
+    lev_local = sorted(map(tuple, levenshtein_pairs(df).collect()))
+    lev_durable = sorted(map(tuple, levenshtein_pairs(df, durable=True).collect()))
+    assert lev_local == lev_durable
