@@ -57,6 +57,23 @@ def main() -> None:
     median = round(ordered[len(ordered) // 2], 4) if ordered else 0.0
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Environment pin: round-over-round comparisons must separate plan
+    # regressions from runtime drift (the r1→r2 ×1.4-1.7 uniform shift was
+    # a Spark 4.0→4.1 upgrade, not the queries).
+    env = {
+        "spark_version": spark.version,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "conf": {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.shuffle.partitions",
+                "spark.sql.adaptive.enabled",
+                "spark.sql.adaptive.coalescePartitions.enabled",
+                "spark.sql.ansi.enabled",
+                "spark.sql.files.maxPartitionBytes",
+            )
+        },
+    }
     print(
         json.dumps(
             {
@@ -70,6 +87,7 @@ def main() -> None:
                 "median_query_sec": median,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
                 "wall_including_warmup": wall,
+                "env": env,
             }
         )
     )

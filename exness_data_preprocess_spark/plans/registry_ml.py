@@ -191,6 +191,32 @@ WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
 
 
 # ---------------------------------------------------------------------------
+# Asymmetric n-gram containment pairs (directed; lang-blocked)
+# ---------------------------------------------------------------------------
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    return ngram_containment_pairs(
+        docs, block_cols=("lang",), threshold=0.9
+    )
+
+
+ORACLE_DEDUP_CONTAINMENT = f"""
+WITH d AS (
+  SELECT doc_id, lang, list_distinct({_TOKS}) AS sh FROM documents
+)
+SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6)
+         AS containment
+FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6) >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding cosine near-dup pairs (label-blocked)
 # ---------------------------------------------------------------------------
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -565,6 +591,8 @@ def build_ml_queries() -> dict:
                           "32-bit SimHash fingerprints"),
         "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD,
                                 "exact token-set Jaccard pairs, lang-blocked"),
+        "dedup_containment": (q_dedup_containment, ORACLE_DEDUP_CONTAINMENT,
+                              "asymmetric containment pairs (PPJoin prefix)"),
         "dedup_embedding_cosine": (q_dedup_embedding_cosine,
                                    ORACLE_DEDUP_EMBEDDING_COSINE,
                                    "embedding cosine near-dup pairs, label-blocked"),

@@ -107,6 +107,98 @@ class SparkDataProcessor:
     def get_instruments(self) -> list[str]:
         return self.engine.get_instruments()
 
+    # -- lifecycle (processor.py:150-220) --------------------------------------
+    def close(self) -> None:
+        """Release facade-held resources: drop the registered five-table
+        SQL surface and delete downloaded archives from the landing dir
+        (the reference unlinks its temp-dir ZIPs, processor.py:190-204).
+
+        Does NOT stop the SparkSession — the session is caller-owned and
+        shared, unlike the reference's private ClickHouse client
+        (processor.py:206-220). Cleanup failures are suppressed, mirroring
+        the reference's rationale: a close() error must never mask an
+        in-flight exception.
+        """
+        for view in (
+            "raw_spread_ticks", "standard_ticks", "ohlc_1m",
+            "exchange_sessions", "holidays",
+        ):
+            try:
+                self.spark.catalog.dropTempView(view)
+            except Exception:  # noqa: BLE001 - cleanup must not raise
+                pass
+        try:
+            if self.landing.exists():
+                for item in self.landing.glob("*.zip"):
+                    try:
+                        item.unlink()
+                    except Exception:  # noqa: BLE001
+                        pass
+        except Exception:  # noqa: BLE001
+            pass
+
+    def __enter__(self) -> "SparkDataProcessor":
+        """``with SparkDataProcessor(...) as proc:`` — cleanup on exit
+        (processor.py:150-162)."""
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb) -> bool:
+        """Close on block exit; returns False to propagate exceptions
+        (processor.py:163-205)."""
+        self.close()
+        return False
+
+    # -- convenience API (processor.py:550-618) --------------------------------
+    def get_available_dates(
+        self, pair: str | None = None
+    ) -> tuple[str | None, str | None]:
+        """(earliest, latest) ISO dates with actual data, (None, None) on
+        an empty store (processor.py:550-563)."""
+        cov = self.get_data_coverage(pair)
+        return (cov.earliest_date, cov.latest_date)
+
+    def validate_date_range(
+        self, start_date: str, end_date: str
+    ) -> tuple[bool, str | None]:
+        """(is_valid, error_message) — format check plus ordering, never
+        raises (processor.py:565-594)."""
+        from datetime import datetime
+
+        try:
+            validate_date(start_date, "start_date")
+            validate_date(end_date, "end_date")
+            start_dt = datetime.strptime(start_date, "%Y-%m-%d")
+            end_dt = datetime.strptime(end_date, "%Y-%m-%d")
+        except ValueError as e:
+            return (False, str(e))
+        if start_dt > end_dt:
+            return (
+                False,
+                f"start_date '{start_date}' is after end_date '{end_date}'",
+            )
+        return (True, None)
+
+    def estimate_download_size(
+        self, pair: str | None = None, start_date: str = "2022-01-01",
+        end_date: str = "2022-12-31",
+    ) -> float:
+        """Estimated MB to download for an inclusive month range — the
+        reference's flat ~11 MB/month model (processor.py:596-618,
+        DryRunResult.MB_PER_MONTH)."""
+        from datetime import datetime
+
+        validate_pair(self._default_pair(pair))
+        validate_date(start_date, "start_date")
+        validate_date(end_date, "end_date")
+        start_dt = datetime.strptime(start_date, "%Y-%m-%d")
+        end_dt = datetime.strptime(end_date, "%Y-%m-%d")
+        months = (
+            (end_dt.year - start_dt.year) * 12
+            + (end_dt.month - start_dt.month)
+            + 1
+        )
+        return months * DryRunResult.MB_PER_MONTH
+
     def validate_data(self, instrument: str | None = None) -> dict:
         """Run the declarative tick-quality audit over both variants:
         {table: {rule: violations}} plus per-table row totals. One

@@ -266,3 +266,49 @@ def test_processor_validate_data(spark, tmp_path):
     assert tbl["total_rows"] == 2
     assert tbl["violations"]["inverted_spread"] == 1
     assert tbl["violations"]["null_instrument"] == 0
+
+
+def test_processor_lifecycle_context_manager(spark, tick_dfs, tmp_path):
+    """close()/__exit__ drop the SQL surface and scrub landing ZIPs,
+    suppress cleanup errors, and propagate body exceptions
+    (reference processor.py:150-220)."""
+    raw, _ = tick_dfs
+    with SparkDataProcessor(spark, tmp_path) as p:
+        p.insert_ticks(raw, "raw_spread")
+        p.engine.register_views()
+        assert spark.catalog.tableExists("raw_spread_ticks")
+        p.landing.mkdir(parents=True, exist_ok=True)
+        (p.landing / "stale.zip").write_bytes(b"x")
+    assert not spark.catalog.tableExists("raw_spread_ticks")
+    assert not (tmp_path / "_landing" / "stale.zip").exists()
+    # double-close is safe; __exit__ returns False so exceptions propagate
+    p.close()
+    with pytest.raises(RuntimeError):
+        with SparkDataProcessor(spark, tmp_path):
+            raise RuntimeError("boom")
+
+
+def test_processor_available_dates(proc, spark, tmp_path):
+    earliest, latest = proc.get_available_dates("EURUSD")
+    assert earliest is not None and latest is not None
+    assert earliest <= latest
+    empty = SparkDataProcessor(spark, tmp_path / "nothing")
+    assert empty.get_available_dates("EURUSD") == (None, None)
+
+
+def test_processor_validate_date_range(proc):
+    assert proc.validate_date_range("2024-01-01", "2024-02-01") == (True, None)
+    ok, err = proc.validate_date_range("2024-02-01", "2024-01-01")
+    assert not ok and "after" in err
+    ok, err = proc.validate_date_range("not-a-date", "2024-01-01")
+    assert not ok and "start_date" in err
+    ok, err = proc.validate_date_range("2024-01-01", "2024/02/01")
+    assert not ok and "end_date" in err
+
+
+def test_processor_estimate_download_size(proc):
+    # inclusive month count × flat 11 MB/month (reference model)
+    assert proc.estimate_download_size("EURUSD", "2024-01-15", "2024-03-02") == 33.0
+    assert proc.estimate_download_size("EURUSD", "2024-01-01", "2024-01-31") == 11.0
+    with pytest.raises(ValueError):
+        proc.estimate_download_size("NOTAPAIR", "2024-01-01", "2024-02-01")
