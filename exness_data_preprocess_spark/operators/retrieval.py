@@ -1,0 +1,135 @@
+"""Corpus retrieval / keyword scoring: BM25 top-k and per-group TF-IDF.
+
+Rounds out the training-data curation family (dedup / quality /
+decontamination, SURVEY.md §2 extensions): production pipelines retrieve
+"more like this" slices with BM25 and summarize domain mixes with
+distinctive keywords before choosing sampling weights.
+
+Scale shape:
+- query terms and corpus-level scalars (N, avgdl, per-term df) are
+  broadcast-sized; only the (doc, term) tf pass shuffles, keyed by the
+  uniform doc id. The corpus is never self-joined.
+- per-group TF-IDF windows partition by the group column — bounded state
+  per task, no global sort.
+
+Determinism: the only transcendental is the idf ``ln`` — kept OUT of the
+exact-sum path by quantizing each per-term score to DECIMAL before the
+order-free sum (the finance.py contract); engine ``ln`` disagreement is
+below the 6-decimal rounding at the output edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.operators.dedup import tokens_col
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k documents for a bag of query terms.
+
+    idf uses the always-positive BM25+ variant ``ln(1 + (N - df + 0.5) /
+    (df + 0.5))``. Term scores quantize to DECIMAL(20,10) and sum exactly
+    per doc (order-free); ranking is (score desc, id asc) on the
+    6-rounded score so the top-k set is engine-reproducible.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        tokens_col(F.col(text_col)).alias("tk"),
+    ).select("doc", "tk", F.size("tk").cast("double").alias("dl"))
+
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    hit = toks.select(
+        "doc",
+        "dl",
+        F.explode(F.array_intersect(terms, F.col("tk"))).alias("term"),
+        "tk",
+    ).select(
+        "doc",
+        "dl",
+        "term",
+        F.size(F.filter("tk", lambda x: x == F.col("term")))
+        .cast("double")
+        .alias("tf"),
+    )
+
+    stats = toks.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    dfreq = hit.groupBy("term").agg(
+        F.count_distinct("doc").cast("double").alias("df")
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + (F.lit(b) * F.col("dl")) / F.col("avgdl")
+    )
+    term_score = (idf * ((F.col("tf") * F.lit(k1 + 1.0)) / denom)).cast(
+        "decimal(20,10)"
+    )
+
+    scored = (
+        hit.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc")
+        .agg(F.sum(term_score).alias("s"), F.count("*").alias("n_terms"))
+        .select(
+            F.col("doc").alias(id_col),
+            F.round(F.col("s").cast("double"), 6).alias("bm25"),
+            "n_terms",
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    k: int = 5,
+    text_col: str = "text",
+    min_tf: int = 2,
+) -> DataFrame:
+    """Top-k distinctive terms per group by TF-IDF over group "documents"
+    (all texts of a group concatenated, the domain-mix reporting shape).
+
+    tf = term occurrences within the group; idf = ln(N_groups /
+    groups_containing_term) — ubiquitous terms score exactly 0 and never
+    outrank group-specific vocabulary. Ranking is (rounded score desc,
+    term asc): ties broken on the string, reproducible anywhere.
+    """
+    ex = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    )
+    tf = ex.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    gdf = tf.groupBy("term").agg(F.count_distinct("grp").alias("gdf"))
+    n_groups = df.select(group_col).distinct().count()
+
+    score = F.round(
+        F.col("tf").cast("double")
+        * F.log(F.lit(float(n_groups)) / F.col("gdf").cast("double")),
+        6,
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.filter(F.col("tf") >= min_tf)
+        .join(F.broadcast(gdf), "term")
+        .select("grp", "term", "tf", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumnRenamed("grp", group_col)
+        .select(group_col, "term", "tf", "score", "rank")
+    )

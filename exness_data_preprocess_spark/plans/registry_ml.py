@@ -217,6 +217,84 @@ WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6) >= 0.9
 
 
 # ---------------------------------------------------------------------------
+# Retrieval: BM25 top-k + per-group TF-IDF keywords
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ["spark", "hash", "merge", "window"]
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.retrieval import bm25_topk
+
+    docs = _docs_spread(spark, sf_dir)
+    return bm25_topk(docs, _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    return f"""
+WITH d AS (
+  SELECT doc_id AS doc, {_TOKS} AS tk, len({_TOKS})::DOUBLE AS dl
+  FROM documents
+), hit AS (
+  SELECT doc, dl, t.term,
+         len(list_filter(tk, x -> x = t.term))::DOUBLE AS tf
+  FROM d CROSS JOIN (VALUES {terms}) AS t(term)
+  WHERE list_contains(tk, t.term)
+), stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, sum(dl) / count(*) AS avgdl FROM d
+), dfreq AS (
+  SELECT term, count(DISTINCT doc)::DOUBLE AS df FROM hit GROUP BY term
+), scored AS (
+  SELECT doc,
+         CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+              * ((tf * {k1 + 1.0}) / (tf + {k1} * (1.0 - {b} + ({b} * dl) / avgdl)))
+           AS DECIMAL(20,10)) AS term_score
+  FROM hit JOIN dfreq USING (term) CROSS JOIN stats
+)
+SELECT doc AS doc_id,
+       round(CAST(sum(term_score) AS DOUBLE), 6) AS bm25,
+       count(*) AS n_terms
+FROM scored
+GROUP BY doc
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {_BM25_K}
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.retrieval import (
+        tfidf_top_terms,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    return tfidf_top_terms(docs, group_col="source", k=5, min_tf=2)
+
+
+ORACLE_TFIDF_TOP_TERMS = f"""
+WITH ex AS (
+  SELECT source AS grp, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT grp, term, count(*) AS tf FROM ex GROUP BY 1, 2
+), gdf AS (
+  SELECT term, count(DISTINCT grp) AS gdf FROM tf GROUP BY 1
+), ng AS (
+  SELECT count(DISTINCT source)::DOUBLE AS n FROM documents
+)
+SELECT grp AS source, term, tf,
+       round(tf::DOUBLE * ln(n / gdf::DOUBLE), 6) AS score,
+       CAST(row_number() OVER (
+              PARTITION BY grp
+              ORDER BY round(tf::DOUBLE * ln(n / gdf::DOUBLE), 6) DESC,
+                       term ASC) AS INT) AS rank
+FROM tf JOIN gdf USING (term) CROSS JOIN ng
+WHERE tf >= 2
+QUALIFY rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding cosine near-dup pairs (label-blocked)
 # ---------------------------------------------------------------------------
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -593,6 +671,10 @@ def build_ml_queries() -> dict:
                                 "exact token-set Jaccard pairs, lang-blocked"),
         "dedup_containment": (q_dedup_containment, ORACLE_DEDUP_CONTAINMENT,
                               "asymmetric containment pairs (PPJoin prefix)"),
+        "bm25_topk": (q_bm25_topk, _bm25_oracle(),
+                      "Okapi BM25 top-k retrieval (decimal-exact term sums)"),
+        "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS,
+                            "per-source distinctive keywords by TF-IDF"),
         "dedup_embedding_cosine": (q_dedup_embedding_cosine,
                                    ORACLE_DEDUP_EMBEDDING_COSINE,
                                    "embedding cosine near-dup pairs, label-blocked"),

@@ -1,0 +1,73 @@
+"""operators/retrieval.py: BM25 top-k and per-group TF-IDF keywords."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from exness_data_preprocess_spark.operators.retrieval import (
+    bm25_topk,
+    tfidf_top_terms,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark shuffle join spark spark", "a"),
+            (2, "spark join", "a"),
+            (3, "cat dog fish", "b"),
+            (4, "cat cat dog dog bird bird", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_bm25_ranks_matching_docs_first(docs):
+    out = bm25_topk(docs, ["spark"], k=4).collect()
+    ids = [r["doc_id"] for r in out]
+    # only docs containing the term are scored at all
+    assert set(ids) == {1, 2}
+    # doc 1 has tf=3 vs doc 2 tf=1 and similar length → doc 1 ranks first
+    assert ids[0] == 1
+    assert out[0]["bm25"] > out[1]["bm25"] > 0
+    assert out[0]["n_terms"] == 1
+
+
+def test_bm25_multi_term_sums_and_k_cut(docs):
+    out = bm25_topk(docs, ["spark", "cat"], k=1).collect()
+    assert len(out) == 1  # top-k cut applies after scoring
+
+
+def test_tfidf_zero_for_ubiquitous_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "common alpha alpha", "x"),
+            (2, "common beta beta", "y"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source"], r["term"]): r
+        for r in tfidf_top_terms(df, k=5, min_tf=1).collect()
+    }
+    # "common" appears in both groups → idf = ln(1) = 0 exactly
+    assert out[("x", "common")]["score"] == 0.0
+    # group-specific terms: tf=2, idf=ln(2)
+    assert out[("x", "alpha")]["score"] == pytest.approx(
+        round(2 * math.log(2), 6)
+    )
+    # distinctive term outranks the ubiquitous one
+    assert out[("x", "alpha")]["rank"] < out[("x", "common")]["rank"]
+
+
+def test_tfidf_rank_window_bounded(docs):
+    out = tfidf_top_terms(docs, k=2, min_tf=1).collect()
+    per_group = {}
+    for r in out:
+        per_group.setdefault(r["source"], []).append(r["rank"])
+    for ranks in per_group.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 2
