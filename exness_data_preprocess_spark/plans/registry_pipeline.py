@@ -616,6 +616,117 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest gate over the documents 'landing dir', flagged
+    against the SAME persisted corpus index the batch twin uses — drained
+    with availableNow and hash-checked against the batch-equivalent SQL."""
+    import os
+    import tempfile
+
+    from exness_data_preprocess_spark.plans.registry_ext import _sf_key
+    from exness_data_preprocess_spark.streaming import (
+        run_available_now_to_memory,
+    )
+    from exness_data_preprocess_spark.streaming.ingest_gate import (
+        stream_incremental_dedup,
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    stage = os.path.join(
+        tempfile.gettempdir(), f"docs_stream_stage_{_sf_key(sf_dir)}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    docs = (
+        spark.readStream.format("parquet").schema(schema).load(stage)
+        .filter(F.col("doc_id") >= _INC_SPLIT)
+    )
+    gate = stream_incremental_dedup(
+        docs,
+        _inc_corpus_index(spark, sf_dir),
+        num_perm=_INC_PERM,
+        bands=_INC_BANDS,
+        jaccard_threshold=_INC_T,
+        corpus_bucket_cap=_INC_CAP,
+    )
+    return run_available_now_to_memory(
+        gate, f"stream_inc_dedup_{_sf_key(sf_dir)}", "complete"
+    )
+
+
+def _streaming_incremental_oracle() -> str:
+    """Batch-equivalent SQL for the streaming gate. Differs from the
+    batch twin's oracle in one modeled detail: the degenerate-bucket cap
+    counts the CORPUS side only (the stream cannot globally count its own
+    buckets without a second streaming aggregation)."""
+    from exness_data_preprocess_spark.functions.hashing import (
+        MERSENNE_P,
+        minhash_coeffs,
+    )
+
+    h32 = "(('0x' || substr(md5(s), 1, 8))::BIGINT)"
+    perms = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE_P}))"
+        for a, b in minhash_coeffs(_INC_PERM)
+    )
+    bands_vals = ", ".join(f"({b})" for b in range(_INC_BANDS))
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS sh FROM documents
+), hashed AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {h32}) AS hs FROM d
+), sigs AS (
+  SELECT doc_id, [{perms}] AS sig FROM hashed
+), banded AS (
+  SELECT doc_id, b.band_idx,
+         array_to_string(
+           sig[b.band_idx * {_INC_ROWS} + 1 : b.band_idx * {_INC_ROWS} + {_INC_ROWS}],
+           ',') AS band_key
+  FROM sigs CROSS JOIN (VALUES {bands_vals}) AS b(band_idx)
+), kept_corpus AS (
+  -- corpus-side-only cap (streaming gate semantics)
+  SELECT banded.* FROM banded
+  JOIN (
+    SELECT band_idx, band_key FROM banded
+    WHERE doc_id < {_INC_SPLIT}
+    GROUP BY 1, 2 HAVING count(*) <= {_INC_CAP}
+  ) ok USING (band_idx, band_key)
+  WHERE doc_id < {_INC_SPLIT}
+), cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS cid
+  FROM banded n JOIN kept_corpus c USING (band_idx, band_key)
+  WHERE n.doc_id >= {_INC_SPLIT}
+), ver AS (
+  SELECT new_id, min(cid) AS near_id
+  FROM cand
+  JOIN d dn ON dn.doc_id = cand.new_id
+  JOIN d dc ON dc.doc_id = cand.cid
+  WHERE round(len(list_intersect(dn.sh, dc.sh))::DOUBLE
+              / (len(dn.sh) + len(dc.sh) - len(list_intersect(dn.sh, dc.sh))),
+              6) >= {_INC_T}
+  GROUP BY 1
+), ex AS (
+  SELECT n.doc_id AS new_id, min(c.doc_id) AS exact_id
+  FROM documents n JOIN documents c
+    ON md5(trim(n.text)) = md5(trim(c.text))
+   AND n.doc_id >= {_INC_SPLIT} AND c.doc_id < {_INC_SPLIT}
+  GROUP BY 1
+)
+SELECT n.doc_id,
+       (ex.exact_id IS NOT NULL)::INT AS exact_dup,
+       (ver.near_id IS NOT NULL)::INT AS near_dup,
+       least(ex.exact_id, ver.near_id) AS best_match_id,
+       (ex.exact_id IS NULL AND ver.near_id IS NULL)::INT AS keep
+FROM documents n
+LEFT JOIN ex ON ex.new_id = n.doc_id
+LEFT JOIN ver ON ver.new_id = n.doc_id
+WHERE n.doc_id >= {_INC_SPLIT}
+"""
+
+
 def _incremental_oracle() -> str:
     from exness_data_preprocess_spark.functions.hashing import (
         MERSENNE_P,
@@ -1046,6 +1157,10 @@ def build_pipeline_queries() -> dict:
             q_incremental_dedup, _incremental_oracle(),
             "new-batch-vs-corpus dedup (exact digest + cross-side LSH)",
             True),
+        "streaming_incremental_dedup": (
+            q_streaming_incremental_dedup, _streaming_incremental_oracle(),
+            "Streaming: ingest dedup gate vs persisted corpus index",
+            False),
         "dedup_levenshtein": (
             q_dedup_levenshtein, ORACLE_LEVENSHTEIN,
             "length-blocked edit-distance near-dup pairs",

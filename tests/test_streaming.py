@@ -287,3 +287,54 @@ def test_running_anomaly_state_carries_across_batches(spark, tmp_path):
     assert list(out["n_prev"]) == list(range(7))
     assert out[out["event_id"] == 6]["anomaly"].iloc[0] == 1
     assert out[out["event_id"] != 6]["anomaly"].sum() == 0
+
+
+def test_stream_ingest_gate_matches_batch_incremental_dedup(spark, tmp_path):
+    """The streaming ingest gate (per-row minhash + stream-static index
+    joins + one complete-mode aggregation) must reproduce the batch
+    incremental_dedup flags exactly for the same corpus index."""
+    from exness_data_preprocess_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+    from exness_data_preprocess_spark.streaming import (
+        run_available_now_to_memory,
+    )
+    from exness_data_preprocess_spark.streaming.ingest_gate import (
+        stream_incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five six"),
+            (3, "quick brown fox jumps over dog"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),      # exact dup of 1
+            (11, "one two three four five six seven"),   # near dup of 2
+            (12, "totally novel content appears here"),  # fresh
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_dedup_index(corpus)
+    expected = sorted(map(tuple, incremental_dedup(new, corpus).collect()))
+
+    src = str(tmp_path / "incoming")
+    new.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.format("parquet").schema(new.schema).load(src)
+    )
+    gate = stream_incremental_dedup(stream, idx)
+    got = sorted(
+        map(
+            tuple,
+            run_available_now_to_memory(
+                gate, "t_ingest_gate", "complete"
+            ).collect(),
+        )
+    )
+    assert got == expected
