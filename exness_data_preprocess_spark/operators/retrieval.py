@@ -48,18 +48,26 @@ def bm25_topk(
     ).select("doc", "tk", F.size("tk").cast("double").alias("dl"))
 
     terms = F.array(*[F.lit(t) for t in query_terms])
-    hit = toks.select(
-        "doc",
-        "dl",
-        F.explode(F.array_intersect(terms, F.col("tk"))).alias("term"),
-        "tk",
-    ).select(
-        "doc",
-        "dl",
-        "term",
-        F.size(F.filter("tk", lambda x: x == F.col("term")))
-        .cast("double")
-        .alias("tf"),
+    # hit is referenced twice (df counts + scoring); persist the SMALL
+    # per-(matching doc, term) frame so the corpus text is scanned once
+    # for it, not once per consumer. stats is a second, column-pruned
+    # corpus scan (it needs every doc's length, hits or not).
+    hit = (
+        toks.select(
+            "doc",
+            "dl",
+            F.explode(F.array_intersect(terms, F.col("tk"))).alias("term"),
+            "tk",
+        )
+        .select(
+            "doc",
+            "dl",
+            "term",
+            F.size(F.filter("tk", lambda x: x == F.col("term")))
+            .cast("double")
+            .alias("tf"),
+        )
+        .persist()
     )
 
     stats = toks.agg(
@@ -114,19 +122,25 @@ def tfidf_top_terms(
         F.col(group_col).alias("grp"),
         F.explode(tokens_col(F.col(text_col))).alias("term"),
     )
-    tf = ex.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    # tf is vocabulary-sized ((group, term) rows) and feeds both the
+    # group-frequency aggregate and the final scoring join — persist so
+    # the corpus tokenization pass runs once.
+    tf = ex.groupBy("grp", "term").agg(F.count("*").alias("tf")).persist()
     gdf = tf.groupBy("term").agg(F.count_distinct("grp").alias("gdf"))
-    n_groups = df.select(group_col).distinct().count()
+    # group count as a broadcast 1-row frame, not a driver-side action —
+    # the plan stays fully lazy and submits as one job
+    ng = tf.agg(F.count_distinct("grp").cast("double").alias("n_groups"))
 
     score = F.round(
         F.col("tf").cast("double")
-        * F.log(F.lit(float(n_groups)) / F.col("gdf").cast("double")),
+        * F.log(F.col("n_groups") / F.col("gdf").cast("double")),
         6,
     )
     w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("term"))
     return (
         tf.filter(F.col("tf") >= min_tf)
         .join(F.broadcast(gdf), "term")
+        .crossJoin(F.broadcast(ng))
         .select("grp", "term", "tf", score.alias("score"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
