@@ -374,6 +374,67 @@ def stratified_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "mix-v1",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-smoothed corpus mixing: per-stratum keep rates derived
+    from the α-smoothed size distribution p_g ∝ n_g^α (the standard
+    multilingual rebalancing recipe — α < 1 upsamples the share of
+    low-resource strata relative to their raw frequency), targeting
+    ``target_fraction`` of the corpus overall, then the same
+    seeded-md5-bucket membership as :func:`stratified_sample`.
+
+    Fully lazy: group sizes, the smoothed weights, and the rate table are
+    broadcast-sized frames derived in-plan — no driver-side collect. The
+    weight sum is quantized to DECIMAL before summing (order-free), so
+    the derived rates — and therefore the exact sampled row set — are
+    engine-reproducible. α=0.5 uses ``sqrt`` (IEEE correctly-rounded);
+    other α go through ``pow``, which carries a last-ulp cross-engine
+    caveat (document when using a non-default α with an external oracle).
+
+    Rates cap at 1.0 per stratum: a stratum whose smoothed share exceeds
+    its raw size keeps everything (the shortfall is NOT redistributed —
+    matching the common implementation, which renormalizes at the epoch
+    level instead).
+    """
+    n_g = F.col("n_g").cast("double")
+    w = F.sqrt(n_g) if alpha == 0.5 else F.pow(n_g, F.lit(alpha))
+    g = (
+        df.groupBy(stratum_col)
+        .agg(F.count("*").alias("n_g"))
+        .withColumn("wq", w.cast("decimal(24,9)"))
+    )
+    s = g.agg(
+        F.sum("wq").cast("double").alias("wsum"),
+        F.sum("n_g").alias("n_total"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(target_fraction) * F.col("n_total").cast("double"))
+        * (F.col("wq").cast("double") / F.col("wsum"))
+        / n_g,
+    )
+    keep = (
+        g.crossJoin(F.broadcast(s))
+        .select(
+            stratum_col,
+            F.round(rate * buckets).cast("long").alias("__keep_lt"),
+        )
+    )
+    bucket = md5_h32(F.concat(F.lit(seed), F.col(id_col).cast("string"))) % buckets
+    return (
+        df.join(F.broadcast(keep), stratum_col)
+        .filter(bucket < F.col("__keep_lt"))
+        .drop("__keep_lt")
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -295,6 +295,49 @@ WHERE (('0x' || substr(md5('sample-v1' || doc_id::VARCHAR), 1, 8))::BIGINT)
 
 
 # ---------------------------------------------------------------------------
+# Temperature-smoothed corpus mixing (α-sampling)
+# ---------------------------------------------------------------------------
+_MIX_ALPHA, _MIX_TARGET = 0.5, 0.5
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.textstats import (
+        temperature_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_sample(
+        docs, alpha=_MIX_ALPHA, target_fraction=_MIX_TARGET,
+        stratum_col="lang", id_col="doc_id",
+        seed="mix-v1", buckets=_BUCKETS,
+    ).select("doc_id", "lang", "source")
+
+
+ORACLE_TEMPERATURE_MIX = f"""
+WITH g AS (
+  SELECT lang, count(*) AS n_g FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n_g, CAST(sqrt(n_g::DOUBLE) AS DECIMAL(24,9)) AS wq FROM g
+), s AS (
+  SELECT CAST(sum(wq) AS DOUBLE) AS wsum,
+         CAST(sum(n_g) AS BIGINT) AS n_total
+  FROM w
+), k AS (
+  SELECT lang,
+         CAST(round(least(1.0,
+                ({_MIX_TARGET} * n_total::DOUBLE)
+                * (CAST(wq AS DOUBLE) / wsum) / n_g::DOUBLE)
+              * {_BUCKETS}) AS BIGINT) AS keep_lt
+  FROM w CROSS JOIN s
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN k USING (lang)
+WHERE (('0x' || substr(md5('mix-v1' || d.doc_id::VARCHAR), 1, 8))::BIGINT)
+      % {_BUCKETS} < keep_lt
+"""
+
+
+# ---------------------------------------------------------------------------
 # int8 embedding quantization
 # ---------------------------------------------------------------------------
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1161,6 +1204,10 @@ def build_pipeline_queries() -> dict:
             q_streaming_incremental_dedup, _streaming_incremental_oracle(),
             "Streaming: ingest dedup gate vs persisted corpus index",
             False),
+        "temperature_mix_sample": (
+            q_temperature_mix, ORACLE_TEMPERATURE_MIX,
+            "α-smoothed temperature mixing rates + deterministic sample",
+            True),
         "dedup_levenshtein": (
             q_dedup_levenshtein, ORACLE_LEVENSHTEIN,
             "length-blocked edit-distance near-dup pairs",

@@ -331,3 +331,34 @@ def test_quality_percentile_filter_keeps_top_fraction_per_stratum(spark):
     # percent_rank = (rank-1)/(n-1) ≤ 0.5 keeps floor(0.5·(n-1))+1 rows
     assert len(en) == 50 and min(en) == 50   # top half of 0..99 by score
     assert len(de) == 25 and min(de) == 125  # top 25 of 100..149
+
+
+def test_temperature_sample_upsamples_low_resource_strata(spark):
+    """α=0.5 mixing keeps a larger FRACTION of small strata than big
+    ones, rates cap at 1.0, and membership is re-run deterministic."""
+    from exness_data_preprocess_spark.operators.textstats import (
+        temperature_sample,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(
+        df, alpha=0.5, target_fraction=0.5, stratum_col="lang"
+    )
+    kept = out.groupBy("lang").count().collect()
+    frac = {r["lang"]: r["count"] / (900 if r["lang"] == "big" else 100) for r in kept}
+    # smoothed shares: sqrt(900):sqrt(100) = 3:1 → small stratum's target
+    # (0.5*1000*0.25=125) exceeds its size → rate caps at 1.0
+    assert frac["small"] == 1.0
+    # big stratum keeps 0.5*1000*0.75/900 ≈ 41.7% ± sampling noise
+    assert 0.3 < frac["big"] < 0.55
+    assert frac["small"] > frac["big"]
+    # deterministic: identical row set on re-run
+    again = temperature_sample(
+        df, alpha=0.5, target_fraction=0.5, stratum_col="lang"
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
