@@ -270,3 +270,20 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_bm25_small_sides_broadcast(spark):
+    """Per-term document frequencies and the corpus stats row must enter
+    as broadcasts; no sort-merge join anywhere in the retrieval plan."""
+    plan = plan_of(QUERIES["bm25_topk"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan          # dfreq equi-join
+    assert "BroadcastNestedLoopJoin" in plan    # 1-row stats cross join
+    assert "SortMergeJoin" not in plan
+
+
+def test_temperature_mix_rate_table_broadcasts(spark):
+    """The derived keep-rate dim joins broadcast onto the corpus scan —
+    the filter must not shuffle the fact side."""
+    plan = plan_of(QUERIES["temperature_mix_sample"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
