@@ -1,0 +1,135 @@
+"""Property-based finance-operator parity: random event streams vs
+independent pandas reference implementations. Randomization hunts the
+edges the oracle fixture can't enumerate — single-observation buckets,
+ties in timestamp (tie_col ordering), zero values on the volatility
+path, buckets whose last event sits exactly on the hour boundary.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from exness_data_preprocess_spark.operators.finance import (
+    realized_volatility_daily,
+    twap_hourly,
+)
+
+EPOCH = dt.datetime(2024, 1, 1)
+US_PER_HOUR = 3_600_000_000
+
+# seconds over ~6 hours so hour boundaries get crossed; small value grid
+# (including 0) exercises the zero-price return convention
+events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6 * 3600),  # ts offset (s)
+        st.sampled_from([0.0, 0.5, 1.0, 2.0, 10.0]),   # value
+        st.sampled_from(["a", "b"]),                   # key
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _frame(spark, rows):
+    data = [
+        (i, EPOCH + dt.timedelta(seconds=o), k, v)
+        for i, (o, v, k) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def _pandas_twap(rows):
+    df = pd.DataFrame(
+        [
+            {
+                "key": k,
+                "ts": EPOCH + dt.timedelta(seconds=o),
+                "v": v,
+                "tie": i,
+            }
+            for i, (o, v, k) in enumerate(rows)
+        ]
+    )
+    df["hour"] = df["ts"].dt.floor("h")
+    out = {}
+    for (k, h), grp in df.groupby(["key", "hour"]):
+        grp = grp.sort_values(["ts", "tie"])
+        ts_us = grp["ts"].astype("int64") // 1000
+        end_us = int(h.value // 1000) + US_PER_HOUR
+        durs = list(ts_us.diff(-1).abs().dropna()) + [end_us - int(ts_us.iloc[-1])]
+        wsum = sum(float(v) * d for v, d in zip(grp["v"], durs))
+        out[(k, int(h.value // 1000))] = (wsum / sum(durs), int(sum(durs)), len(grp))
+    return out
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=events)
+def test_twap_matches_pandas_reference(spark, rows):
+    got = {
+        (r["event_type"], r["hour_us"]): (
+            r["twap"],
+            r["weighted_us"],
+            r["n_events"],
+        )
+        for r in twap_hourly(_frame(spark, rows)).collect()
+    }
+    want = _pandas_twap(rows)
+    assert set(got) == set(want)
+    for key in want:
+        gt, gw, gn = got[key]
+        wt, ww, wn = want[key]
+        assert (gw, gn) == (ww, wn)
+        assert abs(gt - wt) < 1e-6
+
+
+def _pandas_rv(rows):
+    df = pd.DataFrame(
+        [
+            {
+                "key": k,
+                "day": (EPOCH + dt.timedelta(seconds=o)).date(),
+                "ts": EPOCH + dt.timedelta(seconds=o),
+                "v": v,
+                "tie": i,
+            }
+            for i, (o, v, k) in enumerate(rows)
+        ]
+    )
+    out = {}
+    for (k, d), grp in df.groupby(["key", "day"]):
+        grp = grp.sort_values(["ts", "tie"])
+        rv, n = 0.0, 0
+        prev = None
+        for v in grp["v"]:
+            if prev is not None and prev != 0.0:
+                r = v / prev - 1.0
+                rv += r * r
+                n += 1
+            prev = v
+        out[(k, d.isoformat())] = (rv if n else None, n)
+    return out
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=events)
+def test_realized_vol_matches_pandas_reference(spark, rows):
+    got = {
+        (r["event_type"], r["day"]): (r["rv"], r["n_returns"])
+        for r in realized_volatility_daily(_frame(spark, rows)).collect()
+    }
+    want = _pandas_rv(rows)
+    assert set(got) == set(want)
+    for key in want:
+        grv, gn = got[key]
+        wrv, wn = want[key]
+        assert gn == wn
+        if wrv is None:
+            assert grv is None
+        else:
+            assert abs(grv - wrv) < 1e-6
