@@ -374,6 +374,62 @@ def stratified_sample(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window splitting step of LLM data prep (long docs become
+    training-sized pieces; the overlap preserves cross-boundary context).
+
+    One row per (doc, chunk): (doc_id, chunk_idx, tok_start, n_tokens,
+    chunk_text). Chunks start every ``chunk_tokens − overlap_tokens``
+    tokens; a doc not longer than one window yields exactly one chunk,
+    and the final window is allowed to be short (no padding, no dropped
+    tail). Pure per-row array expressions (split → sequence explode →
+    slice → concat_ws): embarrassingly parallel, no shuffle at any
+    corpus size, and exactly reproducible in SQL.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    step = chunk_tokens - overlap_tokens
+    toks = tokens_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col), toks.alias("tk"), F.size(toks).alias("n")
+    )
+    # number of windows: 1 + ceil(max(0, n - chunk)/step) — integer math
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(F.lit(0), F.col("n") - F.lit(chunk_tokens))
+        / F.lit(step)
+    ).cast("int")
+    return (
+        base.withColumn(
+            "chunk_idx",
+            F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            (F.col("chunk_idx") * step).alias("tok_start"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.col("n") - F.col("chunk_idx") * step,
+            ).alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "tk",
+                    F.col("chunk_idx") * step + 1,
+                    F.lit(chunk_tokens),
+                ),
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     alpha: float = 0.5,

@@ -295,6 +295,45 @@ WHERE (('0x' || substr(md5('sample-v1' || doc_id::VARCHAR), 1, 8))::BIGINT)
 
 
 # ---------------------------------------------------------------------------
+# Document chunking (context-window splitting with overlap)
+# ---------------------------------------------------------------------------
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 32, 8
+_CHUNK_STEP = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.textstats import (
+        chunk_documents,
+    )
+    from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
+
+    docs = _docs_spread(spark, sf_dir)
+    return chunk_documents(
+        docs, chunk_tokens=_CHUNK_TOKENS, overlap_tokens=_CHUNK_OVERLAP
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS tk, len({_TOKS}) AS n FROM documents
+), c AS (
+  SELECT doc_id, n, tk,
+         unnest(generate_series(0,
+           CAST(ceil(greatest(0, n - {_CHUNK_TOKENS})::DOUBLE
+                     / {_CHUNK_STEP}) AS INT))) AS chunk_idx
+  FROM d
+)
+SELECT doc_id, chunk_idx,
+       chunk_idx * {_CHUNK_STEP} AS tok_start,
+       least({_CHUNK_TOKENS}, n - chunk_idx * {_CHUNK_STEP}) AS n_tokens,
+       array_to_string(
+         tk[chunk_idx * {_CHUNK_STEP} + 1 : chunk_idx * {_CHUNK_STEP} + {_CHUNK_TOKENS}],
+         ' ') AS chunk_text
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # Temperature-smoothed corpus mixing (α-sampling)
 # ---------------------------------------------------------------------------
 _MIX_ALPHA, _MIX_TARGET = 0.5, 0.5
@@ -1207,6 +1246,10 @@ def build_pipeline_queries() -> dict:
         "temperature_mix_sample": (
             q_temperature_mix, ORACLE_TEMPERATURE_MIX,
             "α-smoothed temperature mixing rates + deterministic sample",
+            True),
+        "chunk_documents": (
+            q_chunk_documents, ORACLE_CHUNK_DOCUMENTS,
+            "overlapping token-window chunking (context-window prep)",
             True),
         "dedup_levenshtein": (
             q_dedup_levenshtein, ORACLE_LEVENSHTEIN,

@@ -362,3 +362,49 @@ def test_temperature_sample_upsamples_low_resource_strata(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    """Chunk starts advance by chunk−overlap; a short doc yields one
+    chunk; the tail window is short, never dropped or padded; overlap
+    tokens repeat across adjacent chunks."""
+    from exness_data_preprocess_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "solo")], "doc_id long, text string"
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in chunk_documents(df, chunk_tokens=4, overlap_tokens=1).collect()
+    }
+    # doc 1: 10 tokens, window 4, step 3 → starts 0,3,6 cover to 10 → 3 chunks
+    assert {k for k in out if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert out[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert out[(1, 1)]["chunk_text"] == "t3 t4 t5 t6"   # t3 overlaps
+    assert out[(1, 2)]["chunk_text"] == "t6 t7 t8 t9"
+    assert out[(1, 2)]["n_tokens"] == 4
+    # doc 2: single short chunk, no padding
+    assert out[(2, 0)]["chunk_text"] == "solo" and out[(2, 0)]["n_tokens"] == 1
+    assert {k for k in out if k[0] == 2} == {(2, 0)}
+    # short tail case: 11 tokens → starts 0,3,6,9; last has 2 tokens
+    df2 = spark.createDataFrame(
+        [(3, " ".join(f"x{i}" for i in range(11)))], "doc_id long, text string"
+    )
+    rows = chunk_documents(df2, chunk_tokens=4, overlap_tokens=1).collect()
+    last = max(rows, key=lambda r: r["chunk_idx"])
+    assert last["tok_start"] == 9 and last["n_tokens"] == 2
+    assert last["chunk_text"] == "x9 x10"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from exness_data_preprocess_spark.operators.textstats import (
+        chunk_documents,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
