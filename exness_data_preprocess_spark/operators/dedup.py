@@ -303,29 +303,25 @@ class DedupIndex(NamedTuple):
     shingles: DataFrame
 
 
-def build_dedup_index(
-    corpus_df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_perm: int = 16,
-    bands: int = 4,
-    shingle_n: int = 1,
-) -> DedupIndex:
-    """Build the corpus-side artifacts :func:`incremental_dedup` consumes.
-
-    Expression-identical to the operator's self-contained path (and to
-    :func:`minhash_lsh_pairs` / the DuckDB oracle), so feeding the index
-    back produces bit-identical results. Each frame is one scan-shaped
-    pass over the corpus — run it at ingest, append-write the outputs.
-    """
+def _banded_minhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_n: int,
+    out_id: str,
+) -> DataFrame:
+    """(out_id, band_idx, band_key) LSH band rows — the single source of
+    the band-key format (minhash components → per-band comma-joined
+    strings). Shared by the index builder and the batch operator's
+    new-side path; the streaming gate's per-row variant
+    (streaming/ingest_gate.py) mirrors it value-for-value and is pinned
+    by the stream-vs-batch parity test."""
     rows_per_band = num_perm // bands
-    digests = corpus_df.select(
-        F.col(id_col).alias("cid"),
-        F.md5(F.trim(F.col(text_col))).alias("k"),
-    )
-    comps = minhash_components(corpus_df, text_col, id_col, num_perm, shingle_n)
-    banded = comps.select(
-        F.col("id").alias("cid"),
+    comps = minhash_components(df, text_col, id_col, num_perm, shingle_n)
+    return comps.select(
+        F.col("id").alias(out_id),
         F.posexplode(
             F.array(
                 *[
@@ -342,6 +338,35 @@ def build_dedup_index(
                 ]
             )
         ).alias("band_idx", "band_key"),
+    )
+
+
+def build_dedup_index(
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+) -> DedupIndex:
+    """Build the corpus-side artifacts :func:`incremental_dedup` consumes.
+
+    Expression-identical to the operator's self-contained path (and to
+    :func:`minhash_lsh_pairs` / the DuckDB oracle), so feeding the index
+    back produces bit-identical results. Each frame is one scan-shaped
+    pass over the corpus — run it at ingest, append-write the outputs.
+
+    The consumer MUST be called with the same ``num_perm``/``bands``/
+    ``shingle_n`` the index was built with: band keys from a different
+    signature family simply never match (all near-dups silently missed),
+    so persist the parameters alongside the artifacts.
+    """
+    digests = corpus_df.select(
+        F.col(id_col).alias("cid"),
+        F.md5(F.trim(F.col(text_col))).alias("k"),
+    )
+    banded = _banded_minhash(
+        corpus_df, text_col, id_col, num_perm, bands, shingle_n, "cid"
     )
     shingles = corpus_df.select(
         F.col(id_col).alias("cid"),
@@ -388,57 +413,26 @@ def incremental_dedup(
     """
     if corpus_index is None and corpus_df is None:
         raise ValueError("need corpus_df or corpus_index")
-    rows_per_band = num_perm // bands
-
-    def digest(df: DataFrame, out: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out),
-            F.md5(F.trim(F.col(text_col))).alias("k"),
-        )
-
-    # same band construction as minhash_lsh_pairs (kept expression-identical
-    # so signatures/buckets agree with the self-join operator + its oracle)
-    def banded_of(df: DataFrame) -> DataFrame:
-        comps = minhash_components(df, text_col, id_col, num_perm, shingle_n)
-        return comps.select(
-            "id",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"m{i}").cast("string")
-                                for i in range(
-                                    b * rows_per_band, (b + 1) * rows_per_band
-                                )
-                            ],
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band_idx", "band_key"),
-        )
-
     if corpus_index is None:
-        corpus_index = DedupIndex(
-            digests=digest(corpus_df, "cid"),
-            bands=banded_of(corpus_df).withColumnRenamed("id", "cid"),
-            shingles=corpus_df.select(
-                F.col(id_col).alias("cid"),
-                shingles_col(F.col(text_col), shingle_n).alias("sh_c"),
-            ),
+        corpus_index = build_dedup_index(
+            corpus_df, text_col, id_col, num_perm, bands, shingle_n
         )
 
     corp_min = corpus_index.digests.groupBy("k").agg(
         F.min("cid").alias("exact_id")
     )
     exact = (
-        digest(new_df, "new_id").join(corp_min, "k", "left")
+        new_df.select(
+            F.col(id_col).alias("new_id"),
+            F.md5(F.trim(F.col(text_col))).alias("k"),
+        )
+        .join(corp_min, "k", "left")
         .select("new_id", "exact_id")
     )
 
-    b_new = banded_of(new_df).withColumnRenamed("id", "new_id")
+    b_new = _banded_minhash(
+        new_df, text_col, id_col, num_perm, bands, shingle_n, "new_id"
+    )
     b_corp = corpus_index.bands
     if max_bucket_size is not None:
         # Same degenerate-band guard as minhash_lsh_pairs, counted over

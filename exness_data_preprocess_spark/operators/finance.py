@@ -57,7 +57,11 @@ def twap_hourly(
 
     Weighted sums run as DECIMAL(18,6) × DECIMAL(18,0)-µs-duration
     products — exact integer-scaled arithmetic, summed order-free — and a
-    single double division at the edge. ``_dur`` is strictly positive
+    single double division at the edge. Domain bound: |value| < 1e12
+    (DECIMAL(18,6)'s integer range) — beyond any real price; an
+    out-of-range value raises under ANSI mode rather than silently
+    dropping the observation, because a dropped event would corrupt the
+    holding-time weights of its neighbors. ``_dur`` is strictly positive
     (the last observation's duration to bucket end is > 0 because
     ``date_trunc`` maps a boundary timestamp into the bucket it opens),
     so the edge division cannot hit zero.
@@ -141,7 +145,12 @@ def realized_volatility_daily(
         F.col(tie_col).alias("tie"),
         F.col(value_col).cast("double").alias("v"),
     )
-    r = (F.try_divide(F.col("v"), F.lag("v").over(w)) - F.lit(1.0)).cast(
+    # try_cast, not cast: a pathological return (previous price ~1e-6 →
+    # r ~1e9+) would overflow DECIMAL(18,9) and, under ANSI mode, kill
+    # the job. try_cast folds the overflow into the same NULL-return
+    # convention as a zero previous price: excluded from rv AND from
+    # n_returns, mirrored by TRY_CAST in the oracle.
+    r = (F.try_divide(F.col("v"), F.lag("v").over(w)) - F.lit(1.0)).try_cast(
         "decimal(18,9)"
     )
     e = e.withColumn("term", r * r)

@@ -128,8 +128,13 @@ def tfidf_top_terms(
     tf = ex.groupBy("grp", "term").agg(F.count("*").alias("tf")).persist()
     gdf = tf.groupBy("term").agg(F.count_distinct("grp").alias("gdf"))
     # group count as a broadcast 1-row frame, not a driver-side action —
-    # the plan stays fully lazy and submits as one job
-    ng = tf.agg(F.count_distinct("grp").cast("double").alias("n_groups"))
+    # the plan stays fully lazy and submits as one job. Counted from the
+    # SOURCE frame, not from tf: a group whose every text is NULL has no
+    # token rows but still counts toward N (matching `count(DISTINCT
+    # group)` over the table in any external SQL engine).
+    ng = df.agg(
+        F.count_distinct(F.col(group_col)).cast("double").alias("n_groups")
+    )
 
     score = F.round(
         F.col("tf").cast("double")

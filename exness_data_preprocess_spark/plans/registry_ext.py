@@ -38,8 +38,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(tempfile.gettempdir(), f"stream_stage_{_sf_key(sf_dir)}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    # lexists, not exists: a dangling symlink (fixture moved/regenerated)
+    # reports exists()=False but still blocks os.symlink
+    if os.path.lexists(link):
+        os.remove(link)
+    os.symlink(path, link)
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.format("parquet").schema(schema).load(stage)
     return normalize_event_ts(raw)
@@ -727,8 +730,8 @@ WITH e AS (
   FROM events
 ), r AS (
   SELECT event_type, day,
-         CAST(CASE WHEN lag(v) OVER w = 0 THEN NULL
-                   ELSE v / lag(v) OVER w - 1.0 END AS DECIMAL(18,9)) AS ret
+         TRY_CAST(CASE WHEN lag(v) OVER w = 0 THEN NULL
+                       ELSE v / lag(v) OVER w - 1.0 END AS DECIMAL(18,9)) AS ret
   FROM e
   WINDOW w AS (PARTITION BY event_type, day ORDER BY ts_us, tie)
 )

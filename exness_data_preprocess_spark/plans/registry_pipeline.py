@@ -656,6 +656,7 @@ def _inc_corpus_index(spark: SparkSession, sf_dir: str):
     join. The first invocation per process+sf builds the artifacts (the
     ingest cost, paid once); subsequent invocations are pure readers.
     """
+    import hashlib
     import os
     import tempfile
 
@@ -663,14 +664,22 @@ def _inc_corpus_index(spark: SparkSession, sf_dir: str):
         DedupIndex,
         build_dedup_index,
     )
-    from exness_data_preprocess_spark.plans.registry_ext import _sf_key
     from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
 
-    base = os.path.join(
-        tempfile.gettempdir(), f"inc_dedup_index_{_sf_key(sf_dir)}"
-    )
+    # Cache key = source-file fingerprint (path + size + mtime) + the
+    # signature params. A path-only key would serve a STALE index if the
+    # fixture is regenerated in place between rounds — wrong dedup
+    # decisions with no error (and oracle mismatches, since the oracle
+    # always reads the live table). A params change likewise invalidates.
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    fp = hashlib.md5(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|{_INC_SPLIT}|{_INC_PERM}|"
+        f"{_INC_BANDS}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"inc_dedup_index_{fp}")
     parts = ("digests", "bands", "shingles")
-    if not all(os.path.exists(os.path.join(base, p)) for p in parts):
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
         corpus = _docs_spread(spark, sf_dir).filter(F.col("doc_id") < _INC_SPLIT)
         idx = build_dedup_index(
             corpus, num_perm=_INC_PERM, bands=_INC_BANDS, shingle_n=1
@@ -679,6 +688,10 @@ def _inc_corpus_index(spark: SparkSession, sf_dir: str):
             getattr(idx, p).write.mode("overwrite").parquet(
                 os.path.join(base, p)
             )
+        # marker written LAST so a crashed/concurrent partial build is
+        # rebuilt rather than read half-written
+        with open(done, "w") as f:
+            f.write("ok")
     return DedupIndex(
         *(spark.read.parquet(os.path.join(base, p)) for p in parts)
     )
@@ -719,8 +732,11 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    # lexists, not exists: a dangling symlink (fixture moved/regenerated)
+    # reports exists()=False but still blocks os.symlink
+    if os.path.lexists(link):
+        os.remove(link)
+    os.symlink(path, link)
     schema = spark.read.parquet(path).schema
     docs = (
         spark.readStream.format("parquet").schema(schema).load(stage)

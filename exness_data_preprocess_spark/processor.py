@@ -184,7 +184,9 @@ class SparkDataProcessor:
     ) -> float:
         """Estimated MB to download for an inclusive month range — the
         reference's flat ~11 MB/month model (processor.py:596-618,
-        DryRunResult.MB_PER_MONTH)."""
+        DryRunResult.MB_PER_MONTH). Rejects a reversed range (the
+        reference would return a negative size there; an estimate below
+        zero is never meaningful)."""
         from datetime import datetime
 
         validate_pair(self._default_pair(pair))
@@ -192,6 +194,10 @@ class SparkDataProcessor:
         validate_date(end_date, "end_date")
         start_dt = datetime.strptime(start_date, "%Y-%m-%d")
         end_dt = datetime.strptime(end_date, "%Y-%m-%d")
+        if start_dt > end_dt:
+            raise ValueError(
+                f"start_date '{start_date}' is after end_date '{end_date}'"
+            )
         months = (
             (end_dt.year - start_dt.year) * 12
             + (end_dt.month - start_dt.month)

@@ -51,6 +51,11 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # reliable checkpoints (operators/dedup.py durable plan
+        # truncation) are deleted once their RDD is GC'd — without this a
+        # long-lived session running repeated dedup batches accumulates
+        # unbounded checkpoint data in the checkpoint dir
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -312,3 +312,8 @@ def test_processor_estimate_download_size(proc):
     assert proc.estimate_download_size("EURUSD", "2024-01-01", "2024-01-31") == 11.0
     with pytest.raises(ValueError):
         proc.estimate_download_size("NOTAPAIR", "2024-01-01", "2024-02-01")
+
+
+def test_processor_estimate_rejects_reversed_range(proc):
+    with pytest.raises(ValueError, match="after"):
+        proc.estimate_download_size("EURUSD", "2024-03-01", "2024-01-01")
