@@ -782,6 +782,85 @@ ORDER BY day
 """
 
 
+# ---------------------------------------------------------------------------
+# Event-flow analytics: ordered funnel + cohort retention
+# (operators/eventflow.py — relational spellings of ClickHouse's
+#  windowFunnel/retention aggregate combinators)
+# ---------------------------------------------------------------------------
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.eventflow import funnel_counts
+    from exness_data_preprocess_spark.plans.registry import load
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    )
+    return funnel_counts(ev, _FUNNEL_STEPS, within_col="day")
+
+
+ORACLE_FUNNEL_DAILY = f"""
+WITH ev AS (
+  SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, user_id AS k,
+         event_type AS t, epoch_us(ts) AS us
+  FROM events
+), s1 AS (
+  SELECT day, k, min(us) AS t1 FROM ev WHERE t = '{_FUNNEL_STEPS[0]}'
+  GROUP BY day, k
+), s2 AS (
+  SELECT ev.day, ev.k, min(us) AS t2
+  FROM ev JOIN s1 ON ev.day = s1.day AND ev.k = s1.k
+  WHERE t = '{_FUNNEL_STEPS[1]}' AND us > t1
+  GROUP BY ev.day, ev.k
+), s3 AS (
+  SELECT ev.day, ev.k, min(us) AS t3
+  FROM ev JOIN s2 ON ev.day = s2.day AND ev.k = s2.k
+  WHERE t = '{_FUNNEL_STEPS[2]}' AND us > t2
+  GROUP BY ev.day, ev.k
+)
+SELECT s1.day,
+       count(s1.t1) AS n_step_1,
+       count(s2.t2) AS n_step_2,
+       count(s3.t3) AS n_step_3
+FROM s1
+LEFT JOIN s2 ON s1.day = s2.day AND s1.k = s2.k
+LEFT JOIN s3 ON s1.day = s3.day AND s1.k = s3.k
+GROUP BY s1.day
+ORDER BY s1.day
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.eventflow import (
+        cohort_retention,
+    )
+    from exness_data_preprocess_spark.plans.registry import load
+
+    return cohort_retention(load(spark, sf_dir, "events"), max_offset_days=7)
+
+
+ORACLE_COHORT_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id AS k, ts::DATE AS day FROM events
+), f AS (
+  SELECT k, min(day) AS cohort_day FROM act GROUP BY k
+), sizes AS (
+  SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY cohort_day
+), j AS (
+  SELECT f.cohort_day,
+         date_diff('day', f.cohort_day, act.day) AS offset_days, act.k
+  FROM act JOIN f USING (k)
+  WHERE date_diff('day', f.cohort_day, act.day) <= 7
+)
+SELECT strftime(j.cohort_day, '%Y-%m-%d') AS cohort_day, offset_days,
+       count(DISTINCT k) AS n_active, cohort_size
+FROM j JOIN sizes USING (cohort_day)
+GROUP BY j.cohort_day, offset_days, cohort_size
+ORDER BY 1, 2
+"""
+
+
 def build_ext_queries() -> dict:
     """name → (spark_fn, oracle_sql|None, description, bench)"""
     return {
@@ -885,6 +964,18 @@ def build_ext_queries() -> dict:
             q_hourly_count_corr,
             ORACLE_HOURLY_COUNT_CORR,
             "D9+: daily Pearson corr of hourly count series (exact co-moments)",
+            True,
+        ),
+        "funnel_daily": (
+            q_funnel_daily,
+            ORACLE_FUNNEL_DAILY,
+            "ordered 3-step funnel per day (windowFunnel relational twin)",
+            True,
+        ),
+        "cohort_retention": (
+            q_cohort_retention,
+            ORACLE_COHORT_RETENTION,
+            "first-activity cohort retention matrix (retention twin)",
             True,
         ),
     }

@@ -1,0 +1,88 @@
+"""operators/eventflow.py: ordered funnels and cohort retention."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from exness_data_preprocess_spark.operators.eventflow import (
+    cohort_retention,
+    funnel_counts,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, d, h, m), u, t, 1.0)
+            for i, (d, h, m, u, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def test_funnel_requires_strict_order(spark):
+    rows = [
+        # user 1: view → click → purchase in order: reaches all 3
+        (1, 9, 0, 1, "view"), (1, 10, 0, 1, "click"), (1, 11, 0, 1, "purchase"),
+        # user 2: click BEFORE view, purchase after: only step 1 (view) then
+        # no click after the view → depth 1
+        (1, 8, 0, 2, "click"), (1, 9, 30, 2, "view"), (1, 10, 0, 2, "purchase"),
+        # user 3: view and click at the SAME instant: tie does not advance
+        (1, 9, 0, 3, "view"), (1, 9, 0, 3, "click"),
+        # user 4: never views → absent from step 1
+        (1, 9, 0, 4, "purchase"),
+    ]
+    out = funnel_counts(_ev(spark, rows), ["view", "click", "purchase"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_step_1"], r["n_step_2"], r["n_step_3"]) == (3, 1, 1)
+
+
+def test_funnel_scoped_by_bucket(spark):
+    import pyspark.sql.functions as F
+
+    rows = [
+        # day 1: full funnel; day 2: view only
+        (1, 9, 0, 1, "view"), (1, 10, 0, 1, "click"), (1, 11, 0, 1, "purchase"),
+        (2, 9, 0, 1, "view"),
+    ]
+    ev = _ev(spark, rows).withColumn(
+        "day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    )
+    out = {
+        r["day"]: r
+        for r in funnel_counts(
+            ev, ["view", "click", "purchase"], within_col="day"
+        ).collect()
+    }
+    assert (out["2024-01-01"]["n_step_1"], out["2024-01-01"]["n_step_3"]) == (1, 1)
+    assert (out["2024-01-02"]["n_step_1"], out["2024-01-02"]["n_step_3"]) == (1, 0)
+
+
+def test_funnel_rejects_empty_steps(spark):
+    with pytest.raises(ValueError):
+        funnel_counts(_ev(spark, [(1, 9, 0, 1, "view")]), [])
+
+
+def test_cohort_retention_matrix(spark):
+    rows = [
+        # users 1,2 start day 1; user 1 returns day 2 and day 3
+        (1, 9, 0, 1, "view"), (1, 9, 0, 2, "view"),
+        (2, 9, 0, 1, "click"), (3, 9, 0, 1, "view"),
+        # user 5 starts day 2, returns day 3
+        (2, 9, 0, 5, "view"), (3, 9, 0, 5, "view"),
+    ]
+    out = {
+        (r["cohort_day"], r["offset_days"]): r
+        for r in cohort_retention(_ev(spark, rows), max_offset_days=7).collect()
+    }
+    d1, d2 = "2024-01-01", "2024-01-02"
+    assert out[(d1, 0)]["n_active"] == 2 and out[(d1, 0)]["cohort_size"] == 2
+    assert out[(d1, 1)]["n_active"] == 1   # only user 1 returned day 2
+    assert out[(d1, 2)]["n_active"] == 1   # user 1 day 3
+    assert out[(d2, 0)]["n_active"] == 1 and out[(d2, 0)]["cohort_size"] == 1
+    assert out[(d2, 1)]["n_active"] == 1   # user 5 day 3
+    # no row for (cohort, offset) cells with zero active users
+    assert (d2, 2) not in out
