@@ -217,6 +217,37 @@ WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6) >= 0.9
 
 
 # ---------------------------------------------------------------------------
+# PIVOT reporting: lang × source doc-count matrix
+# ---------------------------------------------------------------------------
+_PIVOT_SOURCES = [f"src{i}" for i in range(20)]
+
+
+def q_pivot_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab reporting via the relational PIVOT operator — the one
+    plan shape (groupBy().pivot()) the registry didn't exercise. The
+    pivot value list is EXPLICIT: with it, Spark skips the extra
+    distinct-collection job and the output schema is fixed at plan time
+    (the production rule for pivots at scale — never let the engine
+    discover unbounded pivot columns from 100 TB of data)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy("lang")
+        .pivot("source", _PIVOT_SOURCES)
+        .count()
+        .na.fill(0, _PIVOT_SOURCES)
+        .orderBy("lang")
+    )
+
+
+def _pivot_oracle() -> str:
+    cols = ", ".join(
+        f"count(CASE WHEN source = '{s}' THEN 1 END) AS {s}"
+        for s in _PIVOT_SOURCES
+    )
+    return f"SELECT lang, {cols} FROM documents GROUP BY lang ORDER BY lang"
+
+
+# ---------------------------------------------------------------------------
 # Retrieval: BM25 top-k + per-group TF-IDF keywords
 # ---------------------------------------------------------------------------
 _BM25_TERMS = ["spark", "hash", "merge", "window"]
@@ -673,6 +704,8 @@ def build_ml_queries() -> dict:
                               "asymmetric containment pairs (PPJoin prefix)"),
         "bm25_topk": (q_bm25_topk, _bm25_oracle(),
                       "Okapi BM25 top-k retrieval (decimal-exact term sums)"),
+        "pivot_lang_source": (q_pivot_lang_source, _pivot_oracle(),
+                              "PIVOT cross-tab (explicit value list)"),
         "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS,
                             "per-source distinctive keywords by TF-IDF"),
         "dedup_embedding_cosine": (q_dedup_embedding_cosine,
