@@ -78,3 +78,99 @@ def resample_ohlc(bars_1m: DataFrame, minutes: int) -> DataFrame:
         "london_session",
         *_FLAG_COLS,
     )
+
+
+def fill_minute_gaps(
+    bars: DataFrame,
+    key_col: str = "instrument",
+    ts_col: str = "timestamp",
+    close_col: str = "close",
+    count_col: str | None = None,
+) -> DataFrame:
+    """Densify a 1-minute bar series: emit EVERY minute between each
+    key's first and last bar, carrying the previous close into missing
+    minutes (the close-fill convention chart/backtest consumers expect
+    from a bar store that, like the reference's, only materializes
+    minutes that had ticks).
+
+    Output: (key, minute, close_filled, is_gap, n_events) — ``is_gap=1``
+    rows are synthesized minutes; ``close_filled`` is never NULL because
+    the dense span starts at each key's first bar.
+
+    Scale shape (same decomposition as operators/asof.py's prefix fill):
+    the dense calendar is generated day-by-day (two bounded explodes —
+    nothing ever builds a span-length array in one task), the
+    forward-fill window partitions by (key, DAY) — bounded state — and
+    day boundaries are repaired with a per-(key, day) carry frame whose
+    window runs over days, not minutes. No global per-key sort at any
+    data size.
+    """
+    from pyspark.sql import Window
+
+    minute = F.date_trunc("minute", F.col(ts_col))
+    b = bars.select(
+        F.col(key_col).alias("k"),
+        minute.alias("minute"),
+        F.col(close_col).alias("close"),
+        (F.lit(1) if count_col is None else F.col(count_col)).alias("n"),
+    )
+    spans = b.groupBy("k").agg(
+        F.min("minute").alias("lo"), F.max("minute").alias("hi")
+    )
+    days = spans.select(
+        "k", "lo", "hi",
+        F.explode(
+            F.sequence(F.to_date("lo"), F.to_date("hi"))
+        ).alias("day"),
+    )
+    day_start = F.col("day").cast("timestamp")
+    minutes = days.select(
+        "k", "day",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("lo"), day_start),
+                F.least(
+                    F.col("hi"),
+                    day_start + F.expr("INTERVAL 23 HOURS 59 MINUTES"),
+                ),
+                F.expr("INTERVAL 1 MINUTE"),
+            )
+        ).alias("minute"),
+    )
+    joined = minutes.join(b, ["k", "minute"], "left")
+
+    wd = (
+        Window.partitionBy("k", "day")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    in_day = F.last("close", ignorenulls=True).over(wd)
+
+    # cross-day carry: last close of each day with bars, filled forward
+    # over the (small) day axis, shifted one day back
+    day_last = b.withColumn("day", F.to_date("minute")).groupBy(
+        "k", "day"
+    ).agg(F.max_by("close", "minute").alias("day_close"))
+    wdy = (
+        Window.partitionBy("k")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        minutes.select("k", "day").distinct()
+        .join(day_last, ["k", "day"], "left")
+        .select(
+            "k", "day",
+            F.last("day_close", ignorenulls=True).over(wdy).alias("carry"),
+        )
+    )
+    return (
+        joined.join(carry, ["k", "day"])
+        .select(
+            F.col("k").alias(key_col),
+            "minute",
+            F.coalesce(in_day, F.col("carry")).alias("close_filled"),
+            F.col("close").isNull().cast("int").alias("is_gap"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+    )

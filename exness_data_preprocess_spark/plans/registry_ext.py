@@ -783,6 +783,60 @@ ORDER BY day
 
 
 # ---------------------------------------------------------------------------
+# Dense minute gap-fill (close-fill densification of a sparse bar store)
+# ---------------------------------------------------------------------------
+def q_fill_minute_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.resample import (
+        fill_minute_gaps,
+    )
+    from exness_data_preprocess_spark.plans.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(
+        F.max_by("value", "ts").alias("close"), F.count("*").alias("n")
+    )
+    out = fill_minute_gaps(
+        bars, key_col="event_type", ts_col="minute",
+        close_col="close", count_col="n",
+    )
+    return out.select(
+        "event_type",
+        F.unix_micros("minute").alias("minute_us"),
+        "close_filled",
+        "is_gap",
+        "n_events",
+    )
+
+
+ORACLE_FILL_MINUTE_GAPS = """
+WITH bars AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute,
+         arg_max(value, ts) AS close, count(*) AS n
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT event_type, min(minute) AS lo, max(minute) AS hi
+  FROM bars GROUP BY 1
+), dense AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+  FROM spans
+), j AS (
+  SELECT d.event_type, d.minute, b.close, b.n
+  FROM dense d LEFT JOIN bars b USING (event_type, minute)
+)
+SELECT event_type, epoch_us(minute) AS minute_us,
+       last_value(close IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY minute
+         ROWS UNBOUNDED PRECEDING) AS close_filled,
+       (close IS NULL)::INT AS is_gap,
+       coalesce(n, 0) AS n_events
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
 # Event-flow analytics: ordered funnel + cohort retention
 # (operators/eventflow.py — relational spellings of ClickHouse's
 #  windowFunnel/retention aggregate combinators)
@@ -976,6 +1030,12 @@ def build_ext_queries() -> dict:
             q_cohort_retention,
             ORACLE_COHORT_RETENTION,
             "first-activity cohort retention matrix (retention twin)",
+            True,
+        ),
+        "fill_minute_gaps": (
+            q_fill_minute_gaps,
+            ORACLE_FILL_MINUTE_GAPS,
+            "dense minute close-fill (day-bucketed fill + day carry)",
             True,
         ),
     }

@@ -93,3 +93,43 @@ def test_timeframe_map_covers_all(bars):
         if minutes == 1:
             continue
         assert resample_ohlc(bars, minutes).count() > 0, tf
+
+
+def test_fill_minute_gaps_cross_day_carry(spark):
+    """Gap minutes carry the previous close across day boundaries —
+    including over a whole day with no bars (the day-carry frame)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from exness_data_preprocess_spark.operators.resample import (
+        fill_minute_gaps,
+    )
+
+    rows = [
+        ("X", dt.datetime(2024, 1, 1, 23, 58), 1.0, 3),
+        ("X", dt.datetime(2024, 1, 3, 0, 2), 2.0, 1),
+    ]
+    bars = spark.createDataFrame(
+        rows, "instrument string, timestamp timestamp, close double, n long"
+    )
+    out = {
+        r["minute"]: r
+        for r in fill_minute_gaps(bars, count_col="n").collect()
+    }
+    # span is inclusive: 23:58 … (day 3) 00:02 = 2 + 1440 + 3 minutes
+    assert len(out) == 1445
+    m = dt.datetime(2024, 1, 1, 23, 58)
+    assert out[m]["close_filled"] == 1.0 and out[m]["is_gap"] == 0
+    assert out[m]["n_events"] == 3
+    # same-day gap minute
+    assert out[dt.datetime(2024, 1, 1, 23, 59)]["close_filled"] == 1.0
+    # entire day 2 is synthesized, carried from day 1's last close
+    assert out[dt.datetime(2024, 1, 2, 12, 0)]["close_filled"] == 1.0
+    assert out[dt.datetime(2024, 1, 2, 12, 0)]["is_gap"] == 1
+    assert out[dt.datetime(2024, 1, 2, 12, 0)]["n_events"] == 0
+    # day-3 minutes before the bar still carry day 1's close
+    assert out[dt.datetime(2024, 1, 3, 0, 1)]["close_filled"] == 1.0
+    assert out[dt.datetime(2024, 1, 3, 0, 2)]["close_filled"] == 2.0
+    # no row outside the span
+    assert dt.datetime(2024, 1, 3, 0, 3) not in out
