@@ -59,9 +59,16 @@ def funnel_counts(
         .agg(F.min("us").alias("r1"))
     )
     for i, s in enumerate(steps[1:], start=2):
+        # survivors only: keys whose r_{i-1} is NULL died at an earlier
+        # step — filtering them BEFORE the join keeps each step's join
+        # input shrinking with the funnel instead of staying at the
+        # step-1 reach
+        survivors = reach.select(*scope, "k", F.col(f"r{i-1}")).filter(
+            F.col(f"r{i-1}").isNotNull()
+        )
         nxt = (
             ev.filter(F.col("t") == s)
-            .join(reach.select(*scope, "k", F.col(f"r{i-1}")), [*scope, "k"])
+            .join(survivors, [*scope, "k"])
             .filter(F.col("us") > F.col(f"r{i-1}"))
             .groupBy(*scope, "k")
             .agg(F.min("us").alias(f"r{i}"))

@@ -124,15 +124,18 @@ def fill_minute_gaps(
         ).alias("day"),
     )
     day_start = F.col("day").cast("timestamp")
+    # day end = next midnight − 1 minute, NOT start + 23:59 — identical
+    # under the repo's pinned UTC session, but correct for any session
+    # timezone with DST-shortened/lengthened days too
+    day_end = F.date_add(F.col("day"), 1).cast("timestamp") - F.expr(
+        "INTERVAL 1 MINUTE"
+    )
     minutes = days.select(
         "k", "day",
         F.explode(
             F.sequence(
                 F.greatest(F.col("lo"), day_start),
-                F.least(
-                    F.col("hi"),
-                    day_start + F.expr("INTERVAL 23 HOURS 59 MINUTES"),
-                ),
+                F.least(F.col("hi"), day_end),
                 F.expr("INTERVAL 1 MINUTE"),
             )
         ).alias("minute"),
@@ -157,7 +160,10 @@ def fill_minute_gaps(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = (
-        minutes.select("k", "day").distinct()
+        # day-level spine from `days` (one row per (k, day) already) —
+        # NOT minutes.distinct(), which would re-run the minute explode
+        # and shuffle span-length rows to recover 1/1440th of them
+        days.select("k", "day")
         .join(day_last, ["k", "day"], "left")
         .select(
             "k", "day",
