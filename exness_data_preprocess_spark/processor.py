@@ -295,8 +295,18 @@ class SparkDataProcessor:
         pair: str = "EURUSD",
         start_date: str = "2022-01-01",
         dry_run: bool = False,
+        max_parallel_downloads: int = 1,
     ) -> UpdateResult | DryRunResult:
-        """Gap-driven incremental update (M6, processor.py:285-454)."""
+        """Gap-driven incremental update (M6, processor.py:285-454).
+
+        ``max_parallel_downloads > 1`` overlaps the network-bound archive
+        fetches with a thread pool — the reference's measured 4-8 s →
+        2-4 s per-month optimization proposal
+        (docs/optimization/OPTIMIZATION_OPPORTUNITIES_2025-10-18.md:
+        157-201). Only the fetch parallelizes; ZIP parsing and inserts
+        stay sequential in deterministic (month, variant) order, so the
+        stored result is byte-identical to a sequential run.
+        """
         t0 = time.time()
         inst = validate_pair(pair)
         validate_date(start_date, "start_date")
@@ -311,16 +321,36 @@ class SparkDataProcessor:
         if dry_run:
             return DryRunResult.estimate(inst, gaps)
 
+        jobs = [
+            (year, month, variant)
+            for year, month in gaps
+            for variant in ("raw_spread", "standard")
+        ]
+        if max_parallel_downloads > 1 and len(jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=max_parallel_downloads) as ex:
+                paths = list(
+                    ex.map(
+                        lambda j: self.fetcher(
+                            inst, j[2], j[0], j[1], self.landing
+                        ),
+                        jobs,
+                    )
+                )
+        else:
+            paths = [
+                self.fetcher(inst, v, y, m, self.landing) for y, m, v in jobs
+            ]
+
         added_raw = added_std = 0
-        for year, month in gaps:
-            for variant in ("raw_spread", "standard"):
-                path = self.fetcher(inst, variant, year, month, self.landing)
-                df = load_ticks_zip(self.spark, str(path), inst)
-                n = self.insert_ticks(df, variant)
-                if variant == "raw_spread":
-                    added_raw += n
-                else:
-                    added_std += n
+        for (year, month, variant), path in zip(jobs, paths):
+            df = load_ticks_zip(self.spark, str(path), inst)
+            n = self.insert_ticks(df, variant)
+            if variant == "raw_spread":
+                added_raw += n
+            else:
+                added_std += n
 
         bars = 0
         if gaps:

@@ -128,3 +128,45 @@ def test_update_data_end_to_end_offline(spark, tmp_path):
     bars = proc.query_ohlc("EURUSD", "1m")
     assert len(bars) == res.ohlc_bars_generated
     assert "is_nyse_session" in bars.columns
+
+
+def test_update_data_parallel_downloads_overlap_and_match(spark, tmp_path):
+    """max_parallel_downloads overlaps fetches (observed concurrency > 1)
+    and stores exactly what a sequential run stores."""
+    import datetime as dt
+    import threading
+    import time as _time
+
+    inner = _fake_fetcher_factory(tmp_path)
+    lock = threading.Lock()
+    state = {"active": 0, "peak": 0}
+
+    def slow_fetch(instrument, variant, year, month, landing):
+        with lock:
+            state["active"] += 1
+            state["peak"] = max(state["peak"], state["active"])
+        _time.sleep(0.2)
+        try:
+            return inner(instrument, variant, year, month, landing)
+        finally:
+            with lock:
+                state["active"] -= 1
+
+    today = dt.date.today()
+    start = (today.replace(day=1) - dt.timedelta(days=40)).replace(day=1)
+
+    seq = SparkDataProcessor(spark, tmp_path / "seq", fetcher=slow_fetch)
+    res_seq = seq.update_data("EURUSD", start_date=start.isoformat())
+    assert state["peak"] == 1  # default stays sequential
+
+    par = SparkDataProcessor(spark, tmp_path / "par", fetcher=slow_fetch)
+    res_par = par.update_data(
+        "EURUSD", start_date=start.isoformat(), max_parallel_downloads=4
+    )
+    assert state["peak"] > 1  # fetches actually overlapped
+    assert res_par.ticks_added_raw == res_seq.ticks_added_raw
+    assert res_par.months_added == res_seq.months_added
+
+    a = sorted(map(tuple, seq.engine.ticks_df("raw_spread").collect()))
+    b = sorted(map(tuple, par.engine.ticks_df("raw_spread").collect()))
+    assert a == b
