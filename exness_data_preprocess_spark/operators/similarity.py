@@ -532,3 +532,56 @@ def pq_adc_topk(
             F.col("adc").cast("double").alias("adc_dist"), "rank",
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Flag corpus vectors semantically too close to any benchmark/eval
+    vector (cosine ≥ ``threshold``) — the embedding-space complement of
+    the 3-gram decontamination (textstats.decontaminate): catches the
+    paraphrased eval leakage token overlap misses.
+
+    Cross-side only — the benchmark is never self-joined and, being an
+    eval set (tiny vs the corpus), broadcasts. ``block_col`` is the IVF
+    cell stand-in: at scale each corpus vector compares only within its
+    cell. Output one row per corpus vector: (id, contaminated,
+    best_cosine); vectors whose block holds no benchmark vector get
+    best_cosine NULL and contaminated 0.
+    """
+    def prep(df: DataFrame, out_id: str, out_v: str, out_n: str) -> DataFrame:
+        v = _as_double(vec_col)
+        return df.select(
+            *([F.col(block_col)] if block_col else []),
+            F.col(id_col).alias(out_id),
+            v.alias(out_v),
+            _norm(v).alias(out_n),
+        )
+
+    on = [block_col] if block_col else []
+    c = prep(corpus, "cid", "cv", "cn")
+    b = prep(benchmark, "bid", "bv", "bn")
+    cos = F.round(
+        _dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn")), 6
+    )
+    joined = (
+        c.join(F.broadcast(b), on, "left") if on
+        else c.crossJoin(F.broadcast(b))
+    )
+    return (
+        joined.select("cid", cos.alias("cos"))
+        .groupBy("cid")
+        .agg(F.max("cos").alias("best_cosine"))
+        .select(
+            F.col("cid").alias(id_col),
+            F.when(F.col("best_cosine") >= threshold, 1)
+            .otherwise(0)
+            .alias("contaminated"),
+            "best_cosine",
+        )
+    )

@@ -800,7 +800,7 @@ _DRIVER_PRIORITY = [
     "dedup_containment", "bm25_topk", "tfidf_top_terms",
     "streaming_incremental_dedup", "temperature_mix_sample",
     "chunk_documents", "funnel_daily", "cohort_retention",
-    "pivot_lang_source", "fill_minute_gaps",
+    "pivot_lang_source", "fill_minute_gaps", "semantic_decontamination",
     "streaming_ohlc_1m", "streaming_gap_sessions", "streaming_dedup",
     "streaming_attribution_join", "streaming_running_anomaly",
     "catalog_tick_scan", "catalog_ohlc_1m", "catalog_ohlc_1h",

@@ -354,6 +354,50 @@ WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
 
 
 # ---------------------------------------------------------------------------
+# Semantic decontamination (cross-side embedding cosine vs eval set)
+# ---------------------------------------------------------------------------
+_SEMDECON_SPLIT, _SEMDECON_T = 25, 0.5
+
+
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") >= _SEMDECON_SPLIT),
+        emb.filter(F.col("vec_id") < _SEMDECON_SPLIT),
+        threshold=_SEMDECON_T,
+    )
+
+
+ORACLE_SEMANTIC_DECON = f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+), s AS (
+  SELECT c.vec_id,
+         round(list_sum(list_transform(generate_series(1, len(c.v)),
+                                       i -> c.v[i] * b.v[i]))
+               / (c.nrm * b.nrm), 6) AS cos
+  FROM (SELECT * FROM n WHERE vec_id >= {_SEMDECON_SPLIT}) c
+  LEFT JOIN (SELECT * FROM n WHERE vec_id < {_SEMDECON_SPLIT}) b
+    ON c.label = b.label
+)
+SELECT vec_id,
+       CASE WHEN max(cos) >= {_SEMDECON_T} THEN 1 ELSE 0 END AS contaminated,
+       max(cos) AS best_cosine
+FROM s
+GROUP BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Brute-force cosine top-k
 # ---------------------------------------------------------------------------
 def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,6 +750,10 @@ def build_ml_queries() -> dict:
                       "Okapi BM25 top-k retrieval (decimal-exact term sums)"),
         "pivot_lang_source": (q_pivot_lang_source, _pivot_oracle(),
                               "PIVOT cross-tab (explicit value list)"),
+        "semantic_decontamination": (q_semantic_decontamination,
+                                     ORACLE_SEMANTIC_DECON,
+                                     "embedding-space eval-leak flags "
+                                     "(broadcast benchmark, cell-blocked)"),
         "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS,
                             "per-source distinctive keywords by TF-IDF"),
         "dedup_embedding_cosine": (q_dedup_embedding_cosine,

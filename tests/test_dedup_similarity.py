@@ -476,3 +476,32 @@ def test_truncate_plan_durable_and_local_identical(spark):
     lev_local = sorted(map(tuple, levenshtein_pairs(df).collect()))
     lev_durable = sorted(map(tuple, levenshtein_pairs(df, durable=True).collect()))
     assert lev_local == lev_durable
+
+
+def test_semantic_decontaminate_flags_near_benchmark_vectors(spark):
+    """A corpus vector nearly parallel to a benchmark vector is flagged;
+    an orthogonal one is not; a block with no benchmark yields NULL
+    best_cosine and contaminated=0."""
+    from exness_data_preprocess_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [0.99, 0.1], 0),   # near-parallel → contaminated
+            (11, [0.0, 1.0], 0),    # orthogonal → clean
+            (12, [1.0, 0.0], 7),    # different block → no benchmark
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(corpus, bench, threshold=0.9).collect()
+    }
+    assert out[10]["contaminated"] == 1 and out[10]["best_cosine"] > 0.9
+    assert out[11]["contaminated"] == 0 and out[11]["best_cosine"] == 0.0
+    assert out[12]["contaminated"] == 0 and out[12]["best_cosine"] is None
+    assert len(out) == 3  # every corpus vector reported exactly once
