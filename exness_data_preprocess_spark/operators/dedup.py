@@ -63,6 +63,18 @@ def _truncate_plan(df: DataFrame, durable: bool) -> DataFrame:
     if not has_dir:
         import tempfile
 
+        # A driver-local temp dir is only a valid reliable-checkpoint
+        # target on a single-node master: on a real cluster executors
+        # cannot read it, silently defeating the durability the flag
+        # promises. Refuse there — the caller must point
+        # sc.setCheckpointDir at shared storage (HDFS/S3).
+        if not (sc.master or "").startswith("local"):
+            raise RuntimeError(
+                "durable=True needs a checkpoint dir on shared storage: "
+                "call sc.setCheckpointDir('hdfs://...'/'s3://...') "
+                f"before use (master={sc.master!r} cannot read a "
+                "driver-local temp dir)"
+            )
         sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark_graft_ckpt_"))
     return df.checkpoint()
 

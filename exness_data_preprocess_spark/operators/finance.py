@@ -195,8 +195,10 @@ def hourly_count_corr_daily(
     constant series (zero variance, guaranteed for single-hour days)
     yields NULL rather than an ANSI DIVIDE_BY_ZERO from ``F.corr``'s
     internals. Rounded to 6 decimals at the edge (autocorr_lag1 idiom).
-    At extreme scale the long co-moments could overflow; upgrade the
-    sums to DECIMAL(38,0) if hourly counts ever approach 2³¹.
+    Co-moment sums are carried as DECIMAL(38,0) (exact to 10³⁸) so the
+    operator is overflow-safe even when hourly counts approach 2⁶³ —
+    DuckDB's HUGEINT sums are likewise exact, and both engines perform
+    the single exact-integer→double rounding at the same point.
     """
     t = F.col(key_col)
     hourly = (
@@ -210,15 +212,32 @@ def hourly_count_corr_daily(
             F.count(F.when(t == type_b, 1)).alias("cnt_b"),
         )
     )
+    return corr_from_hourly(hourly)
+
+
+def corr_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Daily Pearson correlation from an hourly (day, cnt_a, cnt_b)
+    count frame — the combination half of ``hourly_count_corr_daily``,
+    exposed so the overflow path is testable with synthetic counts.
+
+    decimal(18,0) counts → decimal(37,0) products → decimal(38,0)
+    sums: every co-moment is exact up to 10^38 (long counts would
+    overflow sxx at cnt ≈ 3·10⁹ per hour — real at event-stream
+    scale). The final combination stays in decimal (Spark caps the
+    widened precision at 38, still exact here) before the one cast
+    to double for sqrt/divide.
+    """
+    da = F.col("cnt_a").cast("decimal(18,0)")
+    db = F.col("cnt_b").cast("decimal(18,0)")
     daily = hourly.groupBy("day").agg(
         F.count("*").alias("n_hours"),
-        F.sum("cnt_a").alias("sx"),
-        F.sum("cnt_b").alias("sy"),
-        F.sum(F.col("cnt_a") * F.col("cnt_a")).alias("sxx"),
-        F.sum(F.col("cnt_b") * F.col("cnt_b")).alias("syy"),
-        F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("sxy"),
+        F.sum(da).alias("sx"),
+        F.sum(db).alias("sy"),
+        F.sum(da * da).alias("sxx"),
+        F.sum(db * db).alias("syy"),
+        F.sum(da * db).alias("sxy"),
     )
-    n = F.col("n_hours")
+    n = F.col("n_hours").cast("decimal(18,0)")
     cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     var_x = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     var_y = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")

@@ -6,11 +6,14 @@ decontamination, SURVEY.md §2 extensions): production pipelines retrieve
 distinctive keywords before choosing sampling weights.
 
 Scale shape:
-- query terms and corpus-level scalars (N, avgdl, per-term df) are
-  broadcast-sized; only the (doc, term) tf pass shuffles, keyed by the
-  uniform doc id. The corpus is never self-joined.
-- per-group TF-IDF windows partition by the group column — bounded state
-  per task, no global sort.
+- query terms and corpus-level scalars (N, avgdl) are broadcast-sized;
+  only the (doc, term) tf pass shuffles — once on `term` for the
+  document-frequency window, once on `doc` for the score sum. The
+  corpus is never self-joined, and each query is ONE self-contained
+  plan: nothing is persisted, so repeated calls in a long-lived
+  session leave no cached partitions behind.
+- per-group TF-IDF windows partition by the group/term columns —
+  bounded state per task, no global sort.
 
 Determinism: the only transcendental is the idf ``ln`` — kept OUT of the
 exact-sum path by quantizing each per-term score to DECIMAL before the
@@ -48,35 +51,32 @@ def bm25_topk(
     ).select("doc", "tk", F.size("tk").cast("double").alias("dl"))
 
     terms = F.array(*[F.lit(t) for t in query_terms])
-    # hit is referenced twice (df counts + scoring); persist the SMALL
-    # per-(matching doc, term) frame so the corpus text is scanned once
-    # for it, not once per consumer. stats is a second, column-pruned
-    # corpus scan (it needs every doc's length, hits or not).
-    hit = (
-        toks.select(
-            "doc",
-            "dl",
-            F.explode(F.array_intersect(terms, F.col("tk"))).alias("term"),
-            "tk",
-        )
-        .select(
-            "doc",
-            "dl",
-            "term",
-            F.size(F.filter("tk", lambda x: x == F.col("term")))
-            .cast("double")
-            .alias("tf"),
-        )
-        .persist()
+    # array_intersect dedups, so hit carries exactly one row per
+    # (matching doc, term): per-term document frequency is a plain
+    # count(*) window over hit itself. That keeps the whole query ONE
+    # self-contained plan — no persist, nothing cached across calls —
+    # at the cost of a shuffle on `term` over the tiny hit frame.
+    # stats is a second, column-pruned corpus scan (it needs every
+    # doc's length, hits or not).
+    hit = toks.select(
+        "doc",
+        "dl",
+        F.explode(F.array_intersect(terms, F.col("tk"))).alias("term"),
+        "tk",
+    ).select(
+        "doc",
+        "dl",
+        "term",
+        F.size(F.filter("tk", lambda x: x == F.col("term")))
+        .cast("double")
+        .alias("tf"),
     )
 
     stats = toks.agg(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("dl") / F.count("*")).alias("avgdl"),
     )
-    dfreq = hit.groupBy("term").agg(
-        F.count_distinct("doc").cast("double").alias("df")
-    )
+    w_term = Window.partitionBy("term")
 
     idf = F.log(
         F.lit(1.0)
@@ -90,7 +90,7 @@ def bm25_topk(
     )
 
     scored = (
-        hit.join(F.broadcast(dfreq), "term")
+        hit.withColumn("df", F.count("*").over(w_term).cast("double"))
         .crossJoin(F.broadcast(stats))
         .groupBy("doc")
         .agg(F.sum(term_score).alias("s"), F.count("*").alias("n_terms"))
@@ -122,11 +122,18 @@ def tfidf_top_terms(
         F.col(group_col).alias("grp"),
         F.explode(tokens_col(F.col(text_col))).alias("term"),
     )
-    # tf is vocabulary-sized ((group, term) rows) and feeds both the
-    # group-frequency aggregate and the final scoring join — persist so
-    # the corpus tokenization pass runs once.
-    tf = ex.groupBy("grp", "term").agg(F.count("*").alias("tf")).persist()
-    gdf = tf.groupBy("term").agg(F.count_distinct("grp").alias("gdf"))
+    # tf is vocabulary-sized, one row per (group, term) — so the
+    # group-frequency of a term is count(*) over a term-partitioned
+    # window on tf itself. The window MUST precede the min_tf filter
+    # (a term rare in one group still counts toward that group's gdf),
+    # and keeps the query one self-contained plan: the corpus
+    # tokenization pass runs once with no persist to leak.
+    w_term = Window.partitionBy("term")
+    tf = (
+        ex.groupBy("grp", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("gdf", F.count("*").over(w_term))
+    )
     # group count as a broadcast 1-row frame, not a driver-side action —
     # the plan stays fully lazy and submits as one job. Counted from the
     # SOURCE frame, not from tf: a group whose every text is NULL has no
@@ -144,7 +151,6 @@ def tfidf_top_terms(
     w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("term"))
     return (
         tf.filter(F.col("tf") >= min_tf)
-        .join(F.broadcast(gdf), "term")
         .crossJoin(F.broadcast(ng))
         .select("grp", "term", "tf", score.alias("score"))
         .withColumn("rank", F.row_number().over(w))

@@ -564,7 +564,14 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str, n_cells: int) -> list:
     drift on ann_ivf_topk). Cell numbering from literals matches the
     derived path (1..n in id order), so results and oracle are unchanged.
     """
-    key = (sf_dir, n_cells)
+    # Key includes the fixture's size+mtime fingerprint (the
+    # _inc_corpus_index idiom): a path-only key would serve stale
+    # centroid literals for the process lifetime after the fixture is
+    # regenerated in place — silently wrong cells, oracle mismatch.
+    import os
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = (f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}", n_cells)
     if key not in _IVF_CENT_CACHE:
         rows = (
             spark.read.parquet(f"{sf_dir}/embeddings.parquet")

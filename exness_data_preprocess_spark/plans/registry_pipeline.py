@@ -647,24 +647,27 @@ _INC_CAP = 1000  # max_bucket_size — degenerate-band guard, modeled in SQL
 
 def _inc_corpus_index(spark: SparkSession, sf_dir: str):
     """Materialized corpus dedup index for the registry's corpus half
-    (doc_id < _INC_SPLIT) — built and parquet-written ONCE per sf_dir,
-    read back on every later call.
+    (doc_id < _INC_SPLIT) — built and catalog-written ONCE per sf_dir,
+    read back on every later call THROUGH the production surface
+    (ParquetCatalog.write/read_dedup_index — the same managed tables
+    SparkDataProcessor.build_dedup_index maintains), so the bench
+    exercises the supported steady-state API, not a private shortcut.
 
-    This is the steady-state ingest contract: at 100 TB the corpus
-    signatures/digests/shingles are artifacts written when docs land, so
-    an incoming batch pays only its own minhash pass plus the banded
-    join. The first invocation per process+sf builds the artifacts (the
-    ingest cost, paid once); subsequent invocations are pure readers.
+    At 100 TB the corpus signatures/digests/shingles are artifacts
+    written when docs land; an incoming batch pays only its own minhash
+    pass plus the banded join. The first invocation per process+sf
+    builds the artifacts (the ingest cost, paid once); subsequent
+    invocations are pure readers. Crash safety: the catalog writes the
+    params sidecar LAST, so a half-written build reads as absent and is
+    rebuilt rather than consumed.
     """
     import hashlib
     import os
     import tempfile
 
-    from exness_data_preprocess_spark.operators.dedup import (
-        DedupIndex,
-        build_dedup_index,
-    )
+    from exness_data_preprocess_spark.operators.dedup import build_dedup_index
     from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
+    from exness_data_preprocess_spark.sources.catalog import ParquetCatalog
 
     # Cache key = source-file fingerprint (path + size + mtime) + the
     # signature params. A path-only key would serve a STALE index if the
@@ -676,25 +679,17 @@ def _inc_corpus_index(spark: SparkSession, sf_dir: str):
         f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|{_INC_SPLIT}|{_INC_PERM}|"
         f"{_INC_BANDS}".encode()
     ).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"inc_dedup_index_{fp}")
-    parts = ("digests", "bands", "shingles")
-    done = os.path.join(base, "_done")
-    if not os.path.exists(done):
+    cat = ParquetCatalog(os.path.join(tempfile.gettempdir(), f"inc_dedup_index_{fp}"))
+    if not cat.has_dedup_index():
         corpus = _docs_spread(spark, sf_dir).filter(F.col("doc_id") < _INC_SPLIT)
         idx = build_dedup_index(
             corpus, num_perm=_INC_PERM, bands=_INC_BANDS, shingle_n=1
         )
-        for p in parts:
-            getattr(idx, p).write.mode("overwrite").parquet(
-                os.path.join(base, p)
-            )
-        # marker written LAST so a crashed/concurrent partial build is
-        # rebuilt rather than read half-written
-        with open(done, "w") as f:
-            f.write("ok")
-    return DedupIndex(
-        *(spark.read.parquet(os.path.join(base, p)) for p in parts)
-    )
+        cat.write_dedup_index(
+            idx,
+            {"num_perm": _INC_PERM, "bands": _INC_BANDS, "shingle_n": 1},
+        )
+    return cat.read_dedup_index(spark)
 
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

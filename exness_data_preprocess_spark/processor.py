@@ -245,6 +245,117 @@ class SparkDataProcessor:
             if self.catalog.exists(t)
         }
 
+    # -- corpus dedup index (100 TB steady-state ingest dedup) ----------------
+    def build_dedup_index(
+        self,
+        docs_df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_perm: int = 16,
+        bands: int = 4,
+        shingle_n: int = 1,
+        mode: str = "overwrite",
+    ) -> dict:
+        """Build and persist the corpus dedup artifacts as managed catalog
+        tables (``dedup_index_{digests,bands,shingles}`` + params sidecar).
+
+        This is the production surface of the incremental-dedup state: the
+        corpus minhash/digest/shingle pass runs ONCE per document — when it
+        lands (``mode='append'`` for the new slice) — and every later
+        batch pays only its own signature pass plus the banded join. The
+        signature params are persisted with the artifacts and enforced on
+        append, because an index built under one family is silently blind
+        to candidates from another (see catalog.write_dedup_index).
+
+        Analog of the reference maintaining incremental gap state in
+        storage rather than recomputing it (clickhouse_gap_detector.py:
+        57-139). Returns the stored params dict.
+        """
+        from exness_data_preprocess_spark.operators.dedup import (
+            build_dedup_index as _build,
+        )
+
+        params = {
+            "text_col": text_col,
+            "id_col": id_col,
+            "num_perm": num_perm,
+            "bands": bands,
+            "shingle_n": shingle_n,
+        }
+        idx = _build(
+            docs_df,
+            text_col=text_col,
+            id_col=id_col,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_n=shingle_n,
+        )
+        self.catalog.write_dedup_index(idx, params, mode=mode)
+        return params
+
+    def dedup_new_batch(
+        self,
+        new_df: DataFrame,
+        jaccard_threshold: float = 0.8,
+        max_bucket_size: int | None = 1000,
+        durable: bool = False,
+    ) -> DataFrame:
+        """Flag an incoming batch against the catalog-managed dedup index
+        (exact digest + banded-LSH near dup; one row per new doc with
+        ``keep``). Signature params come from the stored sidecar, so the
+        batch is always signed with the family the index was built under.
+        Raises with guidance when no index has been built yet."""
+        from exness_data_preprocess_spark.operators.dedup import incremental_dedup
+
+        p = self.catalog.dedup_index_params()
+        return incremental_dedup(
+            new_df,
+            text_col=p["text_col"],
+            id_col=p["id_col"],
+            num_perm=p["num_perm"],
+            bands=p["bands"],
+            shingle_n=p["shingle_n"],
+            jaccard_threshold=jaccard_threshold,
+            max_bucket_size=max_bucket_size,
+            corpus_index=self.catalog.read_dedup_index(self.spark),
+            durable=durable,
+        )
+
+    def stream_dedup_gate(self, new_stream: DataFrame, **kwargs) -> DataFrame:
+        """Streaming twin of :meth:`dedup_new_batch`: per-micro-batch
+        ingest gate over the same catalog-managed index (stream-static
+        joins; see streaming/ingest_gate.py for the cost model)."""
+        from exness_data_preprocess_spark.streaming.ingest_gate import (
+            stream_incremental_dedup,
+        )
+
+        p = self.catalog.dedup_index_params()
+        return stream_incremental_dedup(
+            new_stream,
+            self.catalog.read_dedup_index(self.spark),
+            text_col=p["text_col"],
+            id_col=p["id_col"],
+            num_perm=p["num_perm"],
+            bands=p["bands"],
+            shingle_n=p["shingle_n"],
+            **kwargs,
+        )
+
+    # -- single-archive download (processor.py:264-281) ------------------------
+    def download_exness_zip(
+        self, pair: str, variant: str, year: int, month: int
+    ) -> Path:
+        """Fetch one monthly archive into the landing dir, skipping when
+        cached — the reference's public one-shot download helper
+        (processor.py:264-281), routed through the injectable ``fetcher``
+        so tests and mirrors drive it offline."""
+        inst = validate_pair(pair)
+        if variant not in ("raw_spread", "standard"):
+            raise ValueError(
+                f"variant must be raw_spread|standard, got {variant!r}"
+            )
+        return Path(self.fetcher(inst, variant, year, month, self.landing))
+
     # -- write path (processor.py:285-454) ------------------------------------
     def insert_ticks(self, df: DataFrame, variant: str) -> int:
         """Dedup + partitioned append (clickhouse_manager.py:271-330)."""

@@ -35,6 +35,16 @@ TICK_TABLES = ("raw_spread_ticks", "standard_ticks")
 OHLC_TABLE = "ohlc_1m"
 PARTITION_COLS = ["instrument", "year_month"]
 
+#: managed corpus-dedup artifact tables (one per DedupIndex frame) — the
+#: steady-state ingest-dedup state lives IN the warehouse, next to the
+#: data it indexes, not in a process-private temp dir
+DEDUP_INDEX_TABLES = (
+    "dedup_index_digests",
+    "dedup_index_bands",
+    "dedup_index_shingles",
+)
+DEDUP_INDEX_PARAMS_FILE = "dedup_index_params.json"
+
 
 class ParquetCatalog:
     """Filesystem-backed table catalog rooted at ``base_path``.
@@ -124,6 +134,70 @@ class ParquetCatalog:
         p = self.base / table / f"instrument={instrument.upper()}"
         if p.exists():
             shutil.rmtree(p)
+
+    # -- corpus dedup-index lifecycle (the 100 TB steady-state dedup state:
+    #    signatures are written when docs land and read per incoming batch,
+    #    so the corpus text is never re-scanned at ingest time) -------------
+    def write_dedup_index(self, index, params: dict, mode: str = "overwrite") -> None:
+        """Persist a :class:`~exness_data_preprocess_spark.operators.dedup.
+        DedupIndex` as three managed tables plus a params sidecar.
+
+        ``params`` must carry the signature family (``num_perm``,
+        ``bands``, ``shingle_n``): band keys from a different family never
+        match, silently missing every near-dup, so the catalog refuses an
+        ``append`` whose params differ from the stored ones. ``overwrite``
+        replaces artifacts and params together (a rebuild).
+
+        The params sidecar is written AFTER the table writes succeed, so a
+        crashed build leaves no params file and readers treat the index as
+        absent rather than half-written (the _done-marker idiom).
+        """
+        import json
+
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        pfile = self.base / DEDUP_INDEX_PARAMS_FILE
+        if mode == "append" and pfile.exists():
+            stored = json.loads(pfile.read_text())
+            if stored != params:
+                raise ValueError(
+                    f"dedup-index params mismatch: stored {stored}, "
+                    f"appending {params} — band keys from a different "
+                    "signature family never match; rebuild with "
+                    "mode='overwrite' instead"
+                )
+        if mode == "overwrite" and pfile.exists():
+            pfile.unlink()
+        for table, frame in zip(DEDUP_INDEX_TABLES, index):
+            frame.write.mode(mode).parquet(self.path(table))
+        pfile.write_text(json.dumps(params, sort_keys=True))
+
+    def has_dedup_index(self) -> bool:
+        return (self.base / DEDUP_INDEX_PARAMS_FILE).exists() and all(
+            self.exists(t) for t in DEDUP_INDEX_TABLES
+        )
+
+    def dedup_index_params(self) -> dict:
+        import json
+
+        pfile = self.base / DEDUP_INDEX_PARAMS_FILE
+        if not pfile.exists():
+            raise FileNotFoundError(
+                f"no dedup index in catalog at {self.base} — build one "
+                "with SparkDataProcessor.build_dedup_index()"
+            )
+        return json.loads(pfile.read_text())
+
+    def read_dedup_index(self, spark: SparkSession):
+        """Reader handles over the managed artifact tables (plain scans —
+        an incoming batch pays only its own signature pass plus the
+        banded join against these)."""
+        from exness_data_preprocess_spark.operators.dedup import DedupIndex
+
+        self.dedup_index_params()  # raises with guidance when absent
+        return DedupIndex(
+            *(spark.read.parquet(self.path(t)) for t in DEDUP_INDEX_TABLES)
+        )
 
     def compact(
         self,

@@ -155,10 +155,14 @@ def stream_incremental_dedup(
         .select("new_id", "cid", F.lit(0).alias("tag"))
     )
 
-    # evidence branch 3: baseline row per doc (keeps no-hit docs in output)
+    # evidence branch 3: baseline row per doc (keeps no-hit docs in
+    # output). The NULL cid takes its type from the index itself — a
+    # corpus with string doc ids would otherwise hit ANSI union-typing
+    # against the exact/near branches' cid column.
+    cid_type = corpus_index.digests.schema["cid"].dataType
     baseline = new_stream.select(
         F.col(id_col).alias("new_id"),
-        F.lit(None).cast("long").alias("cid"),
+        F.lit(None).cast(cid_type).alias("cid"),
         F.lit(None).cast("int").alias("tag"),
     )
 

@@ -116,6 +116,48 @@ def _pandas_rv(rows):
     return out
 
 
+# counts spanning tiny to near-2^40 per hour: long co-moment sums would
+# overflow (cnt² ≈ 2^80), decimal(38,0) must stay exact
+extreme_hours = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2**40),
+        st.integers(min_value=0, max_value=2**40),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(hours=extreme_hours)
+def test_corr_comoments_exact_at_extreme_counts(spark, hours):
+    """corr_from_hourly vs arbitrary-precision Python ints: the decimal
+    co-moment path must agree to 1e-6 even when counts are far past the
+    int64-product overflow point."""
+    from exness_data_preprocess_spark.operators.finance import corr_from_hourly
+
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 1), a, b) for a, b in hours],
+        "day date, cnt_a long, cnt_b long",
+    )
+    out = corr_from_hourly(df).collect()
+    assert len(out) == 1 and out[0]["n_hours"] == len(hours)
+
+    n = len(hours)
+    sx = sum(a for a, _ in hours)
+    sy = sum(b for _, b in hours)
+    sxx = sum(a * a for a, _ in hours)
+    syy = sum(b * b for _, b in hours)
+    sxy = sum(a * b for a, b in hours)
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    denom = (float(vx) * float(vy)) ** 0.5
+    if denom == 0.0:
+        assert out[0]["corr_ab"] is None
+    else:
+        want = float(n * sxy - sx * sy) / denom
+        assert abs(out[0]["corr_ab"] - want) < 1e-6
+
+
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
 @given(rows=events)
 def test_realized_vol_matches_pandas_reference(spark, rows):

@@ -71,3 +71,34 @@ def test_tfidf_rank_window_bounded(docs):
     for ranks in per_group.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 2
+
+
+def test_retrieval_leaves_no_cached_partitions(spark, docs):
+    """Both queries are single self-contained plans: a long-lived
+    session (bench loop, registry driver) must not accumulate cached
+    RDDs across repeated calls."""
+    spark.catalog.clearCache()
+    for _ in range(2):
+        bm25_topk(docs, ["spark", "cat"], k=4).collect()
+        tfidf_top_terms(docs, k=3, min_tf=1).collect()
+    cached = spark.sparkContext._jsc.getPersistentRDDs()
+    assert cached.size() == 0
+
+
+def test_tfidf_gdf_counts_groups_below_min_tf(spark):
+    """A term rare in one group (tf < min_tf) still counts toward that
+    term's group frequency — the window runs before the filter."""
+    df = spark.createDataFrame(
+        [
+            (1, "shared shared alpha", "x"),
+            (2, "shared beta beta", "y"),  # tf(shared,y)=1 < min_tf=2
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source"], r["term"]): r
+        for r in tfidf_top_terms(df, k=5, min_tf=2).collect()
+    }
+    # shared survives min_tf only in x, but its gdf=2 → idf=ln(2/2)=0
+    assert out[("x", "shared")]["score"] == 0.0
+    assert ("y", "shared") not in out
