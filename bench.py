@@ -34,10 +34,20 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
     timings: dict[str, float] = {}
+    excluded: dict[str, str] = {}
     t_all = time.time()
     for name, spec in QUERIES.items():
         if not spec.bench:
-            continue  # correctness-only entries (e.g. streaming drains)
+            # correctness-only entries: recorded so n_queries vs the
+            # registry count is self-explaining in the output
+            excluded[name] = (
+                "streaming drain (availableNow wall time measures sink "
+                "polling, not plan cost)"
+                if name.startswith("streaming_")
+                else "iterative convergence loop (driver-paced rounds, "
+                "not one plan)"
+            )
+            continue
         try:  # compile/JIT pass on the tiny SF, outside the timed window
             spec.spark(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
@@ -84,6 +94,7 @@ def main() -> None:
                 # the query set grows round-over-round; totals aren't
                 # comparable across rounds, medians and counts are
                 "n_queries": len(timings),
+                "excluded": excluded,
                 "median_query_sec": median,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
                 "wall_including_warmup": wall,

@@ -541,6 +541,7 @@ def semantic_decontaminate(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_col: str | None = "label",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Flag corpus vectors semantically too close to any benchmark/eval
     vector (cosine ≥ ``threshold``) — the embedding-space complement of
@@ -548,33 +549,81 @@ def semantic_decontaminate(
     paraphrased eval leakage token overlap misses.
 
     Cross-side only — the benchmark is never self-joined and, being an
-    eval set (tiny vs the corpus), broadcasts. ``block_col`` is the IVF
-    cell stand-in: at scale each corpus vector compares only within its
-    cell. Output one row per corpus vector: (id, contaminated,
-    best_cosine); vectors whose block holds no benchmark vector get
-    best_cosine NULL and contaminated 0.
+    eval set (tiny vs the corpus), broadcasts. Blocking picks the
+    at-scale compare set, in precedence order:
+
+    - ``centroids`` (e.g. from :func:`train_ivf_centroids`): both sides
+      are IVF-cell-assigned (argmax cosine vs the broadcast centroid
+      frame, ties to the lowest cell — :func:`ivf_topk`'s assignment)
+      and compared within cells. Data-independent: no label column
+      needed, one codegen'd assignment scan per side, the compare join
+      shuffles on cell_id only. The usual IVF recall trade applies: a
+      benchmark twin quantized into a different cell is missed, so size
+      cells to the eval set's dispersion.
+    - ``block_col``: pre-labeled corpora compare within the label.
+    - neither: every corpus vector compares against the full broadcast
+      benchmark — corpus-linear (the benchmark side is tiny), but pays
+      |benchmark| compares per vector.
+
+    Output one row per corpus vector: (id, contaminated, best_cosine);
+    vectors whose block/cell holds no benchmark vector — or an empty
+    benchmark altogether — get best_cosine NULL and contaminated 0.
     """
+    use_cells = centroids is not None
+
     def prep(df: DataFrame, out_id: str, out_v: str, out_n: str) -> DataFrame:
         v = _as_double(vec_col)
+        keep_block = block_col and not use_cells
         return df.select(
-            *([F.col(block_col)] if block_col else []),
+            *([F.col(block_col)] if keep_block else []),
             F.col(id_col).alias(out_id),
             v.alias(out_v),
             _norm(v).alias(out_n),
         )
 
-    on = [block_col] if block_col else []
     c = prep(corpus, "cid", "cv", "cn")
     b = prep(benchmark, "bid", "bv", "bn")
+    if use_cells:
+        cents = _ivf_centroid_frame(
+            corpus, len(centroids), centroids, vec_col, id_col
+        )
+
+        def assign(df: DataFrame, out_id: str, out_v: str, out_n: str) -> DataFrame:
+            acos = F.round(
+                _dot(F.col(out_v), F.col("cent_v"))
+                / (F.col(out_n) * F.col("cent_n")),
+                6,
+            )
+            return (
+                df.crossJoin(F.broadcast(cents))
+                .groupBy(out_id)
+                .agg(
+                    F.max_by(
+                        "cell_id",
+                        F.struct(acos.alias("c"), (-F.col("cell_id")).alias("t")),
+                    ).alias("cell_id"),
+                    F.first(out_v).alias(out_v),
+                    F.first(out_n).alias(out_n),
+                )
+            )
+
+        c = assign(c, "cid", "cv", "cn")
+        b = assign(b, "bid", "bv", "bn")
+        on = ["cell_id"]
+    elif block_col:
+        on = [block_col]
+    else:
+        # Constant-key LEFT join, not a crossJoin: corpus rows must
+        # survive an empty benchmark (contaminated=0, best_cosine NULL).
+        c = c.withColumn("_k", F.lit(1))
+        b = b.withColumn("_k", F.lit(1))
+        on = ["_k"]
     cos = F.round(
         _dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn")), 6
     )
-    joined = (
-        c.join(F.broadcast(b), on, "left") if on
-        else c.crossJoin(F.broadcast(b))
-    )
     return (
-        joined.select("cid", cos.alias("cos"))
+        c.join(F.broadcast(b), on, "left")
+        .select("cid", cos.alias("cos"))
         .groupBy("cid")
         .agg(F.max("cos").alias("best_cosine"))
         .select(

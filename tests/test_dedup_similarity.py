@@ -505,3 +505,75 @@ def test_semantic_decontaminate_flags_near_benchmark_vectors(spark):
     assert out[11]["contaminated"] == 0 and out[11]["best_cosine"] == 0.0
     assert out[12]["contaminated"] == 0 and out[12]["best_cosine"] is None
     assert len(out) == 3  # every corpus vector reported exactly once
+
+
+def test_semantic_decontaminate_cell_blocked_equals_unblocked(spark):
+    """On a corpus whose clusters are well separated (each vector's
+    globally-best benchmark twin shares its IVF cell), centroid blocking
+    must reproduce the unblocked result exactly — the property that makes
+    cell blocking a valid at-scale substitute."""
+    from exness_data_preprocess_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    # two orthogonal clusters; one benchmark vector per cluster
+    bench = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [0.95, 0.05, 0.0]),   # cluster A, cos≈1 vs bench 1
+            (11, [0.5, 0.85, 0.0]),    # cluster A, cos≈0.5 vs bench 1
+            (12, [0.0, 0.05, 0.99]),   # cluster B, cos≈1 vs bench 2
+            (13, [0.0, 0.8, 0.6]),     # cluster B, cos=0.6 vs bench 2
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]
+    unblocked = sorted(
+        map(
+            tuple,
+            semantic_decontaminate(
+                corpus, bench, threshold=0.9, block_col=None
+            ).collect(),
+        )
+    )
+    blocked = sorted(
+        map(
+            tuple,
+            semantic_decontaminate(
+                corpus, bench, threshold=0.9, block_col=None, centroids=cents
+            ).collect(),
+        )
+    )
+    assert blocked == unblocked
+    flags = {r[0]: r[1] for r in blocked}
+    assert flags == {10: 1, 11: 0, 12: 1, 13: 0}
+
+
+def test_semantic_decontaminate_empty_benchmark_all_modes(spark):
+    """An empty benchmark must yield contaminated=0 / best_cosine NULL for
+    EVERY corpus row in all three blocking modes (the blockless path used
+    to drop rows through its crossJoin)."""
+    from exness_data_preprocess_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0], 0), (11, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    bench = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    for kwargs in (
+        {"block_col": None},
+        {"block_col": "label"},
+        {"block_col": None, "centroids": [[1.0, 0.0], [0.0, 1.0]]},
+    ):
+        out = semantic_decontaminate(corpus, bench, **kwargs).collect()
+        assert len(out) == 2, kwargs
+        assert all(
+            r["contaminated"] == 0 and r["best_cosine"] is None for r in out
+        ), kwargs
