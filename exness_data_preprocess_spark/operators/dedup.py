@@ -23,6 +23,16 @@ Scale notes:
   production near-dup pipelines drop degenerate bands.
 - Exact-Jaccard verification joins shingle sets back by doc id — two
   hash joins on the (much smaller) candidate-pair set, not on the corpus.
+
+Cache lifetime: pair-mining operators ``persist()`` intermediates that
+feed BOTH sides of a candidate join (fingerprints, shingle sets) so the
+expensive tokenize/hash pass runs once instead of twice. The persisted
+frame is consumed lazily inside the returned DataFrame's plan, so the
+operator cannot unpersist it before the caller's action — callers that
+run many dedup passes in one long-lived session own cleanup
+(``spark.catalog.clearCache()`` between passes, as bench.py and the
+test suite do). Single-shot jobs need nothing: executor storage is
+released with the application.
 """
 
 from __future__ import annotations

@@ -1,0 +1,215 @@
+#!/usr/bin/env python
+"""Generate a scaled-up copy of the LLM-pipeline test tables.
+
+The driver fixtures stop at sf0.1 (5k documents / 2k embeddings / 100k
+events). To measure the scaling *curve* past that point we regenerate the
+three pipeline tables at ``--mult``x size from the same distribution family
+the driver's generator used, which we fitted from the sf0.1 data:
+
+documents (fitted from sf0.1):
+  * 30-word uniform vocabulary shared across languages + the near-dup
+    marker token ``dup``;
+  * lang ~ empirical mix (en ~41%, de/es/fr/zh ~15% each), source uniform
+    over 20 values, length uniform in [10, 100] words;
+  * 5% of docs are near-duplicates: a copy of a random earlier doc with
+    one ``dup`` token inserted at a random position, lang/source redrawn;
+  * ~0.16% are exact-text copies of an earlier doc (lang/source redrawn).
+
+embeddings: unit-norm 64-d vectors, 10 labels near-uniform; new vectors
+are drawn from per-label von-Mises-Fisher-ish cones fitted to the source
+(centroid + isotropic Gaussian scaled to match the observed mean cosine
+to centroid, then renormalized).
+
+events: ts uniform over the source's [min, max] span, event_type uniform
+over 5, user_id uniform over ``1500 * mult`` users, value ~ Exp(mean 50)
+rounded to 2dp, props = {"k": uniform 0..99}; event_id assigned in ts
+order.
+
+The TPC-H-ish tables are hard-linked (fallback: copied) verbatim from the
+source dir so loaders resolve, and are recorded as UNSCALED in the emitted
+MANIFEST.json — scale-curve runs must only cite queries over the three
+generated tables at this dir.
+
+Deterministic for a given (--seed, --mult). Writes parquet with pyarrow.
+
+Usage: python scripts/gen_scale_data.py [--mult 10] [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = [
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "join", "filter", "big", "group", "hash",
+    "customer", "sort", "order", "slow", "line", "part", "fast", "the",
+    "row", "agg", "key", "query", "a", "scan", "batch",
+]
+LANGS = ["en", "de", "es", "fr", "zh"]
+LANG_P = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
+SOURCES = [f"src{i}" for i in range(20)]
+NEAR_DUP_RATE = 0.05
+EXACT_DUP_RATE = 0.0016
+
+
+def gen_documents(rng: np.random.Generator, n: int) -> pa.Table:
+    langs = rng.choice(len(LANGS), size=n, p=LANG_P)
+    sources = rng.integers(0, len(SOURCES), size=n)
+    lengths = rng.integers(10, 101, size=n)
+    texts: list[str] = []
+    for i in range(n):
+        r = rng.random()
+        if i > 0 and r < EXACT_DUP_RATE:
+            texts.append(texts[rng.integers(0, i)])
+        elif i > 0 and r < EXACT_DUP_RATE + NEAR_DUP_RATE:
+            words = texts[rng.integers(0, i)].split(" ")
+            words.insert(int(rng.integers(0, len(words) + 1)), "dup")
+            texts.append(" ".join(words))
+        else:
+            idx = rng.integers(0, len(VOCAB), size=int(lengths[i]))
+            texts.append(" ".join(VOCAB[j] for j in idx))
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([LANGS[i] for i in langs], pa.string()),
+            "source": pa.array([SOURCES[i] for i in sources], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def gen_embeddings(
+    rng: np.random.Generator, n: int, src_path: str
+) -> pa.Table:
+    src = pq.read_table(src_path)
+    vecs = np.array(src["embedding"].to_pylist(), dtype=np.float64)
+    labels = np.asarray(src["label"].to_pylist())
+    dim = vecs.shape[1]
+    cents, spreads = [], []
+    for lbl in range(10):
+        sub = vecs[labels == lbl]
+        mu = sub.mean(axis=0)
+        mu /= np.linalg.norm(mu)
+        mean_cos = float((sub @ mu).mean())  # unit-norm rows
+        # cos ≈ 1/sqrt(1+sigma_rel^2) for centroid + isotropic noise
+        sigma_rel = float(np.sqrt(max(1.0 / mean_cos**2 - 1.0, 1e-6)))
+        cents.append(mu)
+        spreads.append(sigma_rel)
+    new_labels = rng.integers(0, 10, size=n)
+    noise = rng.standard_normal((n, dim))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    out = np.empty((n, dim))
+    for lbl in range(10):
+        m = new_labels == lbl
+        out[m] = cents[lbl] + spreads[lbl] * noise[m]
+    out /= np.linalg.norm(out, axis=1, keepdims=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                out.astype(np.float32).tolist(), pa.list_(pa.float32())
+            ),
+            "label": pa.array(new_labels.astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def gen_events(
+    rng: np.random.Generator, n: int, n_users: int, src_path: str
+) -> pa.Table:
+    src = pq.read_table(src_path, columns=["ts"])
+    ts_col = src["ts"].cast(pa.timestamp("us"))
+    lo = ts_col[0].value
+    hi = lo
+    for chunk in ts_col.chunks:
+        arr = chunk.to_numpy(zero_copy_only=False)
+        lo = min(lo, arr.min().astype("datetime64[us]").astype(np.int64))
+        hi = max(hi, arr.max().astype("datetime64[us]").astype(np.int64))
+    ts = np.sort(rng.integers(lo, hi, size=n))
+    types = rng.integers(0, 5, size=n)
+    type_names = np.array(["view", "click", "signup", "purchase", "error"])
+    values = np.round(rng.exponential(50.0, size=n), 2)
+    ks = rng.integers(0, 100, size=n)
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(
+                rng.integers(0, n_users, size=n), pa.int64()
+            ),
+            "event_type": pa.array(type_names[types], pa.string()),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array(
+                [f'{{"k": {int(k)}}}' for k in ks], pa.string()
+            ),
+        }
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/root/repo/.scaledata/sf1")
+    ap.add_argument("--seed", type=int, default=20260814)
+    args = ap.parse_args()
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+
+    scaled = {}
+    n_docs = 5000 * args.mult
+    pq.write_table(gen_documents(rng, n_docs), out / "documents.parquet")
+    scaled["documents"] = n_docs
+    n_emb = 2000 * args.mult
+    pq.write_table(
+        gen_embeddings(rng, n_emb, f"{args.src}/embeddings.parquet"),
+        out / "embeddings.parquet",
+    )
+    scaled["embeddings"] = n_emb
+    n_ev = 100_000 * args.mult
+    pq.write_table(
+        gen_events(
+            rng, n_ev, 1500 * args.mult, f"{args.src}/events.parquet"
+        ),
+        out / "events.parquet",
+    )
+    scaled["events"] = n_ev
+
+    unscaled = []
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem",
+    ):
+        dst = out / f"{t}.parquet"
+        if dst.exists():
+            dst.unlink()
+        try:
+            os.link(f"{args.src}/{t}.parquet", dst)
+        except OSError:
+            shutil.copyfile(f"{args.src}/{t}.parquet", dst)
+        unscaled.append(t)
+
+    manifest = {
+        "mult": args.mult,
+        "seed": args.seed,
+        "src": args.src,
+        "scaled_tables": scaled,
+        "unscaled_tables": unscaled,
+    }
+    (out / "MANIFEST.json").write_text(json.dumps(manifest, indent=2))
+    print(json.dumps(manifest))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Measure the scaling curve of the most expensive bench queries.
+
+Runs each query at a ladder of fixture sizes — the driver-generated
+sf0.01 / sf0.1 plus `gen_scale_data.py` outputs at 3x and 10x sf0.1 —
+using the same protocol as bench.py (warm-up compile pass at sf0.001,
+best-of-2 timed noop writes, cache cleared between runs), and derives a
+per-step scaling exponent:
+
+    alpha = log(t_hi / t_lo) / log(rows_hi / rows_lo)
+
+computed on the query's primary input table rows. alpha ~ 1 is linear,
+alpha > 1 super-linear. Two caveats the numbers must be read with:
+
+* Spark's fixed per-job overhead (~0.15-0.3 s scheduling floor on
+  local[32]) dominates small-SF timings and *deflates* small-step
+  exponents; the 10x step (sf0.1 -> sf1) is the meaningful one.
+* Pair-producing queries (near-dup mining) have output sizes that grow
+  faster than linearly in the corpus when duplicate *rates* are held
+  constant — we therefore also record output rows so runtime growth can
+  be attributed to result growth vs plan pathology.
+
+Prints one JSON line; `--md SCALE.md` also rewrites the markdown report.
+
+Usage: python scripts/scale_curve.py [--out scale_curve.json] [--md SCALE.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyarrow.parquet as pq  # noqa: E402
+
+# query -> primary input table (the one the generator scales)
+QUERY_TABLE = {
+    "dedup_levenshtein": "documents",
+    "dedup_containment": "documents",
+    "dedup_minhash_lsh": "documents",
+    "dedup_ngram_jaccard": "documents",
+    "dedup_simhash": "documents",
+    "incremental_dedup": "documents",
+    "curation_pipeline": "documents",
+    "vocabulary": "documents",
+    "dedup_embedding_cosine": "embeddings",
+    "pq_ann_adc": "embeddings",
+    "ann_lsh_bucketed": "embeddings",
+    "ann_ivf_topk": "embeddings",
+}
+
+LADDER = [
+    ("sf0.01", "/root/testdata/sf0.01"),
+    ("sf0.1", "/root/testdata/sf0.1"),
+    ("3x", "/root/repo/.scaledata/sf0.3"),
+    ("10x", "/root/repo/.scaledata/sf1"),
+]
+WARM_DIR = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--md", default=None)
+    ap.add_argument("--queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    from exness_data_preprocess_spark import get_spark
+    from exness_data_preprocess_spark.plans.registry import QUERIES
+
+    names = args.queries or list(QUERY_TABLE)
+    ladder = [(tag, d) for tag, d in LADDER if os.path.isdir(d)]
+
+    spark = get_spark("scale-curve")
+    spark.read.parquet(f"{ladder[0][1]}/region.parquet").count()
+
+    table_rows: dict[str, dict[str, int]] = {}
+    for tag, d in ladder:
+        table_rows[tag] = {
+            t: pq.read_metadata(f"{d}/{t}.parquet").num_rows
+            for t in ("documents", "embeddings", "events")
+        }
+
+    results: dict[str, dict] = {}
+    for name in names:
+        spec = QUERIES[name]
+        try:  # compile/JIT outside the timed window
+            spec.spark(spark, WARM_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
+        points = []
+        for tag, d in ladder:
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                spec.spark(spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+            spark.catalog.clearCache()
+            out_rows = spec.spark(spark, d).count()
+            spark.catalog.clearCache()
+            points.append(
+                {
+                    "tag": tag,
+                    "sec": round(best, 3),
+                    "in_rows": table_rows[tag][QUERY_TABLE[name]],
+                    "out_rows": out_rows,
+                }
+            )
+        steps = []
+        for lo, hi in zip(points, points[1:]):
+            ratio = hi["in_rows"] / lo["in_rows"]
+            alpha = math.log(hi["sec"] / lo["sec"]) / math.log(ratio)
+            steps.append(
+                {
+                    "step": f'{lo["tag"]}->{hi["tag"]}',
+                    "alpha_time": round(alpha, 2),
+                    "alpha_out": round(
+                        math.log(max(hi["out_rows"], 1) / max(lo["out_rows"], 1))
+                        / math.log(ratio),
+                        2,
+                    ),
+                }
+            )
+        results[name] = {
+            "table": QUERY_TABLE[name],
+            "points": points,
+            "steps": steps,
+        }
+        print(
+            json.dumps({"query": name, **results[name]}), file=sys.stderr
+        )
+
+    payload = {
+        "metric": "scale_curve",
+        "ladder": {tag: table_rows[tag] for tag, _ in ladder},
+        "queries": results,
+    }
+    print(json.dumps(payload))
+    if args.out:
+        Path(args.out).write_text(json.dumps(payload, indent=2))
+    if args.md:
+        write_md(Path(args.md), payload, [t for t, _ in ladder])
+    spark.stop()
+
+
+def write_md(path: Path, payload: dict, tags: list[str]) -> None:
+    lines = [
+        "# SCALE — measured scaling curves",
+        "",
+        "Produced by `scripts/scale_curve.py` (same timing protocol as",
+        "`bench.py`: warm-up compile pass at sf0.001, best-of-2 noop-sink",
+        "writes, cache cleared between runs; local[32]). Fixture ladder:",
+        "driver sf0.01 and sf0.1, plus `scripts/gen_scale_data.py`",
+        "regenerations of the pipeline tables at 3x and 10x sf0.1 fitted",
+        "to the driver generator's distributions (see that script's",
+        "docstring for the fit).",
+        "",
+        "`alpha_time` is the per-step scaling exponent",
+        "log(t_hi/t_lo)/log(n_hi/n_lo) on the query's primary input",
+        "table; 1.0 = linear. `alpha_out` is the same exponent for output",
+        "rows — pair-mining queries legitimately have alpha_out > 1",
+        "(constant duplicate *rate* means pair *count* grows faster than",
+        "n), so runtime tracking output is expected, not a plan defect.",
+        "Small steps (sf0.01->sf0.1) are deflated by Spark's fixed",
+        "~0.2 s per-job floor; the 10x step (sf0.1->10x) is the",
+        "meaningful one and is the `alpha@10x` column.",
+        "",
+    ]
+    hdr = (
+        ["query", "table"]
+        + [f"t({t}) s" for t in tags]
+        + ["out(10x)", "alpha@10x time", "alpha@10x out", "note"]
+    )
+    lines.append("| " + " | ".join(hdr) + " |")
+    lines.append("|" + "---|" * len(hdr))
+    for name, r in payload["queries"].items():
+        times = {p["tag"]: p["sec"] for p in r["points"]}
+        last = r["steps"][-1] if r["steps"] else {}
+        out10 = r["points"][-1]["out_rows"]
+        a_t = last.get("alpha_time", float("nan"))
+        a_o = last.get("alpha_out", float("nan"))
+        if a_t <= 1.1:
+            note = "linear"
+        elif a_t <= a_o + 0.15:
+            note = "tracks output growth"
+        elif a_t <= 1.3:
+            note = "mildly super-linear"
+        else:
+            note = "SUPER-LINEAR — investigate"
+        row = (
+            [name, r["table"]]
+            + [f'{times.get(t, float("nan")):.2f}' for t in tags]
+            + [str(out10), f"{a_t:.2f}", f"{a_o:.2f}", note]
+        )
+        lines.append("| " + " | ".join(row) + " |")
+    lines.append("")
+    path.write_text("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

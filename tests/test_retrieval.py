@@ -77,12 +77,16 @@ def test_retrieval_leaves_no_cached_partitions(spark, docs):
     """Both queries are single self-contained plans: a long-lived
     session (bench loop, registry driver) must not accumulate cached
     RDDs across repeated calls."""
-    spark.catalog.clearCache()
+    # Delta-based: other operator families (dedup pair-mining) persist
+    # shared intermediates by design and the session fixture is
+    # module-scoped, so assert retrieval *adds* nothing rather than that
+    # the whole session is cache-free.
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
     for _ in range(2):
         bm25_topk(docs, ["spark", "cat"], k=4).collect()
         tfidf_top_terms(docs, k=3, min_tf=1).collect()
-    cached = spark.sparkContext._jsc.getPersistentRDDs()
-    assert cached.size() == 0
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before
 
 
 def test_tfidf_gdf_counts_groups_below_min_tf(spark):
