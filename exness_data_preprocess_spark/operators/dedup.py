@@ -919,3 +919,111 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. 2022, hashed-window variant)
+# ---------------------------------------------------------------------------
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 15,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Flag and strip token spans duplicated verbatim across the corpus.
+
+    The operator from "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al., 2022): any ``window``-token sequence occurring
+    ``min_occurrences``+ times corpus-wide (across docs OR repeated
+    within one doc) is duplicated text; a doc's duplicated region is the
+    union of its duplicated windows. Lee et al. build a suffix array —
+    inherently sequential; this is the distributed hashed-window
+    formulation (the shape used by Bloom-filter dedupers like BFF):
+
+      1. per doc, hash every ``window``-token sliding window
+         (md5 over a \\x1f-joined slice — md5 so the DuckDB oracle
+         reproduces values bit-for-bit; a production deployment would
+         swap in a cheaper rolling hash, which only changes this one
+         expression);
+      2. count occurrences per window hash — ONE shuffle on a uniform
+         md5 key, partial aggregation map-side; with 30-word vocab and
+         w=15 random collisions are ~30^-15, so a hash hit IS a verbatim
+         repeat (at 100 TB add a confirm-join on the token slice for the
+         collision-paranoid path);
+      3. join flagged hashes back to (doc, start) — hash join on the
+         same uniform key, output bounded by duplicated-window count;
+      4. per doc: union the flagged [start, start+w) intervals via array
+         expressions (state bounded by the doc's own token count — no
+         cross-doc window function), emit span stats and the text with
+         covered tokens removed.
+
+    Rows: one per input doc (left join — clean docs get zero counts and
+    their normalized text back). Columns: id, n_tokens, n_dup_windows,
+    covered_tokens, dup_ratio, text_deduped.
+
+    Reference parity: none — the reference (ClickHouse tick engine) has
+    no text dedup; this extends the training-data-pipeline family
+    alongside minhash/simhash/ngram ops above.
+    """
+    w = window
+    doc_id = F.col(id_col)
+    base = df.select(
+        doc_id.alias("id"), tokens_col(F.col(text_col)).alias("toks")
+    ).withColumn("n_tokens", F.size("toks"))
+
+    wins = base.filter(F.col("n_tokens") >= w).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_tokens") - w),
+                lambda i: F.md5(
+                    F.concat_ws("\x1f", F.slice(F.col("toks"), i + 1, w))
+                ),
+            )
+        ).alias("start", "whash"),
+    )
+
+    dup_hashes = (
+        wins.groupBy("whash")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_occurrences)
+        .select("whash")
+    )
+
+    per_doc = (
+        wins.join(dup_hashes, "whash")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_dup_windows"),
+            F.sort_array(F.collect_list("start")).alias("starts"),
+        )
+        .withColumn(
+            "covered",
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.col("starts"),
+                        lambda s: F.sequence(s, s + F.lit(w - 1)),
+                    )
+                )
+            ),
+        )
+    )
+
+    joined = base.join(per_doc, "id", "left")
+    covered = F.coalesce(F.col("covered"), F.array().cast("array<int>"))
+    return joined.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.coalesce(F.col("n_dup_windows"), F.lit(0)).alias("n_dup_windows"),
+        F.size(covered).alias("covered_tokens"),
+        (F.size(covered) / F.col("n_tokens")).alias("dup_ratio"),
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.col("toks"),
+                lambda t, i: ~F.array_contains(covered, i),
+            ),
+        ).alias("text_deduped"),
+    )

@@ -20,6 +20,7 @@ from exness_data_preprocess_spark.operators import multimodal
 from exness_data_preprocess_spark.operators.dedup import (
     embedding_cosine_pairs,
     exact_dedup,
+    exact_substring_spans,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
@@ -213,6 +214,53 @@ SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
          AS containment
 FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id <> b.doc_id
 WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6) >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. 2022, hashed-window variant)
+# ---------------------------------------------------------------------------
+_SUBSTR_W = 15
+
+
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing a {w}-token span duplicated verbatim anywhere in
+    the corpus, with span stats and the span-stripped text."""
+    docs = _docs_spread(spark, sf_dir)
+    out = exact_substring_spans(
+        docs, window=_SUBSTR_W, min_occurrences=2
+    )
+    return out.filter(F.col("covered_tokens") > 0)
+
+
+ORACLE_DEDUP_EXACT_SUBSTRING = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n_tokens FROM documents
+), w AS (
+  SELECT doc_id, u.i AS start,
+         md5(array_to_string(toks[u.i + 1 : u.i + {_SUBSTR_W}], chr(31)))
+           AS whash
+  FROM t, unnest(range(0, n_tokens - {_SUBSTR_W} + 1)) AS u(i)
+  WHERE n_tokens >= {_SUBSTR_W}
+), dup AS (
+  SELECT whash FROM w GROUP BY 1 HAVING count(*) >= 2
+), agg AS (
+  SELECT w.doc_id, count(*) AS n_dup_windows,
+         list_sort(list(w.start)) AS starts
+  FROM w JOIN dup USING (whash) GROUP BY 1
+), cov AS (
+  SELECT doc_id, n_dup_windows,
+         list_distinct(flatten(list_transform(
+           starts, s -> range(s, s + {_SUBSTR_W})))) AS covered
+  FROM agg
+)
+SELECT t.doc_id, t.n_tokens, c.n_dup_windows,
+       len(c.covered) AS covered_tokens,
+       len(c.covered)::DOUBLE / t.n_tokens AS dup_ratio,
+       coalesce(array_to_string(list_filter(t.toks,
+         (x, i) -> NOT list_contains(c.covered, i - 1)), ' '), '')
+         AS text_deduped
+FROM t JOIN cov c USING (doc_id)
 """
 
 
@@ -817,6 +865,10 @@ def build_ml_queries() -> dict:
             "eval-leak flags, data-independent IVF-cell blocking"),
         "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS,
                             "per-source distinctive keywords by TF-IDF"),
+        "dedup_exact_substring": (q_dedup_exact_substring,
+                                  ORACLE_DEDUP_EXACT_SUBSTRING,
+                                  "duplicated 15-token spans stripped "
+                                  "(Lee et al. hashed-window dedup)"),
         "dedup_embedding_cosine": (q_dedup_embedding_cosine,
                                    ORACLE_DEDUP_EMBEDDING_COSINE,
                                    "embedding cosine near-dup pairs, label-blocked"),

@@ -46,6 +46,7 @@ QUERY_TABLE = {
     "dedup_minhash_lsh": "documents",
     "dedup_ngram_jaccard": "documents",
     "dedup_simhash": "documents",
+    "dedup_exact_substring": "documents",
     "incremental_dedup": "documents",
     "curation_pipeline": "documents",
     "vocabulary": "documents",

@@ -577,3 +577,68 @@ def test_semantic_decontaminate_empty_benchmark_all_modes(spark):
         assert all(
             r["contaminated"] == 0 and r["best_cosine"] is None for r in out
         ), kwargs
+
+
+# ---------------------------------------------------------------------------
+# exact_substring_spans (Lee et al. hashed-window dedup)
+# ---------------------------------------------------------------------------
+def test_exact_substring_spans_flags_shared_window(spark):
+    from exness_data_preprocess_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    shared = "a b c d e"  # 5-token span shared verbatim by docs 1 and 2
+    rows = [
+        (1, shared + " x y"),
+        (2, "p q " + shared),
+        (3, "u v w z q p r"),  # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_spans(df, window=5).collect()
+    }
+    assert out[1]["n_dup_windows"] == 1 and out[2]["n_dup_windows"] == 1
+    assert out[1]["covered_tokens"] == 5 and out[2]["covered_tokens"] == 5
+    assert out[1]["text_deduped"] == "x y"
+    assert out[2]["text_deduped"] == "p q"
+    # clean doc: untouched normalized text, zero counts
+    assert out[3]["n_dup_windows"] == 0
+    assert out[3]["covered_tokens"] == 0
+    assert out[3]["text_deduped"] == "u v w z q p r"
+
+
+def test_exact_substring_spans_merges_overlaps_and_within_doc(spark):
+    from exness_data_preprocess_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    # doc 1 repeats "a b c" twice within itself → both occurrences of the
+    # 3-token window count (min_occurrences over TOTAL occurrences);
+    # overlapping windows union into one covered region per occurrence.
+    df = spark.createDataFrame(
+        [(1, "a b c z a b c"), (2, "m n o p q r s")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_spans(df, window=3).collect()
+    }
+    assert out[1]["n_dup_windows"] == 2
+    assert out[1]["covered_tokens"] == 6  # both "a b c" spans, not "z"
+    assert out[1]["text_deduped"] == "z"
+    assert out[2]["covered_tokens"] == 0
+
+
+def test_exact_substring_spans_short_docs_ignored(spark):
+    from exness_data_preprocess_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")],  # shorter than the window
+        "doc_id long, text string",
+    )
+    out = exact_substring_spans(df, window=5).collect()
+    assert all(r["covered_tokens"] == 0 for r in out)
+    assert all(r["n_dup_windows"] == 0 for r in out)
