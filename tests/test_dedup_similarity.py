@@ -642,3 +642,44 @@ def test_exact_substring_spans_short_docs_ignored(spark):
     out = exact_substring_spans(df, window=5).collect()
     assert all(r["covered_tokens"] == 0 for r in out)
     assert all(r["n_dup_windows"] == 0 for r in out)
+
+
+def test_levenshtein_passjoin_equals_bucket(spark):
+    """The two candidate strategies are both lossless, so outputs must be
+    identical on a corpus with near-dups, exact dups, cross-length pairs,
+    and tiny (< d+1 chars) strings."""
+    import random
+
+    from exness_data_preprocess_spark.operators.dedup import (
+        levenshtein_pairs,
+    )
+
+    rng = random.Random(7)
+    vocab = "abcdefgh"
+    rows = []
+    for i in range(60):
+        s = "".join(rng.choice(vocab) for _ in range(rng.randint(3, 120)))
+        rows.append((i, s, "en"))
+        if rng.random() < 0.4:  # mutated copy: a few edits
+            t = list(s)
+            for _ in range(rng.randint(1, 8)):
+                op = rng.random()
+                pos = rng.randrange(max(len(t), 1))
+                if op < 0.34 and t:
+                    t[pos] = rng.choice(vocab)
+                elif op < 0.67:
+                    t.insert(pos, rng.choice(vocab))
+                elif t:
+                    del t[pos]
+            rows.append((1000 + i, "".join(t), "en"))
+    rows += [(2000, "ab", "en"), (2001, "ab", "en"), (2002, "abcd", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    pj = sorted(
+        map(tuple, levenshtein_pairs(df, strategy="passjoin").collect())
+    )
+    bk = sorted(
+        map(tuple, levenshtein_pairs(df, strategy="bucket").collect())
+    )
+    assert pj == bk
+    assert len(pj) > 10  # the corpus really does contain near-dup pairs
