@@ -653,8 +653,15 @@ def _lev_candidates_passjoin(
         F.col("sub.s").alias("s"),
     )
 
+    # The substring index is generated by explode/flatten, so Catalyst's
+    # static size estimate (derived from the tiny pre-explode scan) can
+    # come in under the broadcast threshold — broadcasting a corpus-wide
+    # substring index is exactly wrong at any scale (measured: a 10.5 GiB
+    # attempted broadcast at the 10x fixture). Shuffle-hash is no better:
+    # the per-partition hash map over the index side OOMs. Pin sort-merge,
+    # which partitions on the selective segment string and spills.
     matched = (
-        segs.join(subs, [*block_cols, "s"])
+        segs.join(subs.hint("merge"), [*block_cols, "s"])
         .filter(F.col("id_s") != F.col("id_t"))
         .filter(F.abs(F.col("ln_s") - F.col("ln_t")) <= d)
         .filter(F.abs(F.col("pos_s") - F.col("pos_t")) <= d)

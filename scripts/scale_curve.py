@@ -99,17 +99,18 @@ def main() -> None:
             pass
         points = []
         for tag, d in ladder:
-            best = None
-            for _ in range(2):
-                spark.catalog.clearCache()
-                t0 = time.time()
-                spec.spark(spark, d).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                el = time.time() - t0
-                best = el if best is None else min(best, el)
+            # two timed executions (noop sink, then count — the count IS
+            # the second sample and yields out_rows without a third run)
             spark.catalog.clearCache()
+            t0 = time.time()
+            spec.spark(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = time.time() - t0
+            spark.catalog.clearCache()
+            t0 = time.time()
             out_rows = spec.spark(spark, d).count()
+            best = min(best, time.time() - t0)
             spark.catalog.clearCache()
             points.append(
                 {
