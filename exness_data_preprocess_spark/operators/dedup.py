@@ -953,13 +953,54 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     block_col: str | None = "label",
     threshold: float = 0.3,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by cosine similarity, blocked by a cluster column.
+    """Near-dup pairs by cosine similarity, blocked to per-cell compares.
 
-    The block column is the IVF coarse quantizer stand-in: at scale,
-    assign each vector to its nearest centroid(s) and only compare within
-    cells — the self-join below is then per-cell quadratic, not global.
+    Blocking, in precedence order:
+
+    - ``centroids`` (e.g. from ``similarity.train_ivf_centroids``): both
+      endpoints are IVF-cell-assigned (argmax cosine vs the broadcast
+      centroid frame, ties to the lowest cell — the shared
+      ``similarity.ivf_assign_cells`` contract) and pairs form within
+      cells. Data-independent — no label column needed; the usual IVF
+      recall trade applies (a near-dup pair split across a cell boundary
+      is missed), so ``n_cells`` should grow with corpus size to hold
+      per-cell population — and the per-cell quadratic compare — flat.
+    - ``block_col``: pre-labeled corpora compare within the label.
+    - neither: global self-join (only for tiny frames).
     """
+    if centroids is not None:
+        from exness_data_preprocess_spark.operators.similarity import (
+            _ivf_centroid_frame,
+            ivf_assign_cells,
+        )
+
+        cents = _ivf_centroid_frame(
+            df, len(centroids), centroids, vec_col, id_col
+        )
+        base = ivf_assign_cells(df, cents, vec_col, id_col).persist()
+        on = ["cell_id"]
+        a = base.select(
+            *on, F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+            F.col("nrm").alias("n_a"),
+        )
+        b = base.select(
+            *on, F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+            F.col("nrm").alias("n_b"),
+        )
+        joined = a.join(b, on)
+        dot = F.aggregate(
+            F.zip_with("v_a", "v_b", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cos = dot / (F.col("n_a") * F.col("n_b"))
+        return (
+            joined.filter(F.col("id_a") < F.col("id_b"))
+            .select(*on, "id_a", "id_b", F.round(cos, 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     # Cast + norm once; both sides of the self-join read the cached frame.

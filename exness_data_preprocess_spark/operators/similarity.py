@@ -167,6 +167,41 @@ def _ivf_centroid_frame(
     )
 
 
+def ivf_assign_cells(
+    df: DataFrame,
+    centroid_frame: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, v, nrm, cell_id): argmax-cosine IVF cell assignment against a
+    broadcast (cell_id, cent_v, cent_n) frame — round(·, 6) with ties to
+    the lowest cell id, the same contract as :func:`ivf_topk`'s inline
+    assignment and every IVF oracle. One codegen'd scan per call; the
+    centroid frame is n_cells rows and broadcasts.
+    """
+    side = df.select(
+        F.col(id_col).alias("id"),
+        _as_double(vec_col).alias("v"),
+        _norm(_as_double(vec_col)).alias("nrm"),
+    )
+    cos = F.round(
+        _dot(F.col("v"), F.col("cent_v")) / (F.col("nrm") * F.col("cent_n")),
+        6,
+    )
+    return (
+        side.crossJoin(F.broadcast(centroid_frame))
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                "cell_id",
+                F.struct(cos.alias("c"), (-F.col("cell_id")).alias("t")),
+            ).alias("cell_id"),
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -401,6 +401,59 @@ WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
 """
 
 
+_COSIVF_CELLS = 16
+
+
+def q_dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell-blocked variant: blocking is data-independent (shared
+    argmax-cosine cell assignment with ann_ivf_topk) instead of riding a
+    label column — the shape for corpora with no convenient
+    pre-labeling, and the knob (n_cells grows with the corpus) that
+    keeps the per-cell quadratic compare flat at scale."""
+    from exness_data_preprocess_spark.plans.registry_ext import _ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_cosine_pairs(
+        emb,
+        block_col=None,
+        threshold=0.3,
+        centroids=_ivf_centroids(spark, sf_dir, _COSIVF_CELLS),
+    )
+
+
+ORACLE_DEDUP_EMBEDDING_COSINE_IVF = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cell_id, v AS cent_v,
+         nrm AS cent_n
+  FROM n ORDER BY vec_id LIMIT {_COSIVF_CELLS}
+), assigned AS (
+  SELECT vec_id, v, nrm, cell_id FROM (
+    SELECT n.vec_id, n.v, n.nrm, cents.cell_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY round(list_sum(list_transform(generate_series(1, len(n.v)),
+                                                    i -> n.v[i] * cents.cent_v[i]))
+                            / (n.nrm * cents.cent_n), 6) DESC, cents.cell_id
+           ) AS rn
+    FROM n CROSS JOIN cents
+  ) WHERE rn = 1
+)
+SELECT a.cell_id, a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                     i -> a.v[i] * b.v[i]))
+             / (a.nrm * b.nrm), 6) AS cosine
+FROM assigned a JOIN assigned b
+  ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                    i -> a.v[i] * b.v[i]))
+            / (a.nrm * b.nrm), 6) >= 0.3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Semantic decontamination (cross-side embedding cosine vs eval set)
 # ---------------------------------------------------------------------------
@@ -872,6 +925,10 @@ def build_ml_queries() -> dict:
         "dedup_embedding_cosine": (q_dedup_embedding_cosine,
                                    ORACLE_DEDUP_EMBEDDING_COSINE,
                                    "embedding cosine near-dup pairs, label-blocked"),
+        "dedup_embedding_cosine_ivf": (q_dedup_embedding_cosine_ivf,
+                                       ORACLE_DEDUP_EMBEDDING_COSINE_IVF,
+                                       "cosine near-dup pairs, "
+                                       "data-independent IVF-cell blocking"),
         "embedding_cosine_topk": (q_embedding_cosine_topk,
                                   ORACLE_EMBEDDING_COSINE_TOPK,
                                   "brute-force cosine top-k neighbors"),

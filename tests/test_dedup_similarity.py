@@ -683,3 +683,47 @@ def test_levenshtein_passjoin_equals_bucket(spark):
     )
     assert pj == bk
     assert len(pj) > 10  # the corpus really does contain near-dup pairs
+
+
+def test_embedding_cosine_ivf_blocking(spark):
+    """centroids= path: with one cell it must equal the unblocked join
+    exactly; with more cells it returns a subset (pairs split across a
+    cell boundary are the documented IVF recall trade)."""
+    import random
+
+    from exness_data_preprocess_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    unblocked = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(
+            df, block_col=None, threshold=0.2
+        ).collect()
+    }
+    one_cell = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(
+            df, block_col=None, threshold=0.2, centroids=[rows[0][1]]
+        ).collect()
+    }
+    assert one_cell == unblocked
+
+    four_cells = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(
+            df,
+            block_col=None,
+            threshold=0.2,
+            centroids=[rows[i][1] for i in range(4)],
+        ).collect()
+    }
+    assert set(four_cells) <= set(unblocked)
+    for k, v in four_cells.items():
+        assert v == unblocked[k]

@@ -273,12 +273,16 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
 
 
 def test_bm25_small_sides_broadcast(spark):
-    """Per-term document frequencies and the corpus stats row must enter
-    as broadcasts; no sort-merge join anywhere in the retrieval plan."""
+    """Per-term document frequencies come from a term-partitioned window
+    over the tokenized frame (the r3->r4 restructure that removed the
+    persist: one self-contained plan, no cached intermediates) and the
+    1-row corpus stats enter as a broadcast; no sort-merge join — the
+    corpus is never shuffled against itself."""
     plan = plan_of(QUERIES["bm25_topk"].spark(spark, SF))
-    assert "BroadcastHashJoin" in plan          # dfreq equi-join
+    assert "Window" in plan                     # df-count window
     assert "BroadcastNestedLoopJoin" in plan    # 1-row stats cross join
     assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" not in plan      # nothing persisted
 
 
 def test_temperature_mix_rate_table_broadcasts(spark):
