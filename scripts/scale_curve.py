@@ -51,9 +51,21 @@ QUERY_TABLE = {
     "curation_pipeline": "documents",
     "vocabulary": "documents",
     "dedup_embedding_cosine": "embeddings",
+    "dedup_embedding_cosine_ivf": "embeddings",
     "pq_ann_adc": "embeddings",
     "ann_lsh_bucketed": "embeddings",
     "ann_ivf_topk": "embeddings",
+    # reference-core + event-pipeline operators over the scaled events table
+    "tick_range_scan": "events",
+    "ohlc_1m": "events",
+    "asof_join": "events",
+    "funnel_daily": "events",
+    "cohort_retention": "events",
+    "fill_minute_gaps": "events",
+    "sessionize_events": "events",
+    "rolling_user_stats": "events",
+    "interval_join_events": "events",
+    "events_window_dedup": "events",
 }
 
 LADDER = [
@@ -144,10 +156,17 @@ def main() -> None:
             json.dumps({"query": name, **results[name]}), file=sys.stderr
         )
 
+    # Merge into an existing --out so the ladder can be measured in
+    # batches (query results are keyed by name; reruns overwrite).
+    merged = results
+    if args.out and Path(args.out).exists():
+        prev = json.loads(Path(args.out).read_text()).get("queries", {})
+        merged = {**prev, **results}
+        merged = {k: merged[k] for k in QUERY_TABLE if k in merged}
     payload = {
         "metric": "scale_curve",
         "ladder": {tag: table_rows[tag] for tag, _ in ladder},
-        "queries": results,
+        "queries": merged,
     }
     print(json.dumps(payload))
     if args.out:
@@ -208,6 +227,9 @@ def write_md(path: Path, payload: dict, tags: list[str]) -> None:
         )
         lines.append("| " + " | ".join(row) + " |")
     lines.append("")
+    footer = Path(__file__).with_name("scale_notes.md")
+    if footer.exists():
+        lines += ["", footer.read_text().rstrip()]
     path.write_text("\n".join(lines) + "\n")
 
 
