@@ -624,3 +624,105 @@ def doc_fingerprint(
         md5_h60(norm).alias("content_h60"),
         min_shingle.alias("min_shingle_h32"),
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Corpus-trained bigram-LM fluency score — the CCNet-style quality
+    signal (Wenzek et al., 2020 score with a KenLM model and bucket by
+    perplexity; this is the same shape with the LM trained on the corpus
+    itself, so it needs no external artifact).
+
+    Per doc: mean log P(w_i | w_{i-1}) under a Laplace-``alpha`` bigram
+    model, P = (c(w1,w2) + α) / (c(w1) + α·|V|). Low scores = disfluent
+    or out-of-distribution text (the filter/bucket key); docs with < 2
+    tokens score NULL.
+
+    Determinism: per-bigram log-probs quantize to DECIMAL(20,10) before
+    the order-free exact sum (the retrieval.py/finance.py contract), so
+    engine ``ln`` ulp disagreement stays below the 6-decimal output
+    rounding.
+
+    Scale shape: transitions aggregate to (doc, w1, w2, multiplicity)
+    map-side before any join, so the count tables join a frame bounded
+    by per-doc DISTINCT bigrams; the unigram/bigram count tables are
+    vocabulary-sized (AQE broadcasts them when small, shuffles on the
+    uniform bigram key when not), and |V| is a broadcast 1-row scalar.
+    No corpus self-join, no global window.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokens_col(F.col(text_col)).alias("tk")
+    )
+    trans = toks.filter(F.size("tk") >= 2).select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 2),
+                lambda i: F.struct(
+                    F.col("tk")[i].alias("w1"),
+                    F.col("tk")[i + 1].alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc", "bg.w1", "bg.w2")
+
+    uni = (
+        toks.select(F.explode("tk").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.agg(F.count("*").cast("double").alias("v"))
+    bi = trans.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    per_doc_bg = trans.groupBy("doc", "w1", "w2").agg(
+        F.count("*").alias("m")
+    )
+
+    # Quantize each log-prob at scale 6 BEFORE the sum: engine ``ln``
+    # disagreement is ~1 ulp (1e-15 absolute here), so a per-value
+    # 6-decimal boundary hit is ~1e-9-rare — whereas rounding the
+    # accumulated scale-10 sum at the output edge crossed a 1e-6
+    # boundary for ~0.5% of docs (measured at sf0.01).
+    logp = F.round(
+        F.log(
+            (F.col("c2") + F.lit(alpha))
+            / (F.col("c1") + F.lit(alpha) * F.col("v"))
+        ),
+        6,
+    ).cast("decimal(20,6)")
+    scored = (
+        per_doc_bg.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc")
+        .agg(
+            F.sum(F.col("m") * logp).alias("s"),
+            F.sum("m").alias("n_transitions"),
+        )
+        .select(
+            "doc",
+            "n_transitions",
+            # The cross-engine-exact column is the DECIMAL sum itself
+            # (scale-6 addends, order-free exact). The avg re-divides in
+            # binary floating point and can land 1 ulp apart across
+            # engines, so it is the convenience column, not the hashed
+            # one.
+            F.col("s").cast("double").alias("logprob_sum"),
+            (F.col("s").cast("double") / F.col("n_transitions")).alias(
+                "logprob_avg"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored.withColumnRenamed("doc", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_transitions"), F.lit(0)).alias("n_transitions"),
+            "logprob_sum",
+            "logprob_avg",
+        )
+    )

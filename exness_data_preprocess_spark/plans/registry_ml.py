@@ -265,6 +265,53 @@ FROM t JOIN cov c USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# Bigram-LM fluency score (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+def q_lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.textstats import (
+        bigram_logprob_score,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    # hash-checked projection: the decimal-exact sum (the avg re-divides
+    # in binary fp and is a convenience column, not oracle-comparable)
+    return bigram_logprob_score(docs).select(
+        "doc_id", "n_transitions", "logprob_sum"
+    )
+
+
+ORACLE_LM_FLUENCY = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+), tr AS (
+  SELECT doc_id, tk[u.i] AS w1, tk[u.i + 1] AS w2
+  FROM t, unnest(range(1, len(tk))) AS u(i)
+  WHERE len(tk) >= 2
+), uni AS (
+  SELECT w1, count(*) AS c1
+  FROM (SELECT unnest(tk) AS w1 FROM t) GROUP BY 1
+), v AS (
+  SELECT count(*)::DOUBLE AS v FROM uni
+), bi AS (
+  SELECT w1, w2, count(*) AS c2 FROM tr GROUP BY 1, 2
+), g AS (
+  SELECT doc_id, w1, w2, count(*) AS m FROM tr GROUP BY 1, 2, 3
+), s AS (
+  SELECT g.doc_id,
+         sum(g.m * CAST(round(ln((bi.c2 + 1.0) / (uni.c1 + 1.0 * v.v)), 6)
+                        AS DECIMAL(20,6))) AS ssum,
+         sum(g.m) AS n
+  FROM g JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(s.n, 0)::BIGINT AS n_transitions,
+       CAST(s.ssum AS DOUBLE) AS logprob_sum
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # PIVOT reporting: lang × source doc-count matrix
 # ---------------------------------------------------------------------------
 _PIVOT_SOURCES = [f"src{i}" for i in range(20)]
@@ -934,6 +981,9 @@ def build_ml_queries() -> dict:
                                   "brute-force cosine top-k neighbors"),
         "ann_lsh_bucketed": (q_ann_lsh_bucketed, _ann_lsh_oracle(),
                              "LSH-bucketed approximate neighbors"),
+        "lm_fluency_score": (q_lm_fluency_score, ORACLE_LM_FLUENCY,
+                             "corpus-trained bigram-LM fluency score "
+                             "(CCNet-style quality signal)"),
         "lang_id": (q_lang_id, _lang_id_oracle(),
                     "stopword-hit language identification"),
         "text_quality": (q_text_quality, _text_quality_oracle(),
