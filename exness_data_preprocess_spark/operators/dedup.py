@@ -1171,12 +1171,32 @@ def exact_substring_spans(
     alongside minhash/simhash/ngram ops above.
     """
     w = window
-    doc_id = F.col(id_col)
-    base = df.select(
-        doc_id.alias("id"), tokens_col(F.col(text_col)).alias("toks")
+    base = _tokenized_base(df, text_col, id_col)
+    wins = _window_hashes(base, w)
+
+    dup_hashes = (
+        wins.groupBy("whash")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_occurrences)
+        .select("whash")
+    )
+
+    return _strip_covered_spans(
+        base, wins.join(dup_hashes, "whash"), w, id_col,
+        n_col="n_dup_windows", ratio_col="dup_ratio",
+        out_text_col="text_deduped",
+    )
+
+
+def _tokenized_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("toks")
     ).withColumn("n_tokens", F.size("toks"))
 
-    wins = base.filter(F.col("n_tokens") >= w).select(
+
+def _window_hashes(base: DataFrame, w: int) -> DataFrame:
+    """(id, start, whash): md5 over each w-token sliding window."""
+    return base.filter(F.col("n_tokens") >= w).select(
         "id",
         F.posexplode(
             F.transform(
@@ -1188,18 +1208,22 @@ def exact_substring_spans(
         ).alias("start", "whash"),
     )
 
-    dup_hashes = (
-        wins.groupBy("whash")
-        .agg(F.count("*").alias("occ"))
-        .filter(F.col("occ") >= min_occurrences)
-        .select("whash")
-    )
 
+def _strip_covered_spans(
+    base: DataFrame,
+    flagged: DataFrame,
+    w: int,
+    id_col: str,
+    n_col: str,
+    ratio_col: str,
+    out_text_col: str,
+) -> DataFrame:
+    """Union flagged [start, start+w) windows per doc and emit span
+    stats + span-stripped text; one row per base doc (left join)."""
     per_doc = (
-        wins.join(dup_hashes, "whash")
-        .groupBy("id")
+        flagged.groupBy("id")
         .agg(
-            F.count("*").alias("n_dup_windows"),
+            F.count("*").alias(n_col),
             F.sort_array(F.collect_list("start")).alias("starts"),
         )
         .withColumn(
@@ -1214,20 +1238,57 @@ def exact_substring_spans(
             ),
         )
     )
-
     joined = base.join(per_doc, "id", "left")
     covered = F.coalesce(F.col("covered"), F.array().cast("array<int>"))
     return joined.select(
         F.col("id").alias(id_col),
         "n_tokens",
-        F.coalesce(F.col("n_dup_windows"), F.lit(0)).alias("n_dup_windows"),
+        F.coalesce(F.col(n_col), F.lit(0)).alias(n_col),
         F.size(covered).alias("covered_tokens"),
-        (F.size(covered) / F.col("n_tokens")).alias("dup_ratio"),
+        (F.size(covered) / F.col("n_tokens")).alias(ratio_col),
         F.concat_ws(
             " ",
             F.filter(
                 F.col("toks"),
                 lambda t, i: ~F.array_contains(covered, i),
             ),
-        ).alias("text_deduped"),
+        ).alias(out_text_col),
+    )
+
+
+def strip_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 13,
+) -> DataFrame:
+    """Span-level benchmark decontamination: locate every ``window``-token
+    corpus span that appears verbatim in the eval/benchmark set and strip
+    it, keeping the rest of the document.
+
+    The GPT-3 appendix-C discipline (13-gram overlap) upgraded from
+    doc-level flagging (see textstats.decontaminate for the set-overlap
+    gate) to surgical span removal — the treatment used when the
+    contaminated doc is otherwise high-value. Cross-side only: benchmark
+    windows form a distinct hash set (eval suites are MBs against a TB
+    corpus, so the semi-join broadcasts under AQE; at worst it shuffles
+    on the uniform md5 key); corpus windows never self-join.
+
+    One row per corpus doc: (id, n_tokens, n_contaminated_windows,
+    covered_tokens, contamination_ratio, text_clean).
+    """
+    w = window
+    base = _tokenized_base(corpus, text_col, id_col)
+    bench_hashes = (
+        _window_hashes(_tokenized_base(benchmark, text_col, id_col), w)
+        .select("whash")
+        .distinct()
+    )
+    flagged = _window_hashes(base, w).join(bench_hashes, "whash")
+    return _strip_covered_spans(
+        base, flagged, w, id_col,
+        n_col="n_contaminated_windows",
+        ratio_col="contamination_ratio",
+        out_text_col="text_clean",
     )

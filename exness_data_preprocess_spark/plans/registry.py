@@ -797,7 +797,7 @@ def _register_extra_queries() -> None:
 _DRIVER_PRIORITY = [
     # new this round
     "semantic_decontamination_ivf", "dedup_exact_substring",
-    "dedup_embedding_cosine_ivf", "lm_fluency_score",
+    "dedup_embedding_cosine_ivf", "lm_fluency_score", "contamination_spans",
     # not in the r3 driver sample (CORRECTNESS_r03.json)
     "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "embedding_cosine_topk", "ann_lsh_bucketed", "lang_id",

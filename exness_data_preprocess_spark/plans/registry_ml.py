@@ -265,6 +265,58 @@ FROM t JOIN cov c USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# Span-level benchmark decontamination (13-gram verbatim overlap)
+# ---------------------------------------------------------------------------
+_CONTAM_W = 13
+
+
+def q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs from source 'src0' act as the benchmark; corpus docs keep
+    their text minus any 13-token span appearing verbatim in it."""
+    from exness_data_preprocess_spark.operators.dedup import (
+        strip_contaminated_spans,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    out = strip_contaminated_spans(
+        docs, docs.filter(F.col("source") == "src0"), window=_CONTAM_W
+    )
+    return out.filter(F.col("covered_tokens") > 0)
+
+
+ORACLE_CONTAMINATION_SPANS = f"""
+WITH t AS (
+  SELECT doc_id, source, {_TOKS} AS toks, len({_TOKS}) AS n_tokens
+  FROM documents
+), w AS (
+  SELECT doc_id, source, u.i AS start,
+         md5(array_to_string(toks[u.i + 1 : u.i + {_CONTAM_W}], chr(31)))
+           AS whash
+  FROM t, unnest(range(0, n_tokens - {_CONTAM_W} + 1)) AS u(i)
+  WHERE n_tokens >= {_CONTAM_W}
+), bh AS (
+  SELECT DISTINCT whash FROM w WHERE source = 'src0'
+), agg AS (
+  SELECT w.doc_id, count(*) AS n_contaminated_windows,
+         list_sort(list(w.start)) AS starts
+  FROM w JOIN bh USING (whash) GROUP BY 1
+), cov AS (
+  SELECT doc_id, n_contaminated_windows,
+         list_distinct(flatten(list_transform(
+           starts, s -> range(s, s + {_CONTAM_W})))) AS covered
+  FROM agg
+)
+SELECT t.doc_id, t.n_tokens, c.n_contaminated_windows,
+       len(c.covered) AS covered_tokens,
+       len(c.covered)::DOUBLE / t.n_tokens AS contamination_ratio,
+       coalesce(array_to_string(list_filter(t.toks,
+         (x, i) -> NOT list_contains(c.covered, i - 1)), ' '), '')
+         AS text_clean
+FROM t JOIN cov c USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Bigram-LM fluency score (CCNet-style quality signal)
 # ---------------------------------------------------------------------------
 def q_lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -981,6 +1033,10 @@ def build_ml_queries() -> dict:
                                   "brute-force cosine top-k neighbors"),
         "ann_lsh_bucketed": (q_ann_lsh_bucketed, _ann_lsh_oracle(),
                              "LSH-bucketed approximate neighbors"),
+        "contamination_spans": (q_contamination_spans,
+                                ORACLE_CONTAMINATION_SPANS,
+                                "13-gram verbatim eval-overlap spans "
+                                "stripped (GPT-3 appendix-C discipline)"),
         "lm_fluency_score": (q_lm_fluency_score, ORACLE_LM_FLUENCY,
                              "corpus-trained bigram-LM fluency score "
                              "(CCNet-style quality signal)"),

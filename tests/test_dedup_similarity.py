@@ -727,3 +727,31 @@ def test_embedding_cosine_ivf_blocking(spark):
     assert set(four_cells) <= set(unblocked)
     for k, v in four_cells.items():
         assert v == unblocked[k]
+
+
+def test_strip_contaminated_spans_cross_side(spark):
+    from exness_data_preprocess_spark.operators.dedup import (
+        strip_contaminated_spans,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "q1 q2 q3 q4 q5")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro q1 q2 q3 q4 q5 outro"),  # contains the eval span
+            (2, "clean doc with no overlap at all"),
+            (3, "q1 q2 q3"),  # shorter than the window -> untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in strip_contaminated_spans(corpus, bench, window=5).collect()
+    }
+    assert out[1]["n_contaminated_windows"] == 1
+    assert out[1]["covered_tokens"] == 5
+    assert out[1]["text_clean"] == "intro outro"
+    assert out[2]["covered_tokens"] == 0
+    assert out[2]["text_clean"] == "clean doc with no overlap at all"
+    assert out[3]["covered_tokens"] == 0
