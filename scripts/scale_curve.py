@@ -47,6 +47,8 @@ QUERY_TABLE = {
     "dedup_ngram_jaccard": "documents",
     "dedup_simhash": "documents",
     "dedup_exact_substring": "documents",
+    "contamination_spans": "documents",
+    "lm_fluency_score": "documents",
     "incremental_dedup": "documents",
     "curation_pipeline": "documents",
     "vocabulary": "documents",
