@@ -37,3 +37,13 @@ def test_batch_processing_example_runs(spark, tmp_path, capsys):
                 f"instrument={pair}/**/*.parquet"
             )
         ), pair
+
+
+@pytest.mark.smoke
+def test_corpus_curation_example_runs(spark, tmp_path, capsys):
+    from examples.corpus_curation import main
+
+    main(spark=spark, base_dir=str(tmp_path / "curation"))
+    out = capsys.readouterr().out
+    assert "Example 6" in out and "done" in out
+    assert "admitted" in out  # the ingest gate actually ran
