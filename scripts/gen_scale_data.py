@@ -161,6 +161,13 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/root/repo/.scaledata/sf1")
     ap.add_argument("--seed", type=int, default=20260814)
+    ap.add_argument(
+        "--events-only",
+        action="store_true",
+        help="generate only the events table at mult x; hard-link "
+        "documents/embeddings from --src (for event-family scale "
+        "probes where a mult-x corpus would be wastefully large)",
+    )
     args = ap.parse_args()
 
     out = Path(args.out)
@@ -168,15 +175,18 @@ def main() -> None:
     rng = np.random.default_rng(args.seed)
 
     scaled = {}
-    n_docs = 5000 * args.mult
-    pq.write_table(gen_documents(rng, n_docs), out / "documents.parquet")
-    scaled["documents"] = n_docs
-    n_emb = 2000 * args.mult
-    pq.write_table(
-        gen_embeddings(rng, n_emb, f"{args.src}/embeddings.parquet"),
-        out / "embeddings.parquet",
-    )
-    scaled["embeddings"] = n_emb
+    if not args.events_only:
+        n_docs = 5000 * args.mult
+        pq.write_table(
+            gen_documents(rng, n_docs), out / "documents.parquet"
+        )
+        scaled["documents"] = n_docs
+        n_emb = 2000 * args.mult
+        pq.write_table(
+            gen_embeddings(rng, n_emb, f"{args.src}/embeddings.parquet"),
+            out / "embeddings.parquet",
+        )
+        scaled["embeddings"] = n_emb
     n_ev = 100_000 * args.mult
     pq.write_table(
         gen_events(
@@ -187,9 +197,10 @@ def main() -> None:
     scaled["events"] = n_ev
 
     unscaled = []
+    extra = () if not args.events_only else ("documents", "embeddings")
     for t in (
         "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem",
+        "lineitem", *extra,
     ):
         dst = out / f"{t}.parquet"
         if dst.exists():

@@ -75,6 +75,9 @@ LADDER = [
     ("sf0.1", "/root/testdata/sf0.1"),
     ("3x", "/root/repo/.scaledata/sf0.3"),
     ("10x", "/root/repo/.scaledata/sf1"),
+    # events-only 100x fixture (documents/embeddings hard-linked, so the
+    # per-query in_rows guard below skips non-event queries here)
+    ("100x", "/root/repo/.scaledata/sf10ev"),
 ]
 WARM_DIR = "/root/testdata/sf0.001"
 
@@ -111,8 +114,16 @@ def main() -> None:
             ).save()
         except Exception:
             pass
-        points = []
+        # skip ladder dirs where this query's primary table is not
+        # actually scaled up (events-only fixtures hard-link the rest)
+        q_ladder, prev_rows = [], 0
         for tag, d in ladder:
+            rows = table_rows[tag][QUERY_TABLE[name]]
+            if rows > prev_rows:
+                q_ladder.append((tag, d))
+                prev_rows = rows
+        points = []
+        for tag, d in q_ladder:
             # two timed executions (noop sink, then count — the count IS
             # the second sample and yields out_rows without a third run)
             spark.catalog.clearCache()
@@ -197,14 +208,16 @@ def write_md(path: Path, payload: dict, tags: list[str]) -> None:
         "(constant duplicate *rate* means pair *count* grows faster than",
         "n), so runtime tracking output is expected, not a plan defect.",
         "Small steps (sf0.01->sf0.1) are deflated by Spark's fixed",
-        "~0.2 s per-job floor; the 10x step (sf0.1->10x) is the",
-        "meaningful one and is the `alpha@10x` column.",
+        "~0.2 s per-job floor; the largest step (10x for the corpus",
+        "tables, the events-only 100x = 10 M rows for the events",
+        "family) is the meaningful one and is the `alpha last-step`",
+        "column.",
         "",
     ]
     hdr = (
         ["query", "table"]
         + [f"t({t}) s" for t in tags]
-        + ["out(10x)", "alpha@10x time", "alpha@10x out", "note"]
+        + ["out(max)", "alpha last-step time", "alpha last-step out", "note"]
     )
     lines.append("| " + " | ".join(hdr) + " |")
     lines.append("|" + "---|" * len(hdr))
@@ -224,7 +237,10 @@ def write_md(path: Path, payload: dict, tags: list[str]) -> None:
             note = "SUPER-LINEAR — investigate"
         row = (
             [name, r["table"]]
-            + [f'{times.get(t, float("nan")):.2f}' for t in tags]
+            + [
+                (f"{times[t]:.2f}" if t in times else "—")
+                for t in tags
+            ]
             + [str(out10), f"{a_t:.2f}", f"{a_o:.2f}", note]
         )
         lines.append("| " + " | ".join(row) + " |")
