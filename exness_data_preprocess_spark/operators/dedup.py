@@ -617,7 +617,7 @@ def _lev_candidates_passjoin(
     ).select(
         *blocks, "id_s", "ln_s",
         F.col("seg.pos").alias("pos_s"),
-        F.col("seg.s").alias("s"),
+        F.xxhash64(F.col("seg.s")).alias("s"),
     )
 
     # Substring index: all substrings of every length a partner's segment
@@ -650,7 +650,12 @@ def _lev_candidates_passjoin(
     ).select(
         *[F.col(c) for c in block_cols], "id_t", "ln_t",
         F.col("sub.pos").alias("pos_t"),
-        F.col("sub.s").alias("s"),
+        # join key is the 64-bit hash, not the literal substring: the
+        # sort-merge then sorts/shuffles 8-byte keys instead of ~L/(d+1)-
+        # char strings. A hash collision only ever ADDS a candidate pair,
+        # and every candidate is verified by the exact Levenshtein DP
+        # downstream - output unchanged (lossless), oracle untouched.
+        F.xxhash64(F.col("sub.s")).alias("s"),
     )
 
     # The substring index is generated by explode/flatten, so Catalyst's
