@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "canonical_docs"]
+__all__ = ["connected_components", "canonical_docs", "best_docs_per_cluster"]
 
 
 def connected_components(
@@ -113,3 +113,59 @@ def canonical_docs(
     is small, a co-partitioned hash join otherwise."""
     keep = components.filter(F.col(id_col) == F.col("component")).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+def best_docs_per_cluster(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Dedup resolution: per near-dup cluster, the single doc a pipeline
+    keeps — the highest-``quality_col`` member, ties broken by lowest id.
+
+    :func:`canonical_docs` keeps the min-id representative; real corpus
+    curation keeps the *best* member of each duplicate family (longest /
+    highest-scored — the Dolma/FineWeb rule), which needs the quality
+    column, not just the component map.
+
+    One hash join on the id (co-partitioned, or broadcast when the
+    component map is small) and one partial-aggregable ``groupBy`` on the
+    component key — ``max_by`` over a ``(quality, -id)`` struct does the
+    argmax with the tie-break inside the aggregate, so there is no
+    per-cluster window sort and map-side combine applies. Cluster keys
+    are near-dup families (tiny groups), so no skew.
+
+    Returns one row per multi-member cluster: ``component,
+    cluster_size, kept_<id>, kept_<quality>, dropped_<quality>`` (the
+    payload volume the dedup pass removes).
+    """
+    joined = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(quality_col).cast("long").alias("_q"),
+    ).join(
+        components.select(
+            F.col(id_col).cast("long").alias("_id"), "component"
+        ),
+        "_id",
+    )
+    pick = F.struct(F.col("_q"), (-F.col("_id")).alias("_neg"))
+    return (
+        joined.groupBy("component")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.sum("_q").alias("_total"),
+            F.max_by(F.col("_id"), pick).alias(f"kept_{id_col}"),
+            F.max("_q").alias(f"kept_{quality_col}"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+        .select(
+            "component",
+            "cluster_size",
+            f"kept_{id_col}",
+            f"kept_{quality_col}",
+            (F.col("_total") - F.col(f"kept_{quality_col}")).alias(
+                f"dropped_{quality_col}"
+            ),
+        )
+    )

@@ -726,3 +726,107 @@ def bigram_logprob_score(
             "logprob_avg",
         )
     )
+
+
+def blocklist_screen(
+    df: DataFrame,
+    terms: list[str],
+    drop_threshold: int = 8,
+    text_col: str = "text",
+    replacement: str = "[REDACTED]",
+) -> DataFrame:
+    """C4-style blocklist screening: count blocklisted-term occurrences
+    per document and decide drop / redact / keep.
+
+    The curation rule every public web-corpus pipeline applies in some
+    form (C4's "bad words" filter; Dolma's taggers): documents saturated
+    with blocklisted terms are dropped outright, light offenders are kept
+    with the terms masked, clean documents pass through untouched.
+
+    Adds three columns:
+      - ``n_blocklist_hits`` — non-overlapping whole-word match count,
+      - ``screen_action`` — 'drop' (hits ≥ threshold), 'redact'
+        (1..threshold-1), or 'keep' (0),
+      - ``redacted_text`` — the masked text for redacted docs, the
+        original for kept docs, NULL for dropped docs (their content
+        never leaves the filter).
+
+    Pure built-in expressions (``regexp_count`` / ``regexp_replace``) —
+    one codegen'd scan pass, no shuffle, no Python; the 100 TB cost is
+    the read itself. The alternation pattern compiles once per task.
+    Terms must be regex-literal words (the standard blocklist shape);
+    matching is whole-word via ``\\b`` anchors, identical in Java regex
+    and RE2, so the DuckDB oracle reproduces counts bit-for-bit.
+    """
+    if not terms:
+        raise ValueError("blocklist_screen requires at least one term")
+    pat = r"\b(" + "|".join(terms) + r")\b"
+    hits = F.regexp_count(F.col(text_col), F.lit(pat))
+    action = (
+        F.when(hits >= drop_threshold, F.lit("drop"))
+        .when(hits > 0, F.lit("redact"))
+        .otherwise(F.lit("keep"))
+    )
+    redacted = F.when(
+        F.col("screen_action") == "drop", F.lit(None).cast("string")
+    ).when(
+        F.col("screen_action") == "redact",
+        F.regexp_replace(F.col(text_col), pat, replacement),
+    ).otherwise(F.col(text_col))
+    return (
+        df.withColumn("n_blocklist_hits", hits)
+        .withColumn("screen_action", action)
+        .withColumn("redacted_text", redacted)
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 64,
+    seed: str = "shard-v1",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Deterministic training-shard assignment + per-shard manifest.
+
+    Training jobs consume a corpus as N fixed shards; the assignment must
+    be a pure function of (seed, id) — never of partitioning or row order
+    — so that re-runs, incremental appends, and cluster resizes reproduce
+    the same shards (same contract as :func:`deterministic_split`).
+
+    shard_id = md5(seed ‖ id) mod ``n_shards``. The manifest row per
+    shard carries doc count, total payload size, the id range, and a
+    content fingerprint: md5 over the comma-joined ascending id list —
+    the checksum a downstream trainer can verify its shard against.
+
+    Scale shape: one shuffle on the uniform shard hash (N tiny groups,
+    no skew by construction); ``collect_list`` state per group is the
+    shard's id list — at 100 TB one keeps the fingerprint per *file*
+    within the shard instead, same plan one level down. No driver state.
+    """
+    shard = md5_h32(
+        F.concat(F.lit(seed), F.col(id_col).cast("string"))
+    ) % n_shards
+    return (
+        df.select(
+            shard.alias("shard_id"),
+            F.col(id_col).alias("_id"),
+            F.col(size_col).alias("_sz"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_sz").alias("total_chars"),
+            F.min("_id").alias("min_doc_id"),
+            F.max("_id").alias("max_doc_id"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("ids_md5"),
+        )
+    )

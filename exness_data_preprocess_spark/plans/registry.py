@@ -796,6 +796,7 @@ def _register_extra_queries() -> None:
 # not narrow what is checked.
 _DRIVER_PRIORITY = [
     # new this round
+    "blocklist_filter", "training_shards", "dedup_keep_best",
     "semantic_decontamination_ivf", "dedup_exact_substring",
     "dedup_embedding_cosine_ivf", "lm_fluency_score", "contamination_spans",
     # not in the r3 driver sample (CORRECTNESS_r03.json)

@@ -49,23 +49,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Connected components over near-dup pairs → dedup clusters
 # ---------------------------------------------------------------------------
-def q_dup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster the n-gram-Jaccard near-dup pairs (threshold 0.9, the
-    dedup_ngram_jaccard edge list) into components; every doc gets the min
-    reachable doc_id as its cluster id — the canonical-doc key a dedup
-    pipeline keeps.
-
-    The edge list is deterministically sparsified to 5% (md5 rule shared
-    with the oracle) before clustering. Near-dup families are near-cliques;
-    dropping 95% of edges keeps them connected but turns direct edges into
-    multi-hop chains — a *stronger* transitivity test for the operator —
-    and bounds the recursive-CTE oracle, whose reachability set is
-    O(component²·degree) and would be cubic on the raw cliques."""
+def _sparse_components(docs: DataFrame) -> DataFrame:
+    """Sparsified near-dup components: the n-gram-Jaccard edge list
+    (threshold 0.9) deterministically thinned to 5% (md5 rule shared with
+    the oracle), clustered by min-label CC. Near-dup families are
+    near-cliques; dropping 95% of edges keeps them connected but turns
+    direct edges into multi-hop chains — a *stronger* transitivity test
+    for the operator — and bounds the recursive-CTE oracle, whose
+    reachability set is O(component²·degree) and would be cubic on the
+    raw cliques."""
     from exness_data_preprocess_spark.functions.hashing import md5_h32
     from exness_data_preprocess_spark.operators.dedup import ngram_jaccard_pairs
-    from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
 
-    docs = _docs_spread(spark, sf_dir)
     edges = (
         ngram_jaccard_pairs(docs, threshold=0.9)
         .filter(
@@ -82,6 +77,29 @@ def q_dup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return connected_components(edges, docs.select("doc_id"))
+
+
+def q_dup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the n-gram-Jaccard near-dup pairs (threshold 0.9, the
+    dedup_ngram_jaccard edge list) into components; every doc gets the min
+    reachable doc_id as its cluster id — the canonical-doc key a dedup
+    pipeline keeps. Edge sparsification rationale: `_sparse_components`."""
+    from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
+
+    return _sparse_components(_docs_spread(spark, sf_dir))
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup *resolution*: the near-dup components from the CC pass,
+    resolved to the one doc per cluster a curation pipeline keeps — the
+    longest member, ties to the lowest id (Dolma/FineWeb keep-best rule)
+    — plus the payload volume the drop removes. Single-member components
+    are excluded (nothing to resolve)."""
+    from exness_data_preprocess_spark.operators.graph import best_docs_per_cluster
+    from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
+
+    docs = _docs_spread(spark, sf_dir)
+    return best_docs_per_cluster(docs, _sparse_components(docs))
 
 
 ORACLE_DUP_CC = f"""
@@ -102,6 +120,100 @@ walk(id, root) AS (
   SELECT e.dst, w.root FROM walk w JOIN e ON e.src = w.id
 )
 SELECT id AS doc_id, min(root) AS component FROM walk GROUP BY id
+"""
+
+# Dedup resolution on top of the CC map: keep-best per multi-member
+# cluster (longest doc, ties to lowest id), one window in the oracle vs
+# the Spark side's partial-aggregable max_by struct.
+ORACLE_DEDUP_KEEP_BEST = f"""
+WITH comp AS ({ORACLE_DUP_CC}),
+m AS (
+  SELECT c.component, d.doc_id, d.n_chars,
+         count(*) OVER (PARTITION BY c.component) AS cluster_size,
+         sum(d.n_chars) OVER (PARTITION BY c.component) AS total_chars,
+         row_number() OVER (
+           PARTITION BY c.component ORDER BY d.n_chars DESC, d.doc_id
+         ) AS rk
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT component, cluster_size::BIGINT AS cluster_size,
+       doc_id AS kept_doc_id, n_chars AS kept_n_chars,
+       (total_chars - n_chars)::BIGINT AS dropped_n_chars
+FROM m WHERE rk = 1 AND cluster_size >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# C4-style blocklist screening (drop / redact / keep)
+# ---------------------------------------------------------------------------
+BLOCKLIST_TERMS = ["slow", "big", "filter", "merge"]
+_BLOCKLIST_PAT = r"\b(" + "|".join(BLOCKLIST_TERMS) + r")\b"
+_BLOCKLIST_DROP_AT = 8
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist screening over the corpus: whole-word hit counts, the
+    drop/redact decision, and the md5 of the redacted text (NULL for
+    dropped docs — their content never leaves the filter). Clean docs
+    are omitted from the report (they pass unchanged)."""
+    from exness_data_preprocess_spark.operators.textstats import blocklist_screen
+    from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
+
+    docs = _docs_spread(spark, sf_dir)
+    screened = blocklist_screen(
+        docs, BLOCKLIST_TERMS, drop_threshold=_BLOCKLIST_DROP_AT
+    )
+    return screened.filter(F.col("n_blocklist_hits") > 0).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_blocklist_hits").cast("long").alias("n_blocklist_hits"),
+        "screen_action",
+        F.md5("redacted_text").alias("redacted_md5"),
+    )
+
+
+ORACLE_BLOCKLIST = f"""
+WITH h AS (
+  SELECT doc_id, lang, source,
+         len(regexp_extract_all(text, '{_BLOCKLIST_PAT}'))::BIGINT
+           AS n_blocklist_hits,
+         regexp_replace(text, '{_BLOCKLIST_PAT}', '[REDACTED]', 'g') AS red
+  FROM documents
+)
+SELECT doc_id, lang, source, n_blocklist_hits,
+       CASE WHEN n_blocklist_hits >= {_BLOCKLIST_DROP_AT} THEN 'drop'
+            ELSE 'redact' END AS screen_action,
+       CASE WHEN n_blocklist_hits >= {_BLOCKLIST_DROP_AT} THEN NULL
+            ELSE md5(red) END AS redacted_md5
+FROM h WHERE n_blocklist_hits > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-shard manifest
+# ---------------------------------------------------------------------------
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-shard deterministic assignment manifest: per-shard doc count,
+    payload size, id range, and the ascending-id md5 fingerprint a
+    trainer verifies its shard against."""
+    from exness_data_preprocess_spark.operators.textstats import shard_manifest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shard_manifest(docs, n_shards=64, seed="shard-v1")
+
+
+ORACLE_TRAINING_SHARDS = """
+WITH s AS (
+  SELECT (('0x' || substr(md5('shard-v1' || doc_id::VARCHAR), 1, 8))::BIGINT)
+           % 64 AS shard_id,
+         doc_id, n_chars
+  FROM documents
+)
+SELECT shard_id, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+       md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS ids_md5
+FROM s GROUP BY shard_id
 """
 
 
@@ -1186,6 +1298,18 @@ def build_pipeline_queries() -> dict:
             q_dup_connected_components, ORACLE_DUP_CC,
             "near-dup pairs → clusters (min-label CC, recursive-CTE oracle)",
             False),
+        "dedup_keep_best": (
+            q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST,
+            "cluster resolution: keep-best doc per near-dup family",
+            False),
+        "blocklist_filter": (
+            q_blocklist_filter, ORACLE_BLOCKLIST,
+            "C4-style blocklist screening: drop / redact decisions",
+            True),
+        "training_shards": (
+            q_training_shards, ORACLE_TRAINING_SHARDS,
+            "deterministic 64-shard manifest with id-list fingerprints",
+            True),
         "interval_join_events": (
             q_interval_join_events, ORACLE_INTERVAL_JOIN,
             "bucketed range join: events into overlapping activity spans",

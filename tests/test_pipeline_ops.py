@@ -14,6 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from exness_data_preprocess_spark.operators.graph import (
+    best_docs_per_cluster,
     canonical_docs,
     connected_components,
 )
@@ -21,8 +22,10 @@ from exness_data_preprocess_spark.operators.intervals import interval_join
 from exness_data_preprocess_spark.operators.rolling import rolling_range_stats
 from exness_data_preprocess_spark.operators.similarity import quantize_embeddings
 from exness_data_preprocess_spark.operators.textstats import (
+    blocklist_screen,
     decontaminate,
     repetition_features,
+    shard_manifest,
     stratified_sample,
 )
 
@@ -408,3 +411,76 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
+
+
+# ---------------------------------------------------------------------------
+# dedup resolution: keep-best per cluster
+# ---------------------------------------------------------------------------
+def test_best_docs_per_cluster_picks_longest_with_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(0, 100), (1, 300), (2, 300), (3, 50), (4, 10)],
+        "doc_id long, n_chars long",
+    )
+    comp = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 4)],
+        "doc_id long, component long",
+    )
+    rows = best_docs_per_cluster(docs, comp).collect()
+    assert len(rows) == 1  # singletons have nothing to resolve
+    r = rows[0]
+    assert r["component"] == 0
+    assert r["kept_doc_id"] == 1  # 300-char tie -> lowest id
+    assert r["cluster_size"] == 3
+    assert r["kept_n_chars"] == 300
+    assert r["dropped_n_chars"] == 400
+
+
+# ---------------------------------------------------------------------------
+# blocklist screening
+# ---------------------------------------------------------------------------
+def test_blocklist_screen_actions(spark):
+    docs = spark.createDataFrame(
+        [(0, "clean words only"), (1, "bad one bad"), (2, "bad bad bad")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in blocklist_screen(docs, ["bad"], drop_threshold=3).collect()
+    }
+    assert out[0]["screen_action"] == "keep"
+    assert out[0]["redacted_text"] == "clean words only"
+    assert out[1]["screen_action"] == "redact"
+    assert out[1]["redacted_text"] == "[REDACTED] one [REDACTED]"
+    assert out[2]["screen_action"] == "drop"
+    assert out[2]["redacted_text"] is None
+    assert out[2]["n_blocklist_hits"] == 3
+
+
+def test_blocklist_screen_whole_word_only(spark):
+    docs = spark.createDataFrame(
+        [(0, "badge bad badly")], "doc_id long, text string"
+    )
+    r = blocklist_screen(docs, ["bad"], drop_threshold=9).collect()[0]
+    assert r["n_blocklist_hits"] == 1
+
+
+# ---------------------------------------------------------------------------
+# training-shard manifest
+# ---------------------------------------------------------------------------
+def test_shard_manifest_partitioning_invariant_and_seeded(spark):
+    docs = spark.createDataFrame(
+        [(i, i * 3) for i in range(200)], "doc_id long, n_chars long"
+    )
+    a = {r["shard_id"]: r for r in shard_manifest(docs, n_shards=8).collect()}
+    b = {
+        r["shard_id"]: r
+        for r in shard_manifest(docs.repartition(13), n_shards=8).collect()
+    }
+    assert a.keys() == b.keys()
+    assert all(a[k] == b[k] for k in a)  # fingerprints survive repartition
+    assert sum(r["n_docs"] for r in a.values()) == 200
+    assert sum(r["total_chars"] for r in a.values()) == sum(
+        i * 3 for i in range(200)
+    )
+    other = shard_manifest(docs, n_shards=8, seed="other-v1").collect()
+    assert {r["ids_md5"] for r in other} != {r["ids_md5"] for r in a.values()}
