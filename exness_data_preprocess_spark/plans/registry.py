@@ -797,6 +797,7 @@ def _register_extra_queries() -> None:
 _DRIVER_PRIORITY = [
     # new this round
     "blocklist_filter", "training_shards", "dedup_keep_best",
+    "jsonl_roundtrip",
     "semantic_decontamination_ivf", "dedup_exact_substring",
     "dedup_embedding_cosine_ivf", "lm_fluency_score", "contamination_spans",
     # not in the r3 driver sample (CORRECTNESS_r03.json)

@@ -218,6 +218,57 @@ FROM s GROUP BY shard_id
 
 
 # ---------------------------------------------------------------------------
+# JSONL corpus round-trip (interchange-format fidelity)
+# ---------------------------------------------------------------------------
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → JSONL directory (distributed sink) → schema-enforced
+    PERMISSIVE read-back → per-(lang, source) fidelity fingerprints.
+
+    The hashed columns (doc counts, char sums, and an order-free sum of
+    32-bit content hashes) are computed from the *round-tripped* rows,
+    while the oracle computes them from the original parquet — equality
+    proves the JSONL source/sink preserves every document bit-for-bit
+    (escaping, unicode, nulls). The JSONL staging dir is fingerprinted
+    by the fixture's size+mtime (regenerating the fixture invalidates
+    it) and written once per fingerprint."""
+    import os
+    import tempfile
+
+    from exness_data_preprocess_spark.functions.hashing import md5_h32
+    from exness_data_preprocess_spark.plans.registry_ext import _sf_key
+    from exness_data_preprocess_spark.sources.corpus_io import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"docs_jsonl_{_sf_key(sf_dir)}_{st.st_size}_{st.st_mtime_ns}",
+    )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        write_documents_jsonl(spark.read.parquet(src), stage, n_files=8)
+    clean = read_documents_jsonl(spark, stage)
+    return clean.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text").cast("long")).alias("total_text_len"),
+        F.sum(md5_h32(F.col("text"))).alias("content_h32_sum"),
+    )
+
+
+ORACLE_JSONL_ROUNDTRIP = """
+SELECT lang, source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       sum(length(text))::BIGINT AS total_text_len,
+       sum((('0x' || substr(md5(text), 1, 8))::BIGINT))::BIGINT
+         AS content_h32_sum
+FROM documents GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Bucketed interval join: events → per-(type, day) activity spans
 # ---------------------------------------------------------------------------
 def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1309,6 +1360,10 @@ def build_pipeline_queries() -> dict:
         "training_shards": (
             q_training_shards, ORACLE_TRAINING_SHARDS,
             "deterministic 64-shard manifest with id-list fingerprints",
+            True),
+        "jsonl_roundtrip": (
+            q_jsonl_roundtrip, ORACLE_JSONL_ROUNDTRIP,
+            "JSONL corpus sink→source round-trip, content-hash-verified",
             True),
         "interval_join_events": (
             q_interval_join_events, ORACLE_INTERVAL_JOIN,
