@@ -11,6 +11,8 @@ them:
 5. Incremental ingest: build a persisted dedup index once, gate a new
    batch against it (the 100 TB steady-state path)
 6. Temperature-smoothed language mixing of the survivors
+7. Blocklist screening, an exact-k per-language eval holdout, and the
+   sharded JSONL training export (manifest fingerprints included)
 
 Runs on the driver-generated test fixture (default sf0.001) or any
 directory holding a ``documents.parquet`` with (doc_id, text, lang,
@@ -105,6 +107,37 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, base_dir=None):
     }
     for lang in sorted(before):
         print(f"  {lang}: {before[lang]} -> {after.get(lang, 0)}")
+
+    print("Example 7 — blocklist screen, eval quota sample, sharded export")
+    from exness_data_preprocess_spark.operators.skew import sample_k_per_group
+    from exness_data_preprocess_spark.operators.textstats import (
+        blocklist_screen,
+        shard_manifest,
+    )
+    from exness_data_preprocess_spark.sources.corpus_io import (
+        export_training_shards,
+    )
+
+    screened = blocklist_screen(mixed, ["slow", "big"], drop_threshold=8)
+    final = screened.filter(F.col("screen_action") != "drop").select(
+        "doc_id",
+        F.col("redacted_text").alias("text"),
+        "lang",
+        "source",
+        F.length("redacted_text").cast("long").alias("n_chars"),
+    )
+    print(f"  post-blocklist corpus: {final.count()}")
+    eval_ids = sample_k_per_group(final, k=5, group_cols=("lang",))
+    train = final.join(eval_ids.select("doc_id"), "doc_id", "anti")
+    print(f"  held-out eval docs: {eval_ids.count()}; train: {train.count()}")
+    out_dir = str(Path(base) / "train_shards")
+    export_training_shards(train, out_dir, n_shards=4)
+    manifest = shard_manifest(train, n_shards=4).orderBy("shard_id").collect()
+    for r in manifest:
+        print(
+            f"  shard {r['shard_id']}: {r['n_docs']} docs, "
+            f"{r['total_chars']} chars, md5 {r['ids_md5'][:10]}…"
+        )
     print("done")
     if owns_spark:
         spark.stop()

@@ -69,3 +69,83 @@ def salted_join(
     ).withColumn("_salt", F.col("_salt").cast("long"))
     out = l_salted.join(r_salted, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def topk_per_group_bounded(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    k: int,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Lowest-``k`` rows per group by ``order_cols`` (lexicographic,
+    ascending) with bounded aggregation state — the skew-proof shape for
+    per-group top-k at corpus scale.
+
+    A window ``row_number`` sorts each group on one reducer, so a hot
+    group (41% of a corpus in one language) melts a task. Instead:
+
+    * stage 1 groups on ``(group, salt)`` — the hot group spreads over
+      ``n_salts`` reducers — and keeps each cell's sorted top-k array
+      (``sort_array ∘ collect_list`` then ``slice``: cell state is the
+      cell's rows, 1/n_salts of the group, and only k survive);
+    * stage 2 merges the ≤ ``n_salts`` arrays per group (≤ n_salts·k
+      rows of state — constant), re-sorts, slices k, explodes.
+
+    Both stages are partial-aggregable; no global or per-group sort
+    appears anywhere in the plan. Ties beyond ``order_cols`` are not
+    broken — include a unique id as the last order column for
+    determinism (the callers here do).
+    """
+    gcols = [F.col(c) for c in group_cols]
+    ordered = F.struct(*[F.col(c) for c in order_cols])
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(n_salts))
+    cell_top = (
+        df.groupBy(*gcols, salt.alias("_salt"))
+        .agg(
+            F.slice(F.sort_array(F.collect_list(ordered)), 1, k).alias("_top")
+        )
+    )
+    merged = (
+        cell_top.groupBy(*gcols)
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("_top"))), 1, k
+            ).alias("_top")
+        )
+        .select(*gcols, F.explode("_top").alias("_row"))
+    )
+    return merged.select(
+        *gcols, *[F.col(f"_row.{c}").alias(c) for c in order_cols]
+    )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    k: int,
+    group_cols: tuple[str, ...] = ("lang",),
+    id_col: str = "doc_id",
+    seed: str = "samplek-v1",
+) -> DataFrame:
+    """Exactly ``min(k, |group|)`` rows per group, uniformly and
+    deterministically: membership = the ``k`` smallest seeded md5 hashes
+    in the group (ties by id), a pure function of (seed, id) — re-runs,
+    appends, and repartitions cannot change a kept row's fate unless a
+    new row hashes below it.
+
+    The per-stratum quota sampler every corpus pipeline needs next to
+    rate-based :func:`~...textstats.stratified_sample` ("give me exactly
+    10k docs per language for eval"), built on the bounded top-k —
+    hot-language skew spreads across the salt domain.
+
+    Returns ``group_cols + [id_col]`` (join back for payloads — ids-only
+    keeps the shuffled bytes minimal).
+    """
+    from exness_data_preprocess_spark.functions.hashing import md5_h32
+
+    h = md5_h32(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    hashed = df.select(*group_cols, F.col(id_col), h.alias("_h"))
+    out = topk_per_group_bounded(
+        hashed, tuple(group_cols), ("_h", id_col), k
+    )
+    return out.drop("_h")

@@ -797,7 +797,7 @@ def _register_extra_queries() -> None:
 _DRIVER_PRIORITY = [
     # new this round
     "blocklist_filter", "training_shards", "dedup_keep_best",
-    "jsonl_roundtrip",
+    "jsonl_roundtrip", "sample_k_per_group", "cdc_apply",
     "semantic_decontamination_ivf", "dedup_exact_substring",
     "dedup_embedding_cosine_ivf", "lm_fluency_score", "contamination_spans",
     # not in the r3 driver sample (CORRECTNESS_r03.json)

@@ -269,6 +269,92 @@ FROM documents GROUP BY lang, source
 
 
 # ---------------------------------------------------------------------------
+# Exact-k per-group deterministic sampling (bounded top-k, skew-proof)
+# ---------------------------------------------------------------------------
+def q_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 50 docs per language, uniformly by seeded hash rank —
+    the per-stratum quota sampler ("10k eval docs per language"),
+    computed with the salted bounded top-k instead of a per-group
+    window sort (hot-language skew spreads over the salt domain)."""
+    from exness_data_preprocess_spark.operators.skew import sample_k_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_k_per_group(docs, k=50, group_cols=("lang",))
+
+
+ORACLE_SAMPLE_K = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (('0x' || substr(md5('samplek-v1' || doc_id::VARCHAR),
+                      1, 8))::BIGINT), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC / MERGE application over the events stream
+# ---------------------------------------------------------------------------
+_CDC_SPLIT = "2024-01-16 00:00:00"
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics on plain parquet: the per-user snapshot as of
+    Jan 16 (latest event wins), advanced by the second half-month of
+    events as a CDC batch — ``error`` events are tombstones, everything
+    else upserts. Exercises insert (new user), update (higher seq wins),
+    delete, and untouched-key passthrough in one plan."""
+    from exness_data_preprocess_spark.operators.cdc import apply_cdc
+
+    ev = _events(spark, sf_dir)
+    cut = F.lit(_CDC_SPLIT).cast("timestamp")
+    base = (
+        ev.filter(F.col("ts") < cut)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("event_id", "value")).alias("_s"))
+        .select(
+            "user_id",
+            F.col("_s.event_id").alias("last_event_id"),
+            F.col("_s.value").alias("last_value"),
+        )
+    )
+    changes = ev.filter(F.col("ts") >= cut).select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+    return apply_cdc(base, changes, ("user_id",), seq_col="seq")
+
+
+ORACLE_CDC_APPLY = f"""
+WITH base AS (
+  SELECT user_id, max(event_id) AS last_event_id,
+         arg_max(value, event_id) AS last_value
+  FROM events WHERE ts < TIMESTAMP '{_CDC_SPLIT}' GROUP BY user_id
+),
+latest AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rk
+  FROM events WHERE ts >= TIMESTAMP '{_CDC_SPLIT}'
+)
+SELECT b.user_id, b.last_event_id, b.last_value
+FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.user_id = b.user_id)
+UNION ALL
+SELECT user_id, event_id AS last_event_id, value AS last_value
+FROM latest WHERE rk = 1 AND op = 'U'
+"""
+
+
+# ---------------------------------------------------------------------------
 # Bucketed interval join: events → per-(type, day) activity spans
 # ---------------------------------------------------------------------------
 def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1364,6 +1450,14 @@ def build_pipeline_queries() -> dict:
         "jsonl_roundtrip": (
             q_jsonl_roundtrip, ORACLE_JSONL_ROUNDTRIP,
             "JSONL corpus sink→source round-trip, content-hash-verified",
+            True),
+        "sample_k_per_group": (
+            q_sample_k_per_group, ORACLE_SAMPLE_K,
+            "exact-k per-language quota sample (salted bounded top-k)",
+            True),
+        "cdc_apply": (
+            q_cdc_apply, ORACLE_CDC_APPLY,
+            "MERGE/CDC batch application: upserts + tombstones, seq wins",
             True),
         "interval_join_events": (
             q_interval_join_events, ORACLE_INTERVAL_JOIN,

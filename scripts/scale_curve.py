@@ -52,6 +52,10 @@ QUERY_TABLE = {
     "incremental_dedup": "documents",
     "curation_pipeline": "documents",
     "vocabulary": "documents",
+    "blocklist_filter": "documents",
+    "training_shards": "documents",
+    "jsonl_roundtrip": "documents",
+    "sample_k_per_group": "documents",
     "dedup_embedding_cosine": "embeddings",
     "dedup_embedding_cosine_ivf": "embeddings",
     "pq_ann_adc": "embeddings",
@@ -68,6 +72,7 @@ QUERY_TABLE = {
     "rolling_user_stats": "events",
     "interval_join_events": "events",
     "events_window_dedup": "events",
+    "cdc_apply": "events",
 }
 
 LADDER = [

@@ -484,3 +484,79 @@ def test_shard_manifest_partitioning_invariant_and_seeded(spark):
     )
     other = shard_manifest(docs, n_shards=8, seed="other-v1").collect()
     assert {r["ids_md5"] for r in other} != {r["ids_md5"] for r in a.values()}
+
+
+# ---------------------------------------------------------------------------
+# exact-k per-group sampling (bounded top-k)
+# ---------------------------------------------------------------------------
+def test_sample_k_per_group_quota_and_nesting(spark):
+    from exness_data_preprocess_spark.operators.skew import sample_k_per_group
+
+    rows = [(i, f"g{i % 3}") for i in range(99)] + [(1000, "rare")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    ten = sample_k_per_group(df, 10, ("lang",))
+    counts = {r["lang"]: 0 for r in ten.collect()}
+    got = ten.collect()
+    for r in got:
+        counts[r["lang"]] += 1
+    assert counts == {"g0": 10, "g1": 10, "g2": 10, "rare": 1}
+    # determinism under repartition
+    again = sample_k_per_group(df.repartition(7), 10, ("lang",))
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
+    # hash-rank nesting: the k=5 sample is a subset of the k=10 sample
+    five = set(map(tuple, sample_k_per_group(df, 5, ("lang",)).collect()))
+    assert five <= set(map(tuple, got))
+
+
+def test_topk_per_group_bounded_matches_window(spark):
+    from pyspark.sql import Window
+
+    from exness_data_preprocess_spark.operators.skew import (
+        topk_per_group_bounded,
+    )
+
+    rows = [(i, i % 4, (i * 37) % 101) for i in range(400)]
+    df = spark.createDataFrame(rows, "rid long, grp long, score long")
+    got = sorted(
+        map(
+            tuple,
+            topk_per_group_bounded(
+                df, ("grp",), ("score", "rid"), 7
+            ).collect(),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy("score", "rid")
+    want = sorted(
+        map(
+            tuple,
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 7)
+            .select("grp", "score", "rid")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# CDC / MERGE application
+# ---------------------------------------------------------------------------
+def test_apply_cdc_upsert_delete_insert_passthrough(spark):
+    from exness_data_preprocess_spark.operators.cdc import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, 10, "U", "b2"),
+            (2, 11, "U", "b3"),  # update: higher seq wins
+            (3, 5, "D", None),  # tombstone removes key 3
+            (4, 7, "U", "d1"),  # brand-new key inserted
+            (5, 1, "U", "x"),
+            (5, 2, "D", None),  # inserted then deleted -> absent
+        ],
+        "k long, seq long, op string, v string",
+    )
+    out = {r["k"]: r["v"] for r in apply_cdc(base, changes, ("k",)).collect()}
+    assert out == {1: "a", 2: "b3", 4: "d1"}

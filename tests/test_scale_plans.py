@@ -291,3 +291,18 @@ def test_temperature_mix_rate_table_broadcasts(spark):
     plan = plan_of(QUERIES["temperature_mix_sample"].spark(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sample_k_per_group_has_no_window(spark):
+    # the whole point of the bounded top-k: no per-group window sort —
+    # a hot language must never serialize onto one reducer
+    plan = plan_of(QUERIES["sample_k_per_group"].spark(spark, SF))
+    assert "Window" not in plan
+
+
+def test_training_shards_single_shuffle(spark):
+    # manifest = one hash-partitioned aggregate on the uniform shard id:
+    # exactly one exchange pair (partial agg -> final agg), nothing else
+    plan = plan_of(QUERIES["training_shards"].spark(spark, SF))
+    assert plan.count("Exchange") <= 2  # AQE may re-list the same node
+    assert "Window" not in plan
