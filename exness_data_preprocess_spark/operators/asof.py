@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SIDE = "__asof_side"  # 0 = right, 1 = left
@@ -190,4 +190,167 @@ def _bucketed_fill(
         *left_cols,
         _SIDE,
         *[F.coalesce(F.col(c), F.col(f"__in_{c}")).alias(c) for c in fill_cols],
+    )
+
+
+def asof_join_directional(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "timestamp",
+    by: Sequence[str] = ("instrument",),
+    value_cols: Sequence[str] = ("bid", "ask"),
+    matched_prefix: str = "right_",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    bucket: str | None = "month",
+) -> DataFrame:
+    """ASOF join with full pandas ``merge_asof`` direction parity:
+    ``backward`` (latest right at-or-before), ``forward`` (earliest right
+    at-or-after), ``nearest`` (closer of the two; exact ties resolve
+    backward — documented, deterministic).
+
+    Same union-instead-of-join scale design as :func:`asof_join_backward`
+    (one shuffle on the key, or on (key, bucket) in the two-pass bucketed
+    mode), but direction-symmetric: each right row carries a candidate
+    struct ``(match_ts, values…)`` and the prevailing match is
+    ``max(candidate)`` over a trailing RANGE frame (backward) and/or
+    ``min(candidate)`` over a leading RANGE frame (forward). RANGE frames
+    make equal-timestamp right rows visible in both directions without
+    side tags, and the struct extremum is a total order — duplicate
+    right timestamps resolve deterministically (max/min over
+    ``(ts, values…)``), which row-position ``last()`` fills cannot
+    guarantee. ``nearest`` computes both fills over the *same* shuffle —
+    no second pass, no row-id self-join.
+
+    Bucketed mode repairs bucket boundaries with per-(key, bucket)
+    carry extrema forward-filled down (backward) and backward-filled up
+    (forward) along the tiny bucket spine — the same distributed
+    prefix-scan decomposition, applied in both directions.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
+    by = list(by)
+    value_cols = list(value_cols)
+    left_cols = left.columns
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
+
+    cand = F.struct(
+        F.unix_micros(F.col(on).cast("timestamp")).alias("__mts"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    cand_type = right.select(cand.alias("x")).schema["x"].dataType
+    left_tagged = left.select(
+        *left_cols,
+        F.lit(1).alias(_SIDE),
+        F.unix_micros(F.col(on).cast("timestamp")).alias("__ts"),
+        F.lit(None).cast(cand_type).alias("__cand"),
+    )
+    right_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          if c not in by else F.col(c)
+          for c in left_cols],
+        F.lit(0).alias(_SIDE),
+        F.unix_micros(F.col(on).cast("timestamp")).alias("__ts"),
+        cand.alias("__cand"),
+    )
+    unioned = left_tagged.unionByName(right_tagged)
+
+    if bucket is None:
+        part = Window.partitionBy(*by)
+    else:
+        unioned = unioned.withColumn(
+            _BUCKET,
+            F.unix_micros(
+                F.date_trunc(bucket, F.timestamp_micros(F.col("__ts")))
+            ),
+        )
+        part = Window.partitionBy(*by, _BUCKET)
+    w_b = part.orderBy("__ts").rangeBetween(Window.unboundedPreceding, 0)
+    w_f = part.orderBy("__ts").rangeBetween(0, Window.unboundedFollowing)
+
+    fills = [*left_cols, _SIDE, "__ts"]
+    if bucket is not None:
+        fills.append(_BUCKET)
+    filled = unioned.select(
+        *fills,
+        *([F.max("__cand").over(w_b).alias("__b")] if need_b else []),
+        *([F.min("__cand").over(w_f).alias("__f")] if need_f else []),
+    )
+
+    if bucket is not None:
+        aggs = []
+        if need_b:
+            aggs.append(F.max("__cand").alias("__bc"))
+        if need_f:
+            aggs.append(F.min("__cand").alias("__fc"))
+        carries = unioned.groupBy(*by, _BUCKET).agg(*aggs)
+        w_prev = (
+            Window.partitionBy(*by)
+            .orderBy(_BUCKET)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_next = (
+            Window.partitionBy(*by)
+            .orderBy(_BUCKET)
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        carry = carries.select(
+            *by,
+            _BUCKET,
+            *([F.max("__bc").over(w_prev).alias("__b_in")] if need_b else []),
+            *([F.min("__fc").over(w_next).alias("__f_in")] if need_f else []),
+        )
+        filled = filled.join(carry, [*by, _BUCKET], "left")
+        if need_b:
+            filled = filled.withColumn(
+                "__b", F.coalesce(F.col("__b"), F.col("__b_in"))
+            )
+        if need_f:
+            filled = filled.withColumn(
+                "__f", F.coalesce(F.col("__f"), F.col("__f_in"))
+            )
+
+    out = filled.filter(F.col(_SIDE) == 1)
+
+    tol_us = (
+        None
+        if tolerance_seconds is None
+        else int(round(float(tolerance_seconds) * 1_000_000))
+    )
+
+    def _gate(col: Column, dist: Column) -> Column:
+        if tol_us is None:
+            return col
+        return F.when(dist <= F.lit(tol_us), col)
+
+    if need_b:
+        b_dist = F.col("__ts") - F.col("__b.__mts")
+        b_pick = _gate(F.col("__b"), b_dist)
+    if need_f:
+        f_dist = F.col("__f.__mts") - F.col("__ts")
+        f_pick = _gate(F.col("__f"), f_dist)
+
+    if direction == "backward":
+        pick = b_pick
+    elif direction == "forward":
+        pick = f_pick
+    else:  # nearest: closer wins, exact tie -> backward
+        b_ok, f_ok = b_pick, f_pick
+        pick = (
+            F.when(b_ok.isNull(), f_ok)
+            .when(f_ok.isNull(), b_ok)
+            .when(
+                (F.col("__ts") - b_ok["__mts"])
+                <= (f_ok["__mts"] - F.col("__ts")),
+                b_ok,
+            )
+            .otherwise(f_ok)
+        )
+
+    matched_on = f"{matched_prefix}{on}"
+    return out.select(
+        *left_cols,
+        F.timestamp_micros(pick["__mts"]).alias(matched_on),
+        *[pick[c].alias(f"{matched_prefix}{c}") for c in value_cols],
     )

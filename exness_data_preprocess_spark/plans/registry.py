@@ -279,6 +279,109 @@ FROM j
 """
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward ASOF LEFT JOIN (pandas merge_asof direction='forward'):
+    click events matched to the EARLIEST view at-or-after them per key —
+    the directional twin of C1, same union + RANGE-frame fill with a
+    day-bucketed two-pass carry (operators/asof.py
+    asof_join_directional)."""
+    from exness_data_preprocess_spark.operators.asof import (
+        asof_join_directional,
+    )
+
+    click, view = _click_view(spark, sf_dir)
+    joined = asof_join_directional(
+        click,
+        view,
+        on="timestamp",
+        by=("grp",),
+        value_cols=("value",),
+        matched_prefix="m_",
+        direction="forward",
+        bucket="day",
+    )
+    return joined.select(
+        "event_id",
+        "grp",
+        _us("timestamp").alias("ts_us"),
+        "value",
+        _us("m_timestamp").alias("m_ts_us"),
+        F.col("m_value"),
+    )
+
+
+ORACLE_ASOF_FORWARD = """
+WITH c AS (
+  SELECT (user_id % 5)::INT AS grp, ts, event_id, value
+  FROM events WHERE event_type = 'click'
+), v AS (
+  SELECT (user_id % 5)::INT AS grp, ts, value
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id, c.grp, epoch_us(c.ts) AS ts_us, c.value,
+       epoch_us(v.ts) AS m_ts_us, v.value AS m_value
+FROM c ASOF LEFT JOIN v ON c.grp = v.grp AND c.ts <= v.ts
+"""
+
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest ASOF (pandas merge_asof direction='nearest', exact ties
+    resolve backward): both directional fills computed over ONE shuffle
+    (two RANGE frames on the same (key, day) partitioning), closer match
+    wins."""
+    from exness_data_preprocess_spark.operators.asof import (
+        asof_join_directional,
+    )
+
+    click, view = _click_view(spark, sf_dir)
+    joined = asof_join_directional(
+        click,
+        view,
+        on="timestamp",
+        by=("grp",),
+        value_cols=("value",),
+        matched_prefix="m_",
+        direction="nearest",
+        bucket="day",
+    )
+    return joined.select(
+        "event_id",
+        "grp",
+        _us("timestamp").alias("ts_us"),
+        _us("m_timestamp").alias("m_ts_us"),
+        F.col("m_value"),
+    )
+
+
+ORACLE_ASOF_NEAREST = """
+WITH c AS (
+  SELECT (user_id % 5)::INT AS grp, ts, event_id, value
+  FROM events WHERE event_type = 'click'
+), v AS (
+  SELECT (user_id % 5)::INT AS grp, ts, value
+  FROM events WHERE event_type = 'view'
+), b AS (
+  SELECT c.event_id, c.grp, c.ts, v.ts AS bts, v.value AS bval
+  FROM c ASOF LEFT JOIN v ON c.grp = v.grp AND c.ts >= v.ts
+), f AS (
+  SELECT c.event_id, v.ts AS fts, v.value AS fval
+  FROM c ASOF LEFT JOIN v ON c.grp = v.grp AND c.ts <= v.ts
+)
+SELECT b.event_id, b.grp, epoch_us(b.ts) AS ts_us,
+       CASE WHEN bts IS NULL THEN epoch_us(fts)
+            WHEN fts IS NULL THEN epoch_us(bts)
+            WHEN epoch_us(b.ts) - epoch_us(bts)
+                 <= epoch_us(fts) - epoch_us(b.ts) THEN epoch_us(bts)
+            ELSE epoch_us(fts) END AS m_ts_us,
+       CASE WHEN bts IS NULL THEN fval
+            WHEN fts IS NULL THEN bval
+            WHEN epoch_us(b.ts) - epoch_us(bts)
+                 <= epoch_us(fts) - epoch_us(b.ts) THEN bval
+            ELSE fval END AS m_value
+FROM b JOIN f USING (event_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # D2/D3: resample with derived ratios
 # ---------------------------------------------------------------------------
@@ -723,6 +826,12 @@ QUERIES: dict[str, QuerySpec] = {
     "top_k": QuerySpec(q_top_k, ORACLE_TOP_K, "F: order by metric desc limit k"),
     "ohlc_1m": QuerySpec(q_ohlc_1m, ORACLE_OHLC_1M, "D1: tick→1m OHLC aggregate"),
     "asof_join": QuerySpec(q_asof_join, ORACLE_ASOF_JOIN, "C1: backward asof join"),
+    "asof_forward": QuerySpec(
+        q_asof_forward, ORACLE_ASOF_FORWARD, "asof direction=forward twin"
+    ),
+    "asof_nearest": QuerySpec(
+        q_asof_nearest, ORACLE_ASOF_NEAREST, "asof direction=nearest, ties backward"
+    ),
     "asof_tolerance": QuerySpec(
         q_asof_tolerance, ORACLE_ASOF_TOLERANCE, "C2: asof with 600s tolerance",
     ),
@@ -798,6 +907,7 @@ _DRIVER_PRIORITY = [
     # new this round
     "blocklist_filter", "training_shards", "dedup_keep_best",
     "jsonl_roundtrip", "sample_k_per_group", "cdc_apply",
+    "asof_forward", "asof_nearest",
     "semantic_decontamination_ivf", "dedup_exact_substring",
     "dedup_embedding_cosine_ivf", "lm_fluency_score", "contamination_spans",
     # not in the r3 driver sample (CORRECTNESS_r03.json)

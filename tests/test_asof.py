@@ -103,3 +103,130 @@ def test_asof_no_right_rows(spark):
     std = spark.createDataFrame([], TICK_SCHEMA)
     row = asof_join_backward(raw, std, matched_prefix="m_", bucket="month").first()
     assert row["m_bid"] is None and row["m_timestamp"] is None
+
+
+# ---------------------------------------------------------------------------
+# directional variants (forward / nearest) — pandas merge_asof parity
+# ---------------------------------------------------------------------------
+def _expected_dir(praw, pstd, direction, tolerance=None):
+    kw = {"tolerance": pd.Timedelta(seconds=tolerance)} if tolerance else {}
+    pstd = pstd.copy()
+    pstd["timestamp_m"] = pstd["timestamp"]
+    return pd.merge_asof(
+        praw.sort_values("timestamp"),
+        pstd.sort_values("timestamp"),
+        on="timestamp",
+        by="instrument",
+        direction=direction,
+        suffixes=("", "_m"),
+        **kw,
+    ).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("bucket", [None, "month"])
+def test_asof_directional_matches_pandas(
+    spark, tick_dfs, tick_pandas, direction, bucket
+):
+    from exness_data_preprocess_spark.operators.asof import (
+        asof_join_directional,
+    )
+
+    raw_df, std_df = tick_dfs
+    raw_df = raw_df.dropDuplicates(["instrument", "timestamp"])
+    praw, pstd = tick_pandas
+    praw = praw.drop_duplicates(["instrument", "timestamp"]).reset_index(
+        drop=True
+    )
+    out = (
+        asof_join_directional(
+            raw_df, std_df, matched_prefix="m_", direction=direction,
+            bucket=bucket,
+        )
+        .toPandas()
+        .sort_values(["instrument", "timestamp"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        _expected_dir(praw, pstd, direction)
+        .sort_values(["instrument", "timestamp"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(exp)
+    pd.testing.assert_series_equal(
+        out["m_bid"], exp["bid_m"], check_names=False, check_exact=True
+    )
+    pd.testing.assert_series_equal(
+        out["m_timestamp"],
+        exp["timestamp_m"].astype(out["m_timestamp"].dtype),
+        check_names=False,
+    )
+
+
+def test_asof_directional_backward_equals_reference_impl(
+    spark, tick_dfs
+):
+    from exness_data_preprocess_spark.operators.asof import (
+        asof_join_directional,
+    )
+
+    raw_df, std_df = tick_dfs
+    raw_df = raw_df.dropDuplicates(["instrument", "timestamp"])
+    a = (
+        asof_join_backward(raw_df, std_df, matched_prefix="m_", bucket="month")
+        .toPandas()
+        .sort_values(["instrument", "timestamp"])
+        .reset_index(drop=True)
+    )
+    b = (
+        asof_join_directional(
+            raw_df, std_df, matched_prefix="m_", direction="backward",
+            bucket="month",
+        )
+        .toPandas()
+        .sort_values(["instrument", "timestamp"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[b.columns], b)
+
+
+def test_asof_forward_tolerance_and_boundary_carry(spark):
+    from exness_data_preprocess_spark.operators.asof import (
+        asof_join_directional,
+    )
+
+    # right row 3 months AFTER the left row: forward bucketed carry must
+    # cross the empty months; a 60 s tolerance must then null it out
+    raw_t = dt.datetime(2024, 1, 15, 10, 0, 0)
+    std_t = dt.datetime(2024, 4, 20, 10, 0, 0)
+    raw = spark.createDataFrame([("EURUSD", raw_t, 1.0, 1.0)], TICK_SCHEMA)
+    std = spark.createDataFrame([("EURUSD", std_t, 9.9, 10.0)], TICK_SCHEMA)
+    row = asof_join_directional(
+        raw, std, matched_prefix="m_", direction="forward", bucket="month"
+    ).first()
+    assert row["m_bid"] == 9.9 and row["m_timestamp"] == std_t
+    row2 = asof_join_directional(
+        raw, std, matched_prefix="m_", direction="forward", bucket="month",
+        tolerance_seconds=60,
+    ).first()
+    assert row2["m_bid"] is None and row2["m_timestamp"] is None
+
+
+def test_asof_nearest_tie_resolves_backward(spark):
+    from exness_data_preprocess_spark.operators.asof import (
+        asof_join_directional,
+    )
+
+    t = dt.datetime(2024, 5, 1, 12, 0, 0)
+    raw = spark.createDataFrame([("EURUSD", t, 1.0, 1.0)], TICK_SCHEMA)
+    std = spark.createDataFrame(
+        [
+            ("EURUSD", t - dt.timedelta(seconds=30), 111.0, 1.0),
+            ("EURUSD", t + dt.timedelta(seconds=30), 222.0, 1.0),
+        ],
+        TICK_SCHEMA,
+    )
+    row = asof_join_directional(
+        raw, std, matched_prefix="m_", direction="nearest", bucket=None
+    ).first()
+    assert row["m_bid"] == 111.0  # equal distance -> backward match
