@@ -1,0 +1,187 @@
+"""CorpusCurator — the corpus-side facade.
+
+``SparkDataProcessor`` packages the reference's tick surface
+(processor.py:81-111's lifecycle); this class packages the
+training-data pipeline the same way: one object, sane defaults, each
+method a thin delegation to an `operators/` function whose semantics
+are oracle-checked in the registry. Nothing here adds logic — it adds
+the discoverable API a new user reaches for before learning the
+operator modules (examples/corpus_curation.py is the narrative twin).
+
+Every method takes and returns DataFrames (lazy plans); nothing
+collects. Chain them and let Catalyst fuse the pipeline into one plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["CorpusCurator"]
+
+
+class CorpusCurator:
+    """Compose the curation pipeline over a documents frame
+    (``doc_id, text, lang, source, n_chars`` — sources/corpus_io.py's
+    ``DOCUMENTS_SCHEMA``).
+
+    Typical flow::
+
+        cur = CorpusCurator(spark)
+        docs = cur.read_jsonl("/data/raw")
+        docs = cur.quality_filter(docs)
+        docs = cur.blocklist(docs, ["…"]).filter("screen_action != 'drop'")
+        docs = cur.dedup(docs)
+        docs = cur.decontaminate(docs, bench_df)
+        eval_ids = cur.sample_per_group(docs, k=10_000)
+        cur.export_shards(docs.join(eval_ids, "doc_id", "anti"), out_dir)
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    # -- I/O -----------------------------------------------------------------
+    def read_jsonl(self, path: str) -> DataFrame:
+        from exness_data_preprocess_spark.sources.corpus_io import (
+            read_documents_jsonl,
+        )
+
+        return read_documents_jsonl(self.spark, path)
+
+    def audit_corrupt(self, path: str) -> DataFrame:
+        from exness_data_preprocess_spark.sources.corpus_io import (
+            audit_corrupt_lines,
+        )
+
+        return audit_corrupt_lines(self.spark, path)
+
+    def write_jsonl(self, docs: DataFrame, path: str, n_files: int | None = None) -> None:
+        from exness_data_preprocess_spark.sources.corpus_io import (
+            write_documents_jsonl,
+        )
+
+        write_documents_jsonl(docs, path, n_files)
+
+    def export_shards(
+        self, docs: DataFrame, out_dir: str, n_shards: int = 64,
+        seed: str = "shard-v1",
+    ) -> DataFrame:
+        """Write ``out_dir/shard_id=K/`` JSONL shards and return the
+        manifest frame describing exactly what was written."""
+        from exness_data_preprocess_spark.operators.textstats import (
+            shard_manifest,
+        )
+        from exness_data_preprocess_spark.sources.corpus_io import (
+            export_training_shards,
+        )
+
+        export_training_shards(docs, out_dir, n_shards=n_shards, seed=seed)
+        return shard_manifest(docs, n_shards=n_shards, seed=seed)
+
+    # -- quality -------------------------------------------------------------
+    def quality_features(self, docs: DataFrame) -> DataFrame:
+        from exness_data_preprocess_spark.operators.textstats import (
+            quality_features,
+        )
+
+        return quality_features(docs)
+
+    def quality_filter(self, docs: DataFrame) -> DataFrame:
+        """Docs passing the heuristic gate (quality_flag == 1),
+        original columns only."""
+        return self.quality_features(docs).filter(
+            F.col("quality_flag") == 1
+        ).select(*docs.columns)
+
+    def repetition_filter(self, docs: DataFrame) -> DataFrame:
+        from exness_data_preprocess_spark.operators.textstats import (
+            repetition_features,
+        )
+
+        return repetition_features(docs).filter(
+            F.col("repetition_flag") == 1
+        ).select(*docs.columns)
+
+    def blocklist(
+        self, docs: DataFrame, terms: list[str], drop_threshold: int = 8
+    ) -> DataFrame:
+        from exness_data_preprocess_spark.operators.textstats import (
+            blocklist_screen,
+        )
+
+        return blocklist_screen(docs, terms, drop_threshold=drop_threshold)
+
+    # -- dedup ---------------------------------------------------------------
+    def dedup(
+        self,
+        docs: DataFrame,
+        near: bool = True,
+        keep_best: bool = True,
+        quality_col: str = "n_chars",
+    ) -> DataFrame:
+        """Exact dedup, then (optionally) MinHash-LSH near-dup removal.
+
+        ``keep_best`` resolves each near-dup family to its longest member
+        (cluster via connected components); otherwise the lowest-id doc
+        survives (cheaper: pairs only, no clustering)."""
+        from exness_data_preprocess_spark.operators.dedup import (
+            exact_dedup,
+            minhash_lsh_pairs,
+        )
+        from exness_data_preprocess_spark.operators.graph import (
+            best_docs_per_cluster,
+            connected_components,
+        )
+
+        uniq = exact_dedup(docs)
+        if not near:
+            return uniq
+        pairs = minhash_lsh_pairs(uniq)
+        if keep_best:
+            comp = connected_components(
+                pairs.select("id_a", "id_b"), uniq.select("doc_id")
+            )
+            best = best_docs_per_cluster(
+                uniq, comp, quality_col=quality_col
+            ).select(F.col("kept_doc_id").alias("doc_id"))
+            multi = comp.join(
+                comp.groupBy("component").count().filter("count >= 2"),
+                "component",
+            ).select("doc_id")
+            singles = uniq.join(multi, "doc_id", "anti").select("doc_id")
+            keep = singles.unionByName(best)
+            return uniq.join(keep, "doc_id", "semi")
+        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        return uniq.join(losers, "doc_id", "anti")
+
+    def decontaminate(self, docs: DataFrame, bench: DataFrame) -> DataFrame:
+        """Docs NOT flagged by the 3-gram benchmark-overlap check."""
+        from exness_data_preprocess_spark.operators.textstats import (
+            decontaminate,
+        )
+
+        return decontaminate(docs, bench).filter(
+            F.col("contaminated") == 0
+        ).select(*docs.columns)
+
+    # -- sampling ------------------------------------------------------------
+    def sample_per_group(
+        self, docs: DataFrame, k: int, group_cols: tuple[str, ...] = ("lang",)
+    ) -> DataFrame:
+        from exness_data_preprocess_spark.operators.skew import (
+            sample_k_per_group,
+        )
+
+        return sample_k_per_group(docs, k, group_cols)
+
+    def temperature_mix(
+        self, docs: DataFrame, alpha: float = 0.5,
+        target_fraction: float = 0.5,
+    ) -> DataFrame:
+        from exness_data_preprocess_spark.operators.textstats import (
+            temperature_sample,
+        )
+
+        return temperature_sample(
+            docs, alpha=alpha, target_fraction=target_fraction
+        )

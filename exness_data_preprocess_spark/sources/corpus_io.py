@@ -69,23 +69,19 @@ def read_documents_jsonl(
     CLEAN rows only (malformed lines silently excluded here — audit them
     with :func:`audit_corrupt_lines`).
 
-    PERMISSIVE mode: a malformed line becomes a row of NULLs with the
-    raw line in ``_corrupt_record`` — the 100 TB-safe posture (one bad
-    line in a billion must not kill the job). The built-in JSON source
-    is used for this hot path because it supports schema pruning; Spark
-    forbids *corrupt-column-only* queries against that source, which is
-    why the audit lives in a separate text+``from_json`` function.
+    DROPMALFORMED mode: a malformed line is skipped, never kills the
+    job — the 100 TB-safe posture (one bad line in a billion). The
+    built-in JSON source is used for this hot path because it supports
+    schema pruning; carrying a ``_corrupt_record`` column here instead
+    would trip Spark's corrupt-column-only query restriction on plain
+    ``count()``-style plans, which is also why the audit lives in a
+    separate text+``from_json`` function.
     """
-    full = T.StructType(
-        schema.fields + [T.StructField(_CORRUPT_COL, T.StringType())]
-    )
-    df = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT_COL)
+    return (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
         .json(path)
     )
-    return df.filter(F.col(_CORRUPT_COL).isNull()).drop(_CORRUPT_COL)
 
 
 def audit_corrupt_lines(

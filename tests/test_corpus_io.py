@@ -82,3 +82,18 @@ def test_export_training_shards_matches_manifest(spark, tmp_path):
         m = manifest[int(r["shard_id"])]
         assert r["n"] == m["n_docs"]
         assert r["ids_md5"] == m["ids_md5"]  # same membership, same ids
+
+
+def test_jsonl_clean_reader_count_drops_malformed(spark, tmp_path):
+    # DROPMALFORMED must hold under empty-projection plans too: count()
+    # prunes every column, and a parser that skips validation there
+    # would count garbage lines
+    d = tmp_path / "jl"
+    d.mkdir()
+    (d / "p.json").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "garbage line\n"
+        '{"doc_id": 2, "text": "ok2", "lang": "en", "source": "s", "n_chars": 3}\n'
+    )
+    df = read_documents_jsonl(spark, str(d))
+    assert df.count() == 2 == len(df.collect())

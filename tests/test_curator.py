@@ -1,0 +1,88 @@
+"""CorpusCurator facade — delegation smoke + the keep-best dedup path.
+
+Operator semantics are oracle-checked in the registry; these tests pin
+the facade wiring: column contracts, filter directions (flag==1 keeps),
+and the cluster-resolution branch of ``dedup``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.curator import CorpusCurator
+
+
+def _doc(i, words, lang="en", source="s0"):
+    text = " ".join(words)
+    return (i, text, lang, source, len(text))
+
+
+def test_curator_dedup_exact_and_keep_best(spark):
+    base = [f"tok{j}" for j in range(50)]
+    rows = [
+        _doc(0, base),                          # near-dup family, shorter
+        _doc(1, base + ["extra", "tokens"]),    # near-dup family, longest
+        _doc(2, [f"other{j}" for j in range(40)]),
+        _doc(3, [f"other{j}" for j in range(40)]),  # exact copy of 2
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    cur = CorpusCurator(spark)
+
+    # exact-only: doc 3 (higher id of the identical pair) drops
+    ids = sorted(r["doc_id"] for r in cur.dedup(docs, near=False).collect())
+    assert ids == [0, 1, 2]
+
+    from exness_data_preprocess_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(exact_dedup(docs)).collect()
+    assert len(pairs) >= 1  # the near-dup family is detected
+
+    survivors = sorted(
+        r["doc_id"] for r in cur.dedup(docs, keep_best=True).collect()
+    )
+    # family {0,1} resolves to the LONGEST member (1); 2 survives exact
+    assert survivors == [1, 2]
+
+    # min-id policy instead: loser side of each pair drops -> 0 survives
+    lowid = sorted(
+        r["doc_id"] for r in cur.dedup(docs, keep_best=False).collect()
+    )
+    assert lowid == [0, 2]
+
+
+def test_curator_quality_blocklist_sample_export(spark, tmp_path):
+    rows = [
+        _doc(i, [f"w{i}{j}" for j in range(30)], lang="en" if i % 2 else "de")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    cur = CorpusCurator(spark)
+
+    gated = cur.quality_filter(docs)
+    assert gated.columns == docs.columns  # facade restores the contract
+
+    screened = cur.blocklist(docs, ["w11"], drop_threshold=99)
+    acts = {r["screen_action"] for r in screened.collect()}
+    assert acts == {"keep", "redact"}
+
+    ids = cur.sample_per_group(docs, k=3)
+    got = ids.groupBy("lang").count().collect()
+    assert {r["lang"]: r["count"] for r in got} == {"en": 3, "de": 3}
+
+    out = str(tmp_path / "shards")
+    manifest = cur.export_shards(docs, out, n_shards=4)
+    back = spark.read.json(out)
+    assert back.count() == 40
+    assert sum(r["n_docs"] for r in manifest.collect()) == 40
+
+    jl = str(tmp_path / "jl")
+    cur.write_jsonl(docs, jl, n_files=2)
+    assert cur.read_jsonl(jl).count() == 40
+    assert cur.audit_corrupt(jl).count() == 0
