@@ -53,7 +53,10 @@ def main() -> None:
         except Exception:
             pass
         best = None
-        for _ in range(2):  # best-of-2: shields the number from GC/OS noise
+        for _ in range(3):  # best-of-3: shields the number from GC/OS noise
+            # (r2→r3 comparisons showed ~1.4x run-to-run blips on the
+            # LSH-family queries under best-of-2; a third sample prices
+            # out one GC pause per query)
             spark.catalog.clearCache()  # drop operator-persisted intermediates
             t0 = time.time()
             spec.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
