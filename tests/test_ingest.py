@@ -170,3 +170,43 @@ def test_update_data_parallel_downloads_overlap_and_match(spark, tmp_path):
     a = sorted(map(tuple, seq.engine.ticks_df("raw_spread").collect()))
     b = sorted(map(tuple, par.engine.ticks_df("raw_spread").collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python DataSource variant of the ZIP path
+# ---------------------------------------------------------------------------
+def test_zip_datasource_matches_mapinpandas_path(spark, zip_dir):
+    from exness_data_preprocess_spark.sources.zip_datasource import (
+        register_zip_source,
+    )
+
+    register_zip_source(spark)
+    ds = (
+        spark.read.format("exness_zip")
+        .option("glob", f"{zip_dir}/*.zip")
+        .load()
+    )
+    assert ds.columns == ["Timestamp", "Bid", "Ask"]
+    # planning partitions = one per archive
+    assert ds.rdd.getNumPartitions() == 2
+    got = sorted(
+        (r["Timestamp"], r["Bid"], r["Ask"]) for r in ds.collect()
+    )
+    # the binaryFile + mapInPandas path is the ground truth
+    ref = load_ticks_zip(spark, f"{zip_dir}/*.zip", "eurusd").select(
+        "timestamp", "bid", "ask"
+    )
+    want = sorted((r["timestamp"], r["bid"], r["ask"]) for r in ref.collect())
+    assert got == want
+
+
+def test_zip_datasource_empty_glob_raises(spark, tmp_path):
+    from exness_data_preprocess_spark.sources.zip_datasource import (
+        register_zip_source,
+    )
+
+    register_zip_source(spark)
+    with pytest.raises(Exception, match="no archives match"):
+        spark.read.format("exness_zip").option(
+            "glob", f"{tmp_path}/none/*.zip"
+        ).load().collect()
