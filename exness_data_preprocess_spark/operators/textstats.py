@@ -760,7 +760,11 @@ def blocklist_screen(
     """
     if not terms:
         raise ValueError("blocklist_screen requires at least one term")
-    pat = r"\b(" + "|".join(terms) + r")\b"
+    import re as _re
+
+    # terms are literal words by contract; escape so a term like "c++"
+    # cannot silently change the pattern's meaning
+    pat = r"\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
     hits = F.regexp_count(F.col(text_col), F.lit(pat))
     action = (
         F.when(hits >= drop_threshold, F.lit("drop"))

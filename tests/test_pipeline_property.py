@@ -187,3 +187,95 @@ def test_pack_sequences_matches_replay(spark, docs):
         assert out[i][2] == cum % budget
         assert 0 <= out[i][2] < budget
         cum += capped
+
+
+# ---------------------------------------------------------------------------
+# CDC apply ≡ dict replay
+# ---------------------------------------------------------------------------
+@settings(**_SETTINGS)
+@given(
+    base=st.dictionaries(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=-50, max_value=50),
+        max_size=8,
+    ),
+    changes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),   # key
+            st.integers(min_value=0, max_value=30),   # seq
+            st.sampled_from(["U", "D"]),
+            st.integers(min_value=-50, max_value=50),  # value
+        ),
+        max_size=25,
+    ),
+)
+def test_apply_cdc_matches_dict_replay(spark, base, changes):
+    from exness_data_preprocess_spark.operators.cdc import apply_cdc
+
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()] or [(99, 0)], "k long, v long"
+    )
+    if not base:
+        base_df = base_df.filter("k < 0")
+    ch_df = spark.createDataFrame(
+        changes or [(99, 0, "U", 0)], "k long, seq long, op string, v long"
+    )
+    if not changes:
+        ch_df = ch_df.filter("k < 0")
+
+    # reference replay: winner per key = lexicographic max of (seq, op, v)
+    # (the operator's documented deterministic tie rule)
+    winner = {}
+    for k, seq, op, v in changes:
+        cand = (seq, op, v)
+        if k not in winner or cand > winner[k]:
+            winner[k] = cand
+    expect = dict(base)
+    for k, (seq, op, v) in winner.items():
+        if op == "D":
+            expect.pop(k, None)
+        else:
+            expect[k] = v
+
+    got = {
+        r["k"]: r["v"] for r in apply_cdc(base_df, ch_df, ("k",)).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# bounded top-k ≡ sorted()[:k]
+# ---------------------------------------------------------------------------
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # group
+            st.integers(min_value=-100, max_value=100),  # score
+            st.integers(min_value=0, max_value=10_000),  # rid (tiebreak)
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: (t[0], t[1], t[2]),
+    ),
+    k=st.integers(min_value=1, max_value=7),
+)
+def test_topk_bounded_matches_sorted(spark, rows, k):
+    from exness_data_preprocess_spark.operators.skew import (
+        topk_per_group_bounded,
+    )
+
+    df = spark.createDataFrame(rows, "grp long, score long, rid long")
+    got = sorted(
+        map(
+            tuple,
+            topk_per_group_bounded(
+                df, ("grp",), ("score", "rid"), k, n_salts=4
+            ).collect(),
+        )
+    )
+    want = []
+    for g in {r[0] for r in rows}:
+        members = sorted((s, rid) for gg, s, rid in rows if gg == g)[:k]
+        want += [(g, s, rid) for s, rid in members]
+    assert got == sorted(want)
