@@ -267,7 +267,16 @@ def asof_join_directional(
         )
         part = Window.partitionBy(*by, _BUCKET)
     w_b = part.orderBy("__ts").rangeBetween(Window.unboundedPreceding, 0)
-    w_f = part.orderBy("__ts").rangeBetween(0, Window.unboundedFollowing)
+    # Forward fill as a GROWING frame over descending order, never a
+    # [current, unboundedFollowing] shrinking frame: Spark's shrinking
+    # WindowFunctionFrame re-evaluates the aggregate from scratch on
+    # every row (no inverse-combine), turning a 130k-row partition into
+    # O(n²) work — measured as a hang at the 10M-event scale probe.
+    # Descending order + [unboundedPreceding, current] RANGE is the same
+    # row set (all rows with ts >= current, peers included) at O(n).
+    w_f = part.orderBy(F.desc("__ts")).rangeBetween(
+        Window.unboundedPreceding, 0
+    )
 
     fills = [*left_cols, _SIDE, "__ts"]
     if bucket is not None:
@@ -290,10 +299,12 @@ def asof_join_directional(
             .orderBy(_BUCKET)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
+        # same shrinking-frame avoidance on the spine (harmless at
+        # instrument×month cardinality, free to do right)
         w_next = (
             Window.partitionBy(*by)
-            .orderBy(_BUCKET)
-            .rowsBetween(1, Window.unboundedFollowing)
+            .orderBy(F.desc(_BUCKET))
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
         carry = carries.select(
             *by,

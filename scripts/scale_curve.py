@@ -65,6 +65,8 @@ QUERY_TABLE = {
     "tick_range_scan": "events",
     "ohlc_1m": "events",
     "asof_join": "events",
+    "asof_forward": "events",
+    "asof_nearest": "events",
     "funnel_daily": "events",
     "cohort_retention": "events",
     "fill_minute_gaps": "events",

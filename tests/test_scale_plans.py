@@ -306,3 +306,13 @@ def test_training_shards_single_shuffle(spark):
     plan = plan_of(QUERIES["training_shards"].spark(spark, SF))
     assert plan.count("Exchange") <= 2  # AQE may re-list the same node
     assert "Window" not in plan
+
+
+def test_directional_asof_has_no_shrinking_window_frame(spark):
+    # a [current, UNBOUNDED FOLLOWING] frame is re-evaluated from scratch
+    # per row (no inverse-combine in Spark's shrinking frame) — O(n²) per
+    # partition, measured as a hang at the 10M-event scale probe; the
+    # forward fill must run as a growing frame over descending order
+    for q in ("asof_forward", "asof_nearest"):
+        plan = plan_of(QUERIES[q].spark(spark, SF))
+        assert "UNBOUNDED FOLLOWING" not in plan, q
