@@ -56,6 +56,10 @@ QUERY_TABLE = {
     "training_shards": "documents",
     "jsonl_roundtrip": "documents",
     "sample_k_per_group": "documents",
+    "bm25_topk": "documents",
+    "tfidf_top_terms": "documents",
+    "semantic_decontamination": "embeddings",
+    "semantic_decontamination_ivf": "embeddings",
     "dedup_embedding_cosine": "embeddings",
     "dedup_embedding_cosine_ivf": "embeddings",
     "pq_ann_adc": "embeddings",
@@ -75,6 +79,9 @@ QUERY_TABLE = {
     "interval_join_events": "events",
     "events_window_dedup": "events",
     "cdc_apply": "events",
+    "twap_hourly": "events",
+    "realized_volatility": "events",
+    "hourly_count_corr": "events",
 }
 
 LADDER = [
