@@ -730,7 +730,9 @@ def levenshtein_pairs(
     distance once); a |len diff| prune runs before the DP, and the text
     payload joins back on the surviving pair set only.
     """
-    if max_distance > length_bucket:
+    if strategy == "bucket" and max_distance > length_bucket:
+        # the invariant belongs to length-bucket blocking only — the
+        # PassJoin generator never consults length_bucket
         raise ValueError("max_distance must be ≤ length_bucket for blocking")
     blocks = [F.col(c) for c in block_cols]
     base = df.select(

@@ -195,10 +195,13 @@ def hourly_count_corr_daily(
     constant series (zero variance, guaranteed for single-hour days)
     yields NULL rather than an ANSI DIVIDE_BY_ZERO from ``F.corr``'s
     internals. Rounded to 6 decimals at the edge (autocorr_lag1 idiom).
-    Co-moment sums are carried as DECIMAL(38,0) (exact to 10³⁸) so the
-    operator is overflow-safe even when hourly counts approach 2⁶³ —
-    DuckDB's HUGEINT sums are likewise exact, and both engines perform
-    the single exact-integer→double rounding at the same point.
+    Co-moment sums are carried as DECIMAL(38,0): exact for hourly
+    counts up to ~10¹⁷ (the squared-count combinations stay under
+    10³⁸), with ANSI raising — never silently corrupting — beyond
+    that; int64 counts would already overflow at ~3·10⁹ per hour.
+    DuckDB's HUGEINT sums are likewise exact in that range, and both
+    engines perform the single exact-integer→double rounding at the
+    same point.
     """
     t = F.col(key_col)
     hourly = (
@@ -220,15 +223,18 @@ def corr_from_hourly(hourly: DataFrame) -> DataFrame:
     count frame — the combination half of ``hourly_count_corr_daily``,
     exposed so the overflow path is testable with synthetic counts.
 
-    decimal(18,0) counts → decimal(37,0) products → decimal(38,0)
-    sums: every co-moment is exact up to 10^38 (long counts would
-    overflow sxx at cnt ≈ 3·10⁹ per hour — real at event-stream
-    scale). The final combination stays in decimal (Spark caps the
-    widened precision at 38, still exact here) before the one cast
-    to double for sqrt/divide.
+    decimal(19,0) counts (any int64 casts losslessly — a decimal(18,0)
+    cast would itself overflow for counts in (10¹⁸, 2⁶³)) →
+    decimal(38,0) products and sums: every co-moment is exact while
+    hourly counts stay ≤ ~10¹⁷ (then Σcnt² over 24 hours < 2.4·10³⁵
+    and the n·Σxy − ΣxΣy combinations stay under 10³⁸). Long counts
+    would already overflow sxx at cnt ≈ 3·10⁹ per hour — real at
+    event-stream scale; past the 10¹⁷ bound ANSI raises rather than
+    silently corrupting. The final combination stays in decimal before
+    the one cast to double for sqrt/divide.
     """
-    da = F.col("cnt_a").cast("decimal(18,0)")
-    db = F.col("cnt_b").cast("decimal(18,0)")
+    da = F.col("cnt_a").cast("decimal(19,0)")
+    db = F.col("cnt_b").cast("decimal(19,0)")
     daily = hourly.groupBy("day").agg(
         F.count("*").alias("n_hours"),
         F.sum(da).alias("sx"),

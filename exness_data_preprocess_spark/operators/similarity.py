@@ -624,26 +624,17 @@ def semantic_decontaminate(
         )
 
         def assign(df: DataFrame, out_id: str, out_v: str, out_n: str) -> DataFrame:
-            acos = F.round(
-                _dot(F.col(out_v), F.col("cent_v"))
-                / (F.col(out_n) * F.col("cent_n")),
-                6,
-            )
-            return (
-                df.crossJoin(F.broadcast(cents))
-                .groupBy(out_id)
-                .agg(
-                    F.max_by(
-                        "cell_id",
-                        F.struct(acos.alias("c"), (-F.col("cell_id")).alias("t")),
-                    ).alias("cell_id"),
-                    F.first(out_v).alias(out_v),
-                    F.first(out_n).alias(out_n),
-                )
+            # the one argmax-cosine cell assignment (shared contract:
+            # round-6, ties to lowest cell id), just renamed per side
+            return ivf_assign_cells(df, cents, vec_col, id_col).select(
+                F.col("id").alias(out_id),
+                F.col("v").alias(out_v),
+                F.col("nrm").alias(out_n),
+                "cell_id",
             )
 
-        c = assign(c, "cid", "cv", "cn")
-        b = assign(b, "bid", "bv", "bn")
+        c = assign(corpus, "cid", "cv", "cn")
+        b = assign(benchmark, "bid", "bv", "bn")
         on = ["cell_id"]
     elif block_col:
         on = [block_col]

@@ -642,7 +642,7 @@ def bigram_logprob_score(
     or out-of-distribution text (the filter/bucket key); docs with < 2
     tokens score NULL.
 
-    Determinism: per-bigram log-probs quantize to DECIMAL(20,10) before
+    Determinism: per-bigram log-probs quantize to DECIMAL(20,6) before
     the order-free exact sum (the retrieval.py/finance.py contract), so
     engine ``ln`` ulp disagreement stays below the 6-decimal output
     rounding.

@@ -148,9 +148,13 @@ class ParquetCatalog:
         ``append`` whose params differ from the stored ones. ``overwrite``
         replaces artifacts and params together (a rebuild).
 
-        The params sidecar is written AFTER the table writes succeed, so a
-        crashed build leaves no params file and readers treat the index as
-        absent rather than half-written (the _done-marker idiom).
+        The params sidecar is removed BEFORE any table write (in every
+        mode) and rewritten only after all three succeed, so a crash
+        mid-build — including mid-*append*, where the three sequential
+        appends could otherwise leave digests containing docs the bands
+        table lacks — leaves no params file and readers treat the index
+        as absent rather than silently missing near-dups of the
+        half-written slice (the _done-marker idiom).
         """
         import json
 
@@ -166,7 +170,7 @@ class ParquetCatalog:
                     "signature family never match; rebuild with "
                     "mode='overwrite' instead"
                 )
-        if mode == "overwrite" and pfile.exists():
+        if pfile.exists():
             pfile.unlink()
         for table, frame in zip(DEDUP_INDEX_TABLES, index):
             frame.write.mode(mode).parquet(self.path(table))

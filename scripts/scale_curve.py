@@ -138,18 +138,21 @@ def main() -> None:
                 prev_rows = rows
         points = []
         for tag, d in q_ladder:
-            # two timed executions (noop sink, then count — the count IS
-            # the second sample and yields out_rows without a third run)
+            # best-of-2 over IDENTICAL plans (noop-sink writes both
+            # times — a count() sample would prune expensive projections
+            # and min() would compare incomparable plan shapes); the
+            # out_rows count runs separately, untimed
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                spec.spark(spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
             spark.catalog.clearCache()
-            t0 = time.time()
-            spec.spark(spark, d).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            best = time.time() - t0
-            spark.catalog.clearCache()
-            t0 = time.time()
             out_rows = spec.spark(spark, d).count()
-            best = min(best, time.time() - t0)
             spark.catalog.clearCache()
             points.append(
                 {
@@ -231,14 +234,14 @@ def write_md(path: Path, payload: dict, tags: list[str]) -> None:
     hdr = (
         ["query", "table"]
         + [f"t({t}) s" for t in tags]
-        + ["out(max)", "alpha last-step time", "alpha last-step out", "note"]
+        + ["out(last)", "alpha last-step time", "alpha last-step out", "note"]
     )
     lines.append("| " + " | ".join(hdr) + " |")
     lines.append("|" + "---|" * len(hdr))
     for name, r in payload["queries"].items():
         times = {p["tag"]: p["sec"] for p in r["points"]}
         last = r["steps"][-1] if r["steps"] else {}
-        out10 = r["points"][-1]["out_rows"]
+        out_last = r["points"][-1]["out_rows"]
         a_t = last.get("alpha_time", float("nan"))
         a_o = last.get("alpha_out", float("nan"))
         if a_t <= 1.1:
@@ -255,7 +258,7 @@ def write_md(path: Path, payload: dict, tags: list[str]) -> None:
                 (f"{times[t]:.2f}" if t in times else "—")
                 for t in tags
             ]
-            + [str(out10), f"{a_t:.2f}", f"{a_o:.2f}", note]
+            + [str(out_last), f"{a_t:.2f}", f"{a_o:.2f}", note]
         )
         lines.append("| " + " | ".join(row) + " |")
     lines.append("")

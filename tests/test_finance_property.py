@@ -116,12 +116,14 @@ def _pandas_rv(rows):
     return out
 
 
-# counts spanning tiny to near-2^40 per hour: long co-moment sums would
-# overflow (cnt² ≈ 2^80), decimal(38,0) must stay exact
+# counts spanning tiny to 10^17 per hour (the documented exactness
+# bound): long co-moment sums would overflow (cnt² ≈ 10^34), and counts
+# past 10^18 would overflow a decimal(18,0) CAST itself — the
+# decimal(19,0) path must stay exact across the whole range
 extreme_hours = st.lists(
     st.tuples(
-        st.integers(min_value=0, max_value=2**40),
-        st.integers(min_value=0, max_value=2**40),
+        st.integers(min_value=0, max_value=10**17),
+        st.integers(min_value=0, max_value=10**17),
     ),
     min_size=1,
     max_size=8,
