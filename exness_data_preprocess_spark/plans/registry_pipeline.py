@@ -301,17 +301,9 @@ SELECT lang, doc_id FROM (
 _CDC_SPLIT = "2024-01-16 00:00:00"
 
 
-def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE semantics on plain parquet: the per-user snapshot as of
-    Jan 16 (latest event wins), advanced by the second half-month of
-    events as a CDC batch — ``error`` events are tombstones, everything
-    else upserts. Exercises insert (new user), update (higher seq wins),
-    delete, and untouched-key passthrough in one plan."""
-    from exness_data_preprocess_spark.operators.cdc import apply_cdc
-
-    ev = _events(spark, sf_dir)
+def _cdc_base(ev: DataFrame) -> DataFrame:
     cut = F.lit(_CDC_SPLIT).cast("timestamp")
-    base = (
+    return (
         ev.filter(F.col("ts") < cut)
         .groupBy("user_id")
         .agg(F.max(F.struct("event_id", "value")).alias("_s"))
@@ -321,7 +313,11 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_s.value").alias("last_value"),
         )
     )
-    changes = ev.filter(F.col("ts") >= cut).select(
+
+
+def _cdc_changes(ev: DataFrame) -> DataFrame:
+    cut = F.lit(_CDC_SPLIT).cast("timestamp")
+    return ev.filter(F.col("ts") >= cut).select(
         "user_id",
         F.col("event_id").alias("seq"),
         F.when(F.col("event_type") == "error", F.lit("D"))
@@ -330,7 +326,44 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("value").alias("last_value"),
     )
-    return apply_cdc(base, changes, ("user_id",), seq_col="seq")
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics on plain parquet: the per-user snapshot as of
+    Jan 16 (latest event wins), advanced by the second half-month of
+    events as a CDC batch — ``error`` events are tombstones, everything
+    else upserts. Exercises insert (new user), update (higher seq wins),
+    delete, and untouched-key passthrough in one plan."""
+    from exness_data_preprocess_spark.operators.cdc import apply_cdc
+
+    ev = _events(spark, sf_dir)
+    return apply_cdc(
+        _cdc_base(ev), _cdc_changes(ev), ("user_id",), seq_col="seq"
+    )
+
+
+def q_streaming_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``cdc_apply``: the same change set consumed as
+    a file-source stream (availableNow drain) through per-micro-batch
+    ``apply_cdc`` (foreachBatch — Spark's production CDC-apply shape);
+    the drained snapshot must be bit-identical to the batch MERGE."""
+    from exness_data_preprocess_spark.plans.registry_ext import (
+        _events_stream,
+        _sf_key,
+    )
+    from exness_data_preprocess_spark.streaming.cdc_stream import (
+        run_cdc_snapshot_available_now,
+    )
+
+    base = _cdc_base(_events(spark, sf_dir))
+    changes = _cdc_changes(_events_stream(spark, sf_dir))
+    return run_cdc_snapshot_available_now(
+        changes,
+        base,
+        ("user_id",),
+        seq_col="seq",
+        query_name=f"cdc_snap_{_sf_key(sf_dir)}",
+    )
 
 
 ORACLE_CDC_APPLY = f"""
@@ -1459,6 +1492,10 @@ def build_pipeline_queries() -> dict:
             q_cdc_apply, ORACLE_CDC_APPLY,
             "MERGE/CDC batch application: upserts + tombstones, seq wins",
             True),
+        "streaming_cdc_snapshot": (
+            q_streaming_cdc_snapshot, ORACLE_CDC_APPLY,
+            "Streaming: foreachBatch CDC snapshot maintenance (batch twin)",
+            False),
         "interval_join_events": (
             q_interval_join_events, ORACLE_INTERVAL_JOIN,
             "bucketed range join: events into overlapping activity spans",

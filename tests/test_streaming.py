@@ -338,3 +338,64 @@ def test_stream_ingest_gate_matches_batch_incremental_dedup(spark, tmp_path):
         )
     )
     assert got == expected
+
+
+def test_stream_cdc_snapshot_multibatch_matches_batch_apply(spark, tmp_path):
+    """foreachBatch CDC composition: three seq-monotone micro-batches
+    (maxFilesPerTrigger=1, one file each) must land on exactly the
+    result of one batch apply_cdc over the whole change set."""
+    from exness_data_preprocess_spark.operators.cdc import apply_cdc
+    from exness_data_preprocess_spark.streaming.cdc_stream import (
+        run_cdc_snapshot_available_now,
+    )
+
+    base = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(6)], "k long, v string"
+    )
+    # seq-monotone slices: file i carries seqs [10i, 10i+10)
+    slices = [
+        [(0, 1, "U", "a1"), (1, 2, "D", None), (6, 3, "U", "new6")],
+        [(0, 11, "U", "a2"), (2, 12, "D", None), (6, 13, "D", None)],
+        [(0, 21, "D", None), (3, 22, "U", "c2"), (7, 23, "U", "new7")],
+    ]
+    d = tmp_path / "cdc_in"
+    d.mkdir()
+    import time as _t
+
+    for i, rows in enumerate(slices):
+        spark.createDataFrame(
+            rows, "k long, seq long, op string, v string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(d / f"b{i}"))
+        _t.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    schema = "k long, seq long, op string, v string"
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    import glob as _g
+    import shutil
+
+    for i in range(3):
+        src = _g.glob(str(d / f"b{i}" / "part-*.parquet"))[0]
+        shutil.copy(src, stage / f"{i:04d}.parquet")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(stage))
+    )
+    got = run_cdc_snapshot_available_now(
+        stream, base, ("k",), query_name="cdc_multibatch_test"
+    )
+    all_changes = spark.createDataFrame(
+        [r for s in slices for r in s], schema
+    )
+    want = apply_cdc(base, all_changes, ("k",))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # spot semantics: 0 deleted in last batch, 6 inserted-then-deleted,
+    # 7 inserted late, 4/5 untouched
+    m = {r["k"]: r["v"] for r in got.collect()}
+    assert 0 not in m and 1 not in m and 2 not in m and 6 not in m
+    assert m[3] == "c2" and m[7] == "new7" and m[4] == "v4" and m[5] == "v5"
