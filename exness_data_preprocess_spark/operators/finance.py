@@ -255,3 +255,54 @@ def corr_from_hourly(hourly: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def max_drawdown_daily(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Daily maximum drawdown per key: min over t of value_t/runmax_t − 1,
+    the classic peak-to-trough risk metric (the research layer's drawdown
+    companion to realized volatility, phase2_mean_reversion.py's family).
+
+    Determinism without rounding: the running max is an exact comparison
+    (no fp accumulation), the ratio is one IEEE division on identical
+    operands in any engine, and the daily min is again exact — so the
+    metric ships UNROUNDED (round-at-the-edge is only needed for
+    order-dependent sums; see the sf0.1 .5-boundary lesson).
+
+    Scale shape: the prefix max is a growing ROWS frame over the bounded
+    (key, day) partition — O(n) per partition, never a shrinking frame —
+    and the rollup is one partial-aggregable groupBy on the same keys.
+    Non-positive values are excluded (a zero/negative 'price' makes the
+    ratio degenerate), identically in the oracle.
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    w = (
+        Window.partitionBy(key_col, "day")
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = (
+        df.filter(F.col(value_col) > 0)
+        .select(key_col, day, ts_col, id_col, value_col)
+        .withColumn("runmax", F.max(value_col).over(w))
+    )
+    return (
+        p.groupBy(key_col, "day")
+        .agg(
+            F.min(F.col(value_col) / F.col("runmax") - 1).alias(
+                "max_drawdown"
+            ),
+            F.count("*").alias("n_obs"),
+        )
+        .select(
+            key_col,
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "max_drawdown",
+            "n_obs",
+        )
+    )

@@ -908,6 +908,7 @@ _DRIVER_PRIORITY = [
     "blocklist_filter", "training_shards", "dedup_keep_best",
     "jsonl_roundtrip", "sample_k_per_group", "cdc_apply",
     "asof_forward", "asof_nearest", "streaming_cdc_snapshot",
+    "max_drawdown",
     "semantic_decontamination_ivf", "dedup_exact_substring",
     "dedup_embedding_cosine_ivf", "lm_fluency_score", "contamination_spans",
     # not in the r3 driver sample (CORRECTNESS_r03.json)

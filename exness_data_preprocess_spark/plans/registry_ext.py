@@ -754,6 +754,37 @@ ORDER BY event_type, day
 """
 
 
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily maximum drawdown per event_type: min(value/runmax − 1) over
+    a keyed prefix-max — unrounded (exact comparisons + one IEEE
+    division; nothing order-dependent)."""
+    from exness_data_preprocess_spark.operators.finance import (
+        max_drawdown_daily,
+    )
+    from exness_data_preprocess_spark.plans.registry import load
+
+    return max_drawdown_daily(load(spark, sf_dir, "events")).orderBy(
+        "event_type", "day"
+    )
+
+
+ORACLE_MAX_DRAWDOWN = """
+WITH p AS (
+  SELECT event_type, ts::DATE AS day, value,
+         max(value) OVER (
+           PARTITION BY event_type, ts::DATE ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS runmax
+  FROM events WHERE value > 0
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       min(value / runmax - 1) AS max_drawdown,
+       count(*) AS n_obs
+FROM p GROUP BY event_type, day
+ORDER BY event_type, day
+"""
+
+
 def q_hourly_count_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exness_data_preprocess_spark.operators.finance import (
         hourly_count_corr_daily,
@@ -1025,6 +1056,12 @@ def build_ext_queries() -> dict:
             q_hourly_count_corr,
             ORACLE_HOURLY_COUNT_CORR,
             "D9+: daily Pearson corr of hourly count series (exact co-moments)",
+            True,
+        ),
+        "max_drawdown": (
+            q_max_drawdown,
+            ORACLE_MAX_DRAWDOWN,
+            "D9+: daily max drawdown (keyed prefix-max, unrounded-exact)",
             True,
         ),
         "funnel_daily": (

@@ -82,6 +82,7 @@ QUERY_TABLE = {
     "twap_hourly": "events",
     "realized_volatility": "events",
     "hourly_count_corr": "events",
+    "max_drawdown": "events",
 }
 
 LADDER = [

@@ -177,3 +177,38 @@ def test_realized_vol_matches_pandas_reference(spark, rows):
             assert grv is None
         else:
             assert abs(grv - wrv) < 1e-6
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=events)
+def test_max_drawdown_matches_pandas_reference(spark, rows):
+    from exness_data_preprocess_spark.operators.finance import (
+        max_drawdown_daily,
+    )
+
+    df = _frame(spark, rows)
+    got = {
+        (r["event_type"], r["day"]): (r["max_drawdown"], r["n_obs"])
+        for r in max_drawdown_daily(df).collect()
+    }
+    # python reference: per (key, day) running max over (ts, id) order
+    series = {}
+    for i, (off, v, k) in enumerate(rows):
+        if v <= 0:
+            continue
+        ts = EPOCH + dt.timedelta(seconds=off)
+        series.setdefault((k, ts.date().isoformat()), []).append(
+            (ts, i, v)
+        )
+    want = {}
+    for key, obs in series.items():
+        obs.sort()
+        runmax, dd = 0.0, 0.0
+        for _, _, v in obs:
+            runmax = max(runmax, v)
+            dd = min(dd, v / runmax - 1)
+        want[key] = (dd, len(obs))
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][1] == want[key][1]
+        assert abs(got[key][0] - want[key][0]) < 1e-12
