@@ -222,6 +222,12 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b and exact shingle-set
     Jaccard ≥ threshold, restricted to pairs colliding in ≥1 LSH band.
     """
+    if bands < 1 or num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be a positive multiple of bands "
+            f"({bands}) — otherwise permutations are silently dropped "
+            "(or every band key degenerates to empty)"
+        )
     rows_per_band = num_perm // bands
     # The signature frame is one narrow row per doc and feeds three
     # consumers (both sides of the band self-join + bucket counting) —
@@ -340,6 +346,11 @@ def _banded_minhash(
     new-side path; the streaming gate's per-row variant
     (streaming/ingest_gate.py) mirrors it value-for-value and is pinned
     by the stream-vs-batch parity test."""
+    if bands < 1 or num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be a positive multiple of bands "
+            f"({bands})"
+        )
     rows_per_band = num_perm // bands
     comps = minhash_components(df, text_col, id_col, num_perm, shingle_n)
     return comps.select(
@@ -821,6 +832,16 @@ def simhash_pairs(
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, candidate-blocked
     by equality of one of ``bands`` bit-bands (pigeonhole: any pair within
     Hamming ≤ bands-1 shares at least one exact band)."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be ≤ bands-1 ({bands - 1}): "
+            "beyond the pigeonhole bound, qualifying pairs can differ in "
+            "every band and would be silently missed"
+        )
+    if bands < 1 or bits % bands != 0:
+        raise ValueError(
+            f"bits ({bits}) must be a positive multiple of bands ({bands})"
+        )
     # One narrow row per doc feeding both sides of the band self-join.
     fps = simhash_fingerprints(df, text_col, id_col, bits).persist()
     band_bits = bits // bands

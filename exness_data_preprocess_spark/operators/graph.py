@@ -142,7 +142,10 @@ def best_docs_per_cluster(
     """
     joined = docs.select(
         F.col(id_col).cast("long").alias("_id"),
-        F.col(quality_col).cast("long").alias("_q"),
+        # keep the quality column's native type: a long cast would
+        # silently truncate fractional scores, collapsing every cluster
+        # into an id tie-break (review find)
+        F.col(quality_col).alias("_q"),
     ).join(
         components.select(
             F.col(id_col).cast("long").alias("_id"), "component"

@@ -73,7 +73,17 @@ def interval_join(
     # left-join Spark would otherwise plan for a range predicate.
     core = b_pts.join(b_iv, "__bkt").filter(residual).drop("__bkt")
     matched = core.select(*points.columns).dropDuplicates(points.columns)
-    unmatched = b_pts.drop("__bkt").join(matched, points.columns, "left_anti")
+    # NULL-SAFE anti-join (review find): a name-list anti-join uses
+    # null-unsafe equality, so a matched point carrying a NULL payload
+    # column would fail to match itself and be emitted a second time as
+    # a spurious NULL-interval row
+    lhs = b_pts.drop("__bkt").alias("__l")
+    rhs = matched.alias("__m")
+    cond = None
+    for c in points.columns:
+        eq = F.col(f"__l.{c}").eqNullSafe(F.col(f"__m.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    unmatched = lhs.join(rhs, cond, "left_anti")
     for c in intervals.columns:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
     return core.unionByName(unmatched)

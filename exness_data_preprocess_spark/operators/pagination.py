@@ -27,7 +27,19 @@ def paginate_keyset(
     page_size: int,
     order_col: str = "timestamp",
 ) -> CursorResult:
-    """One page: rows strictly after ``cursor``, ordered, page_size-capped."""
+    """One page: rows strictly after ``cursor``, ordered, page_size-capped.
+
+    Completeness contract (review find, made explicit): a single-column
+    strict-``>`` cursor loses rows that SHARE the boundary value when a
+    page cut lands inside the tie group. This operator therefore
+    requires ``order_col`` to be unique within the paged frame — true
+    for every catalog tick table, where write-time dedup enforces one
+    row per (instrument, timestamp) (ReplacingMergeTree parity,
+    sources/catalog.py) and queries are per-instrument, exactly the
+    reference's contract (clickhouse_query_engine.py:390-534 pages the
+    same deduped ordering). For a frame with duplicate order values,
+    page on a composite unique key instead.
+    """
     page = df
     if cursor is not None:
         page = page.filter(F.col(order_col) > F.lit(cursor).cast("timestamp"))

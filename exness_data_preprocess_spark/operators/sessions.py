@@ -92,10 +92,18 @@ def _last_weekday(year: int, month: int, weekday: int) -> dt.date:
 
 
 def nyse_holidays(year: int) -> list[tuple[dt.date, str]]:
-    """NYSE full-day closures (public holiday schedule)."""
+    """NYSE full-day closures (public holiday schedule).
+
+    New Year's Day is special-cased: when Jan 1 falls on a Saturday the
+    Exchange does NOT observe it on the preceding Friday (NYSE Rule 7.2's
+    accounting-period exception — Dec 31 ends the yearly period, so e.g.
+    2021-12-31 was a full trading day); a Sunday Jan 1 still moves to
+    Monday. The other fixed-date holidays take the standard Sat→Fri /
+    Sun→Mon shift (Jul 3 2020 and Dec 24 2021 were closures).
+    """
     easter = _easter_sunday(year)
+    ny = dt.date(year, 1, 1)
     out = [
-        (_observed_us(dt.date(year, 1, 1)), "New Year's Day"),
         (_nth_weekday(year, 1, 0, 3), "Martin Luther King Jr. Day"),
         (_nth_weekday(year, 2, 0, 3), "Washington's Birthday"),
         (easter - dt.timedelta(days=2), "Good Friday"),
@@ -105,6 +113,8 @@ def nyse_holidays(year: int) -> list[tuple[dt.date, str]]:
         (_nth_weekday(year, 11, 3, 4), "Thanksgiving Day"),
         (_observed_us(dt.date(year, 12, 25)), "Christmas Day"),
     ]
+    if ny.weekday() != 5:  # Saturday Jan 1 → not observed (Rule 7.2)
+        out.append((_observed_us(ny), "New Year's Day"))
     if year >= 2022:
         out.append((_observed_us(dt.date(year, 6, 19)), "Juneteenth"))
     return sorted(out)

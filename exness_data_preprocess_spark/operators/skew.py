@@ -60,7 +60,17 @@ def salted_join(
     The salt assignment uses a deterministic hash of the whole left row,
     so replays produce identical partition routing (results are identical
     under any routing; determinism keeps stage retries consistent).
+
+    Only ``inner``/``left`` are accepted: the right side is replicated
+    across the salt domain, so a right/full outer join would emit every
+    unmatched right row ``n_salts`` times (review find).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r} — "
+            "the replicated right side would duplicate unmatched right "
+            "rows under outer semantics"
+        )
     salt: Column = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
                           F.lit(n_salts))
     l_salted = left.withColumn("_salt", salt)

@@ -145,9 +145,14 @@ def vocabulary(
     inside each bounded partition, and add the cumulative row count of the
     preceding partitions. The per-partition count job touches
     ``rank_partitions`` rows on the driver — O(partitions), not O(vocab).
-    The range-partitioned frame is persisted so the offset pass and the
-    output pass share one materialization (range-boundary sampling is
-    per-evaluation and would otherwise let the two passes disagree).
+    The range-partitioned frame is localCheckpointed so the offset pass
+    and the output pass share one stable materialization: range-boundary
+    sampling is per-evaluation, and a plain ``persist()`` could be
+    evicted under memory pressure and recomputed with DIFFERENT
+    boundaries — silently desynchronizing ranks from the collected
+    offsets (review find). Checkpoint blocks are released by the context
+    cleaner when the returned frame is dropped; vocabulary-sized state
+    (tokens, not documents) is small.
     """
     from pyspark.sql import Window
 
@@ -162,7 +167,7 @@ def vocabulary(
     ranged = (
         vocab.repartitionByRange(rank_partitions, F.desc("tf"), F.asc("tok"))
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint()
     )
     sizes = {
         r["_pid"]: r["n"]
@@ -484,10 +489,14 @@ def temperature_sample(
         )
     )
     bucket = md5_h32(F.concat(F.lit(seed), F.col(id_col).cast("string"))) % buckets
+    # NULL-SAFE rate join (review find): the groupBy computes a rate for
+    # a NULL stratum, but a plain equality join would never match it
+    # back, silently excluding every NULL-stratum doc from the sample
+    kr = F.broadcast(keep.withColumnRenamed(stratum_col, "__stratum"))
     return (
-        df.join(F.broadcast(keep), stratum_col)
+        df.join(kr, F.col(stratum_col).eqNullSafe(F.col("__stratum")))
         .filter(bucket < F.col("__keep_lt"))
-        .drop("__keep_lt")
+        .drop("__keep_lt", "__stratum")
     )
 
 

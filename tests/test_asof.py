@@ -230,3 +230,33 @@ def test_asof_nearest_tie_resolves_backward(spark):
         raw, std, matched_prefix="m_", direction="nearest", bucket=None
     ).first()
     assert row["m_bid"] == 111.0  # equal distance -> backward match
+
+
+def test_asof_null_value_in_matched_row_is_not_mixed(spark):
+    """Regression (review find): a NULL value column in the MATCHED right
+    row must stay NULL — not be backfilled from an older right row,
+    which would emit a bid/ask pair that never coexisted."""
+    from exness_data_preprocess_spark.operators.asof import (
+        asof_join_directional,
+    )
+
+    t1 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    t2 = dt.datetime(2024, 5, 1, 12, 5, 0)
+    t3 = dt.datetime(2024, 5, 1, 12, 9, 0)
+    raw = spark.createDataFrame([("EURUSD", t3, 1.0, 1.0)], TICK_SCHEMA)
+    std = spark.createDataFrame(
+        [("EURUSD", t1, 100.0, 101.0), ("EURUSD", t2, None, 103.0)],
+        TICK_SCHEMA,
+    )
+    for bucket in (None, "month"):
+        row = asof_join_backward(
+            raw, std, matched_prefix="m_", bucket=bucket
+        ).first()
+        assert row["m_timestamp"] == t2
+        assert row["m_ask"] == 103.0
+        assert row["m_bid"] is None, f"bucket={bucket}: mixed-row match"
+        fwd = asof_join_directional(
+            std.limit(0).unionByName(raw), std, matched_prefix="m_",
+            direction="nearest", bucket=bucket,
+        ).first()
+        assert fwd["m_bid"] is None and fwd["m_ask"] == 103.0

@@ -77,11 +77,18 @@ def test_simhash_identical_and_hamming(docs):
     ham_13 = bin(fps[1] ^ fps[3]).count("1")
     ham_14 = bin(fps[1] ^ fps[4]).count("1")
     assert ham_13 < ham_14  # near-dup closer than unrelated
+    # bands=16 keeps max_hamming=8 inside the pigeonhole guarantee
+    # (bands-1 = 15); the old bands=4 default here was exactly the
+    # silently-lossy combination the operator now rejects
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in simhash_pairs(docs, max_hamming=8).collect()
+        for r in simhash_pairs(docs, bands=16, max_hamming=8).collect()
     }
     assert pairs.get((1, 2)) == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, bands=4, max_hamming=8)
 
 
 def test_embedding_cosine_pairs(spark):

@@ -560,3 +560,22 @@ def test_apply_cdc_upsert_delete_insert_passthrough(spark):
     )
     out = {r["k"]: r["v"] for r in apply_cdc(base, changes, ("k",)).collect()}
     assert out == {1: "a", 2: "b3", 4: "d1"}
+
+
+def test_interval_join_left_null_payload_not_duplicated(spark):
+    """Regression (review find): a matched point with a NULL payload
+    column must not ALSO appear as a spurious NULL-interval row (the
+    anti-join must be null-safe)."""
+    pts = spark.createDataFrame(
+        [(1, _ts(9), None), (2, _ts(12), "x")],
+        "pid long, ts timestamp, tag string",
+    )
+    iv = spark.createDataFrame(
+        [(7, _ts(8), _ts(10))],
+        "iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    rows = interval_join(pts, iv, how="left").collect()
+    assert len(rows) == 2
+    by_pid = {r["pid"]: r for r in rows}
+    assert by_pid[1]["iv_id"] == 7 and by_pid[1]["tag"] is None
+    assert by_pid[2]["iv_id"] is None

@@ -96,3 +96,20 @@ def test_nz_utc_midnight_span(spark):
     dim = build_trading_minutes_dim(spark, dt.date(2024, 1, 9), dt.date(2024, 1, 9))
     r = dim.filter(F.col("minute_ts") == dt.datetime(2024, 1, 8, 21, 0)).first()
     assert r is not None and r["is_xnze_session"] == 1
+
+
+def test_nyse_new_year_saturday_not_observed():
+    """NYSE Rule 7.2 accounting-period exception: Jan 1 2022 was a
+    Saturday and the Exchange did NOT close on Fri 2021-12-31 (review
+    find); a Sunday Jan 1 (2023) still moves to Monday."""
+    import datetime as dt
+
+    from exness_data_preprocess_spark.operators.sessions import nyse_holidays
+
+    d2022 = {d for d, _ in nyse_holidays(2022)}
+    assert dt.date(2021, 12, 31) not in d2022
+    assert dt.date(2022, 1, 1) not in d2022  # Saturday itself not listed
+    d2023 = {d for d, _ in nyse_holidays(2023)}
+    assert dt.date(2023, 1, 2) in d2023  # Sun -> Mon observance intact
+    d2024 = {d for d, _ in nyse_holidays(2024)}
+    assert dt.date(2024, 1, 1) in d2024  # weekday New Year unchanged
