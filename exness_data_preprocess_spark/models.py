@@ -351,8 +351,11 @@ class DryRunResult(_Serializable):
         return cls(
             pair=pair,
             months_to_download=months,
+            # reference parity quirk, kept bit-for-bit: ticks are
+            # estimated for BOTH variants (x2) but size is a flat 11
+            # MB/month total (x1) — processor.py:359-371's exact model
             estimated_ticks=n * cls.TICKS_PER_MONTH * 2,  # both variants
-            estimated_size_mb=n * cls.MB_PER_MONTH * 2,
+            estimated_size_mb=n * cls.MB_PER_MONTH,
             estimated_duration_seconds=n * 6.0,
         )
 

@@ -203,6 +203,10 @@ class SparkDataProcessor:
             + (end_dt.month - start_dt.month)
             + 1
         )
+        # months x 11 MB flat — the reference's exact model
+        # (processor.py:596-618). Note the reference's own quirk, kept
+        # for bit parity: tick estimates count both variants (x2) while
+        # the MB figure is a flat per-month total (x1).
         return months * DryRunResult.MB_PER_MONTH
 
     def validate_data(self, instrument: str | None = None) -> dict:
@@ -218,9 +222,10 @@ class SparkDataProcessor:
                 continue
             df = self.engine.ticks_df(variant)
             if instrument:
-                df = df.filter(
-                    F.col("instrument") == self._default_pair(instrument)
-                )
+                # validate_pair, like every other entry point: a raw
+                # lowercase pair would match nothing and return an
+                # "all clean" audit of zero rows (review find)
+                df = df.filter(F.col("instrument") == validate_pair(instrument))
             rows = validate_ticks(df).collect()
             out[table] = {
                 "total_rows": rows[0]["total_rows"] if rows else 0,
@@ -358,10 +363,14 @@ class SparkDataProcessor:
 
     # -- write path (processor.py:285-454) ------------------------------------
     def insert_ticks(self, df: DataFrame, variant: str) -> int:
-        """Dedup + partitioned append (clickhouse_manager.py:271-330)."""
-        n = df.count()
-        self.catalog.write_ticks(df, f"{variant}_ticks")
-        return n
+        """Dedup + partitioned append (clickhouse_manager.py:271-330).
+
+        Returns the number of rows actually STORED (post-dedup,
+        post-idempotency anti-join), computed from the same
+        materialization the write consumed — the incoming plan (often a
+        full ZIP decode) executes once, not once per count (review
+        find)."""
+        return self.catalog.write_ticks(df, f"{variant}_ticks")
 
     def regenerate_ohlc(
         self,
@@ -391,7 +400,10 @@ class SparkDataProcessor:
                 raw = raw.filter(F.col("year_month") <= ym_hi)
                 std = std.filter(F.col("year_month") <= ym_hi)
 
-        bars = generate_ohlc_1m(raw, std)
+        # localCheckpoint: the bar frame feeds both the write and the
+        # returned count — one OHLC aggregation, not two (review find);
+        # bar volume is bounded (minutes x instruments)
+        bars = generate_ohlc_1m(raw, std).localCheckpoint()
         if start_date is None and end_date is None:
             # Mode 1: full regeneration — drop-all + rebuild (M1).
             self.catalog.drop_instrument("ohlc_1m", inst)
@@ -422,12 +434,26 @@ class SparkDataProcessor:
         inst = validate_pair(pair)
         validate_date(start_date, "start_date")
 
-        if self.catalog.exists("raw_spread_ticks"):
-            gaps = missing_months(
-                self.engine.ticks_df("raw_spread"), inst, start_date
-            )
-        else:
-            gaps = enumerate_months(start_date)
+        # Gaps are the UNION of the two variants' missing months (review
+        # find): consulting raw only would never re-fetch a month whose
+        # standard insert failed after the raw one landed — a permanent
+        # silent hole in standard_ticks. Re-fetching a half-present month
+        # is safe: the write path is idempotent (write_ticks anti-joins
+        # stored keys), so the already-complete variant is a no-op.
+        per_variant = []
+        for table, variant in (
+            ("raw_spread_ticks", "raw_spread"),
+            ("standard_ticks", "standard"),
+        ):
+            if self.catalog.exists(table):
+                per_variant.append(
+                    missing_months(
+                        self.engine.ticks_df(variant), inst, start_date
+                    )
+                )
+            else:
+                per_variant.append(enumerate_months(start_date))
+        gaps = sorted(set(per_variant[0]) | set(per_variant[1]))
 
         if dry_run:
             return DryRunResult.estimate(inst, gaps)

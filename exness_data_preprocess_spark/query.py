@@ -241,11 +241,18 @@ class SparkQueryEngine:
 
         return describe_table(table)
 
-    def sql(self, query: str) -> DataFrame:
+    def sql(self, query: str, refresh_views: bool = False) -> DataFrame:
         """Run SQL against the registered five-table surface (§3.1's SQL
         entry point, injection-safe via ``spark.sql`` parameterization at
-        call sites)."""
-        self.register_views()
+        call sites).
+
+        Views register once per engine (review find: registering on every
+        call re-ran a full min/max tick scan and rebuilt the holiday
+        table before each query); pass ``refresh_views=True`` after
+        writes that change the tick date range the session dims cover."""
+        if refresh_views or not getattr(self, "_views_registered", False):
+            self.register_views()
+            self._views_registered = True
         return self.spark.sql(query)
 
     def query_ticks_batches(

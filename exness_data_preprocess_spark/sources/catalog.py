@@ -98,15 +98,40 @@ class ParquetCatalog:
         table: str,
         mode: str = "append",
         dedup: bool = True,
-    ) -> None:
-        """Partitioned, sorted, deduped tick write (A3 + D8).
+    ) -> int:
+        """Partitioned, sorted, deduped tick write (A3 + D8); returns the
+        number of rows written.
 
         ``dropDuplicates`` on the sort key replaces ReplacingMergeTree's
-        merge-time collapse (clickhouse_manager.py:159).
+        merge-time collapse (clickhouse_manager.py:159) — and, for
+        appends, an anti-join against the already-stored keys of the
+        touched partitions makes the write IDEMPOTENT across batches
+        (review find: intra-batch dedup alone lets a re-inserted or
+        overlapping archive double every tick, and unlike ClickHouse
+        nothing ever collapses parquet appends after the fact). The
+        existing-key scan is partition-pruned to the incoming months and
+        projects two columns, so an insert pays O(touched partitions),
+        never a table scan.
         """
         out = df.withColumn("year_month", year_month(F.col("timestamp")))
         if dedup:
             out = out.dropDuplicates(["instrument", "timestamp"])
+            if mode == "append" and self.exists(table):
+                months = [
+                    r["year_month"]
+                    for r in out.select("year_month").distinct().collect()
+                ]
+                existing = (
+                    df.sparkSession.read.parquet(self.path(table))
+                    .filter(F.col("year_month").isin(months))
+                    .select("instrument", "timestamp")
+                )
+                out = out.join(
+                    existing, ["instrument", "timestamp"], "left_anti"
+                )
+        # one materialization feeds both the write and the returned
+        # count — an incoming ZIP-decode plan must not execute twice
+        out = out.localCheckpoint()
         (
             out.repartition("instrument", "year_month")
             .sortWithinPartitions("timestamp")
@@ -114,17 +139,24 @@ class ParquetCatalog:
             .partitionBy(*PARTITION_COLS)
             .parquet(self.path(table))
         )
+        return out.count()
 
     def overwrite_partitions(self, df: DataFrame, table: str) -> None:
         """Dynamic partition overwrite — the Spark analog of the
         reference's range DELETE + re-INSERT (M1/M2,
         clickhouse_ohlc_generator.py:111-132); only partitions present in
-        ``df`` are replaced."""
+        ``df`` are replaced.
+
+        The dynamic mode is pinned ON THE WRITER (review find): relying
+        on the session conf would make this a static overwrite — i.e. a
+        silent FULL-TABLE truncation — when the caller supplies their own
+        SparkSession without ``partitionOverwriteMode=dynamic``."""
         out = df.withColumn("year_month", year_month(F.col("timestamp")))
         (
             out.repartition("instrument", "year_month")
             .sortWithinPartitions("timestamp")
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*PARTITION_COLS)
             .parquet(self.path(table))
         )
@@ -161,14 +193,26 @@ class ParquetCatalog:
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         pfile = self.base / DEDUP_INDEX_PARAMS_FILE
-        if mode == "append" and pfile.exists():
-            stored = json.loads(pfile.read_text())
-            if stored != params:
-                raise ValueError(
-                    f"dedup-index params mismatch: stored {stored}, "
-                    f"appending {params} — band keys from a different "
-                    "signature family never match; rebuild with "
-                    "mode='overwrite' instead"
+        if mode == "append":
+            if pfile.exists():
+                stored = json.loads(pfile.read_text())
+                if stored != params:
+                    raise ValueError(
+                        f"dedup-index params mismatch: stored {stored}, "
+                        f"appending {params} — band keys from a different "
+                        "signature family never match; rebuild with "
+                        "mode='overwrite' instead"
+                    )
+            elif any(self.exists(t) for t in DEDUP_INDEX_TABLES):
+                # tables without a marker = a crashed earlier append. A
+                # fresh append on top would RESURRECT the inconsistent
+                # index (and skip the family check entirely) the moment
+                # it rewrites the marker (review find) — require a
+                # rebuild instead.
+                raise RuntimeError(
+                    "dedup-index artifacts exist without a params marker "
+                    "(a previous build crashed mid-write); the index is "
+                    "inconsistent — rebuild with mode='overwrite'"
                 )
         if pfile.exists():
             pfile.unlink()
@@ -251,6 +295,9 @@ class ParquetCatalog:
             df.repartition("instrument", "year_month")
             .sortWithinPartitions("timestamp")
             .write.mode("overwrite")
+            # writer-level pin: a static overwrite here would truncate
+            # every untouched partition (see overwrite_partitions)
+            .option("partitionOverwriteMode", "dynamic")
             .option("maxRecordsPerFile", target_rows_per_file)
             .partitionBy(*PARTITION_COLS)
             .parquet(self.path(table))

@@ -42,6 +42,21 @@ def download_zip(
     if dest.exists() and dest.stat().st_size > 0:
         return dest
     url = zip_url(pair, variant, year, month)
+    # atomic publish (review find): a crash mid-write would otherwise
+    # leave a truncated archive that the size>0 cache check then serves
+    # forever; write to a temp name and os.replace into place
+    import os
+    import tempfile
+
     with urllib.request.urlopen(url, timeout=timeout) as resp:  # noqa: S310
-        dest.write_bytes(resp.read())
+        data = resp.read()
+    fd, tmp = tempfile.mkstemp(dir=dest_dir, suffix=".part")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, dest)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
     return dest

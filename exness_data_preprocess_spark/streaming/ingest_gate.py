@@ -111,7 +111,13 @@ def stream_incremental_dedup(
     single complete-mode streaming aggregation.
 
     Drain with ``run_available_now_to_memory(..., "complete")`` for
-    backfills; run continuously for a live ingest gate.
+    backfills. For a LONG-RUNNING live gate, do not run this complete-
+    mode aggregation open-ended (review find: the unwatermarked
+    aggregate keeps one state row per doc forever and complete mode
+    re-emits everything each batch; file sinks reject it outright) —
+    wire the *pre-aggregation* evidence through ``foreachBatch`` and
+    apply the per-batch rollup there (the ``streaming_cdc_snapshot``
+    pattern), or drain in bounded availableNow windows.
     """
     t = float(jaccard_threshold)
 

@@ -62,9 +62,12 @@ def test_zip_ingest_through_facade_and_drop(spark, zip_dir, tmp_path):
     proc = SparkDataProcessor(spark, tmp_path / "db")
     ticks = load_ticks_zip(spark, f"{zip_dir}/*.zip", "EURUSD")
     n = proc.insert_ticks(ticks, "raw_spread")
-    assert n == 8
+    assert n == 6  # rows actually STORED (post-dedup accounting)
     stored = proc.engine.ticks_df("raw_spread")
     assert stored.count() == 6  # write-side dedup collapsed duplicate keys
+    # idempotency: re-inserting the same archives stores nothing new
+    assert proc.insert_ticks(ticks, "raw_spread") == 0
+    assert proc.engine.ticks_df("raw_spread").count() == 6
     months = {
         str(r["year_month"])
         for r in stored.select("year_month").distinct().collect()

@@ -105,7 +105,7 @@ class TestModels:
         d = DryRunResult.estimate("EURUSD", [(2024, 1), (2024, 2)])
         assert d.month_count == 2
         assert d.estimated_ticks == 2 * 9_500_000 * 2
-        assert d.estimated_size_mb == pytest.approx(44.0)
+        assert d.estimated_size_mb == pytest.approx(22.0)  # x1: reference's flat MB model
 
 
 class TestSerialization:

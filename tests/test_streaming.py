@@ -360,23 +360,28 @@ def test_stream_cdc_snapshot_multibatch_matches_batch_apply(spark, tmp_path):
     ]
     d = tmp_path / "cdc_in"
     d.mkdir()
-    import time as _t
-
     for i, rows in enumerate(slices):
         spark.createDataFrame(
             rows, "k long, seq long, op string, v string"
         ).coalesce(1).write.mode("overwrite").parquet(str(d / f"b{i}"))
-        _t.sleep(1.1)  # distinct mtimes -> deterministic file order
 
     schema = "k long, seq long, op string, v string"
     stage = tmp_path / "stage"
     stage.mkdir()
     import glob as _g
+    import os
     import shutil
+    import time as _t
 
+    # the file stream source orders batches by modification time — pin
+    # strictly-ascending mtimes explicitly (copies land too fast to rely
+    # on the clock, which made this flaky)
+    base_t = _t.time() - 100
     for i in range(3):
         src = _g.glob(str(d / f"b{i}" / "part-*.parquet"))[0]
-        shutil.copy(src, stage / f"{i:04d}.parquet")
+        dst = stage / f"{i:04d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (base_t + 10 * i, base_t + 10 * i))
 
     stream = (
         spark.readStream.format("parquet")
