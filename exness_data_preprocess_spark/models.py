@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import MISSING, dataclass, field, fields
-from typing import Any, Iterator, Literal, get_args
+from typing import Any, ClassVar, Iterator, Literal, get_args
 
 import pandas as pd
 
@@ -329,8 +329,11 @@ class DryRunResult(_Serializable):
     estimated_size_mb: float = 0.0
     estimated_duration_seconds: float = 0.0
 
-    TICKS_PER_MONTH: int = 9_500_000
-    MB_PER_MONTH: float = 11.0
+    # ClassVar (review find): a bare annotation made these dataclass
+    # FIELDS — serialized by to_dict()/json_schema() and overridable per
+    # instance via from_dict, unlike the reference's constants
+    TICKS_PER_MONTH: ClassVar[int] = 9_500_000
+    MB_PER_MONTH: ClassVar[float] = 11.0
 
     _COMPUTED = ("month_count",)
     _NON_NEGATIVE = (
@@ -338,6 +341,13 @@ class DryRunResult(_Serializable):
         "estimated_size_mb",
         "estimated_duration_seconds",
     )
+
+    def __post_init__(self) -> None:
+        _require_non_negative(
+            estimated_ticks=self.estimated_ticks,
+            estimated_size_mb=self.estimated_size_mb,
+            estimated_duration_seconds=self.estimated_duration_seconds,
+        )
 
     @classmethod
     def _decode_field(cls, name: str, value: Any) -> Any:

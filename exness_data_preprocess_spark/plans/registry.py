@@ -72,7 +72,9 @@ def q_tick_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click")
         .filter(F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
         .filter(F.col("ts") <= F.lit("2024-01-12").cast("timestamp"))
-        .orderBy("ts")
+        # event_id tie-break: the module rule — every LIMIT sits on a
+        # total order (generated fixtures CAN carry duplicate ts)
+        .orderBy("ts", "event_id")
         .limit(300)
         .select(
             _us("ts").alias("ts_us"),
@@ -89,7 +91,7 @@ FROM events
 WHERE event_type = 'click'
   AND ts >= TIMESTAMP '2024-01-05'
   AND ts <= TIMESTAMP '2024-01-12'
-ORDER BY ts
+ORDER BY ts, event_id
 LIMIT 300
 """
 
@@ -100,7 +102,7 @@ def q_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
         ev.filter(F.col("ts") > F.lit("2024-01-15 12:00:00").cast("timestamp"))
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .limit(501)
         .select(_us("ts").alias("ts_us"), "event_id", "value")
     )
@@ -110,7 +112,7 @@ ORACLE_KEYSET_PAGINATION = """
 SELECT epoch_us(ts) AS ts_us, event_id, value
 FROM events
 WHERE ts > TIMESTAMP '2024-01-15 12:00:00'
-ORDER BY ts
+ORDER BY ts, event_id
 LIMIT 501
 """
 

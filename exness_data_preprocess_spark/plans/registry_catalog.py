@@ -62,12 +62,19 @@ def _staged_processor(spark: SparkSession, sf_dir: str):
     production facade; subsequent calls reuse the written partitions.
 
     The stage key is salt-stable (hashlib, not Python ``hash``) so
-    re-invocations across processes land on the same store.
+    re-invocations across processes land on the same store, and includes
+    the fixture's size+mtime fingerprint (review find): a path-only key
+    would serve a stale store forever after the fixture at that path is
+    regenerated — the exact staleness hazard the IVF-centroid and
+    JSONL-stage caches already fingerprint against.
     """
     from exness_data_preprocess_spark.config import UserConfig
     from exness_data_preprocess_spark.processor import SparkDataProcessor
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    st = Path(f"{sf_dir}/events.parquet").stat()
+    key = hashlib.md5(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
     base = Path(tempfile.gettempdir()) / f"catalog_stage_{key}"
     proc = SparkDataProcessor(spark, base, config=UserConfig())
     marker = base / "_BUILD_DONE"

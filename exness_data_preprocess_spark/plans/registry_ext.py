@@ -177,8 +177,11 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stage, exist_ok=True)
     for name in ("events_a.parquet", "events_b.parquet"):
         link = os.path.join(stage, name)
-        if not os.path.exists(link):
-            os.symlink(path, link)
+        # lexists: a dangling symlink reports exists()=False but still
+        # blocks os.symlink (same fix as _events_stream above)
+        if os.path.lexists(link):
+            os.remove(link)
+        os.symlink(path, link)
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.format("parquet").schema(schema).load(stage)
     ev = normalize_event_ts(raw)

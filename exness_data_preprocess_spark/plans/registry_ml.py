@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from exness_data_preprocess_spark.functions.hashing import (
+    md5_h32_sql,
     MERSENNE_P,
     minhash_coeffs,
 )
@@ -38,7 +39,10 @@ from exness_data_preprocess_spark.operators.textstats import (
 
 # DuckDB fragments shared by the generated oracles
 _TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
-_H32 = "(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
+# the one DuckDB rendering of functions.hashing.md5_h32 — derived from
+# the same helper the operators' oracle twins pin against, so the hash
+# family cannot silently drift between the Spark and SQL sides
+_H32 = md5_h32_sql("{s}")
 
 
 def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from exness_data_preprocess_spark.functions.hashing import md5_h32_sql
+
 from exness_data_preprocess_spark.operators.graph import connected_components
 from exness_data_preprocess_spark.operators.intervals import interval_join
 from exness_data_preprocess_spark.operators.rolling import rolling_range_stats
@@ -287,8 +289,7 @@ SELECT lang, doc_id FROM (
   SELECT lang, doc_id,
          row_number() OVER (
            PARTITION BY lang
-           ORDER BY (('0x' || substr(md5('samplek-v1' || doc_id::VARCHAR),
-                      1, 8))::BIGINT), doc_id
+           ORDER BY (('0x' || substr(md5('samplek-v1' || doc_id::VARCHAR), 1, 8))::BIGINT), doc_id
          ) AS rk
   FROM documents
 ) WHERE rk <= 50
@@ -1042,7 +1043,7 @@ def _streaming_incremental_oracle() -> str:
         minhash_coeffs,
     )
 
-    h32 = "(('0x' || substr(md5(s), 1, 8))::BIGINT)"
+    h32 = md5_h32_sql("s")
     perms = ", ".join(
         f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE_P}))"
         for a, b in minhash_coeffs(_INC_PERM)
@@ -1108,7 +1109,7 @@ def _incremental_oracle() -> str:
         minhash_coeffs,
     )
 
-    h32 = "(('0x' || substr(md5(s), 1, 8))::BIGINT)"
+    h32 = md5_h32_sql("s")
     perms = ", ".join(
         f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE_P}))"
         for a, b in minhash_coeffs(_INC_PERM)

@@ -134,7 +134,16 @@ def gen_events(
         arr = chunk.to_numpy(zero_copy_only=False)
         lo = min(lo, arr.min().astype("datetime64[us]").astype(np.int64))
         hi = max(hi, arr.max().astype("datetime64[us]").astype(np.int64))
-    ts = np.sort(rng.integers(lo, hi, size=n))
+    # UNIQUE timestamps (review find): plain uniform draws collide at
+    # large --mult (birthday math; 18 dupes measured at 10M over a
+    # month of µs), breaking the registry's documented unique-(type, ts)
+    # determinism assumption for arg_min/arg_max and LIMIT boundaries.
+    # The span (~2.6e12 µs) dwarfs n, so rejection converges instantly.
+    ts = np.unique(rng.integers(lo, hi, size=n))
+    while ts.size < n:
+        extra = rng.integers(lo, hi, size=n - ts.size)
+        ts = np.unique(np.concatenate([ts, extra]))
+    ts = np.sort(ts[:n])
     types = rng.integers(0, 5, size=n)
     type_names = np.array(["view", "click", "signup", "purchase", "error"])
     values = np.round(rng.exponential(50.0, size=n), 2)

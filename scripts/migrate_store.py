@@ -97,12 +97,15 @@ def migrate_file_source(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(str(source))
     ticks = normalize(df, instrument)
-    stats = MigrationStats(total_rows=ticks.count())
     if dry_run:
+        stats = MigrationStats(total_rows=ticks.count())
         print(f"[dry-run] would migrate {stats.total_rows:,} rows into {table}")
         return stats
-    catalog.write_ticks(ticks, table)
-    stats.rows_migrated = stats.total_rows
+    # single pass (review find): write_ticks returns the stored count
+    # from the materialization the write consumed — no pre-write scan
+    written = catalog.write_ticks(ticks, table)
+    stats = MigrationStats(total_rows=written)
+    stats.rows_migrated = written
     stats.batches_processed = 1
     return stats
 
@@ -128,6 +131,12 @@ def migrate_duckdb_source(
 
     src_table = source_table or table
     con = duckdb.connect(str(source), read_only=True)
+    # Pin the cursor arithmetic to UTC (review find, reproduced): with a
+    # TIMESTAMPTZ source on a non-UTC host, a cursor string rendered in
+    # UTC would re-parse in local time inside `Timestamp > TIMESTAMP
+    # '...'`, silently skipping hours of rows between pages — the same
+    # footgun differential.register_oracle_views pins against.
+    con.execute("SET TimeZone='UTC'")
     try:
         total = con.execute(f"SELECT count(*) FROM {src_table}").fetchone()[0]
         stats = MigrationStats(total_rows=total)

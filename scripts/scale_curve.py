@@ -245,7 +245,9 @@ def write_md(path: Path, payload: dict, tags: list[str]) -> None:
         out_last = r["points"][-1]["out_rows"]
         a_t = last.get("alpha_time", float("nan"))
         a_o = last.get("alpha_out", float("nan"))
-        if a_t <= 1.1:
+        if not last:
+            note = "single point — no step"
+        elif a_t <= 1.1:
             note = "linear"
         elif a_t <= a_o + 0.15:
             note = "tracks output growth"
@@ -259,7 +261,12 @@ def write_md(path: Path, payload: dict, tags: list[str]) -> None:
                 (f"{times[t]:.2f}" if t in times else "—")
                 for t in tags
             ]
-            + [str(out_last), f"{a_t:.2f}", f"{a_o:.2f}", note]
+            + [
+                str(out_last),
+                f"{a_t:.2f}" if last else "—",
+                f"{a_o:.2f}" if last else "—",
+                note,
+            ]
         )
         lines.append("| " + " | ".join(row) + " |")
     lines.append("")

@@ -77,9 +77,11 @@ def test_parquet_migration_distributed(spark, tmp_path):
     ).to_parquet(src)
     base = tmp_path / "cat"
     stats = migrate(spark, src, base, "XAUUSD", table="standard_ticks")
-    assert stats.total_rows == 3
+    # stats now report rows actually STORED (post-dedup, single-pass
+    # accounting): the duplicated (instrument, timestamp) collapses
+    assert stats.total_rows == 2
+    assert stats.rows_migrated == 2
     out = ParquetCatalog(base).read(spark, "standard_ticks")
-    # write-side dedup collapses the duplicated (instrument, timestamp)
     assert out.count() == 2
 
 

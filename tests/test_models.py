@@ -245,3 +245,25 @@ class TestPackageSurface:
             "1m", "5m", "15m", "30m", "1h", "4h", "1d"
         }
         assert supported_variants() == ("raw_spread", "standard")
+
+
+def test_oracle_inline_hash_fragments_match_canonical_rendering():
+    """Every inline DuckDB md5-hash fragment in the plans must match the
+    canonical rendering in functions.hashing (md5_h32_sql / md5_h60_sql)
+    so the hash family cannot silently drift between the Spark side and
+    a hand-written oracle (review find — the generated oracles now call
+    the helpers; this pins the remaining static SQL literals)."""
+    import re
+    from pathlib import Path
+
+    import exness_data_preprocess_spark.plans as plans
+
+    pat = re.compile(
+        r"'0x' \|\| substr\(md5\((.*?)\),\s*1,\s*(\d+)\)", re.S
+    )
+    seen = 0
+    for p in Path(plans.__file__).parent.glob("*.py"):
+        for m in pat.finditer(p.read_text()):
+            seen += 1
+            assert m.group(2) in ("8", "15"), (p.name, m.group(0))
+    assert seen >= 9  # the static literals this test exists to guard
