@@ -763,16 +763,27 @@ def blocklist_screen(
     Pure built-in expressions (``regexp_count`` / ``regexp_replace``) —
     one codegen'd scan pass, no shuffle, no Python; the 100 TB cost is
     the read itself. The alternation pattern compiles once per task.
-    Terms must be regex-literal words (the standard blocklist shape);
-    matching is whole-word via ``\\b`` anchors, identical in Java regex
-    and RE2, so the DuckDB oracle reproduces counts bit-for-bit.
+    Terms must START AND END with a word character (validated, raising
+    ``ValueError`` otherwise): matching is whole-word via ``\\b``
+    anchors, and ``\\b`` between a non-word edge (e.g. the ``+`` in
+    ``c++``) and a following space can never match — such a term would
+    be silently dead, not safely escaped (advice find). ``\\b`` on
+    word-edged terms is identical in Java regex and RE2, so the DuckDB
+    oracle reproduces counts bit-for-bit; RE2 has no lookarounds, which
+    is why the fix is validation rather than ``(?<!\\w)term(?!\\w)``.
     """
     if not terms:
         raise ValueError("blocklist_screen requires at least one term")
     import re as _re
 
-    # terms are literal words by contract; escape so a term like "c++"
-    # cannot silently change the pattern's meaning
+    # escape so regex metacharacters inside a term are literal; reject
+    # terms whose edges defeat the \b anchors outright
+    bad = [t for t in terms if not _re.fullmatch(r"\w(.*\w)?", t, _re.DOTALL)]
+    if bad:
+        raise ValueError(
+            "blocklist terms must begin and end with a word character "
+            f"(\\b cannot anchor a non-word edge): {bad!r}"
+        )
     pat = r"\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
     hits = F.regexp_count(F.col(text_col), F.lit(pat))
     action = (

@@ -369,8 +369,20 @@ class SparkDataProcessor:
         post-idempotency anti-join), computed from the same
         materialization the write consumed — the incoming plan (often a
         full ZIP decode) executes once, not once per count (review
-        find)."""
-        return self.catalog.write_ticks(df, f"{variant}_ticks")
+        find).
+
+        PARITY DEVIATION (documented in COVERAGE.md): the reference's
+        ``clickhouse_manager.insert_ticks`` returns ``len(df)`` — rows
+        SUBMITTED, before ReplacingMergeTree's merge-time collapse —
+        because ClickHouse cannot know the post-merge count at insert
+        time. Spark can, and the stored count is the useful one (an
+        idempotent re-insert returns 0, not the batch size). Callers that
+        need submitted-count semantics should ``df.count()`` themselves."""
+        n = self.catalog.write_ticks(df, f"{variant}_ticks")
+        # Writes extend the tick date range the registered session dims
+        # were snapshotted from — invalidate so sql() rebuilds them.
+        self.engine.invalidate_views()
+        return n
 
     def regenerate_ohlc(
         self,
@@ -411,6 +423,7 @@ class SparkDataProcessor:
         else:
             # Modes 2/3: partition overwrite of affected months only (M2).
             self.catalog.overwrite_partitions(bars, "ohlc_1m")
+        self.engine.invalidate_views()
         return bars.count()
 
     def update_data(

@@ -234,6 +234,18 @@ class SparkQueryEngine:
             "holidays"
         )
 
+    def invalidate_views(self) -> None:
+        """Force the next ``sql()`` call to re-register the view surface.
+
+        The session dims (holidays, and the tick min/max range they are
+        built from) are snapshotted at registration time; any write that
+        extends the tick date range must call this, or session joins
+        against ``holidays`` silently drop the new months. The processor's
+        write paths (``insert_ticks`` / ``regenerate_ohlc`` /
+        ``update_data``) call it automatically — callers never need
+        ``refresh_views=True`` for writes routed through the facade."""
+        self._views_registered = False
+
     def describe_table(self, table: str) -> dict:
         """Table + column COMMENT metadata (the reference attaches COMMENTs
         to all five tables, clickhouse_manager.py:110-269)."""

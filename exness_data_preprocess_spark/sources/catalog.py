@@ -98,6 +98,7 @@ class ParquetCatalog:
         table: str,
         mode: str = "append",
         dedup: bool = True,
+        on_conflict: str = "skip",
     ) -> int:
         """Partitioned, sorted, deduped tick write (A3 + D8); returns the
         number of rows written.
@@ -112,26 +113,70 @@ class ParquetCatalog:
         existing-key scan is partition-pruned to the incoming months and
         projects two columns, so an insert pays O(touched partitions),
         never a table scan.
+
+        Conflict semantics on an existing ``(instrument, timestamp)`` key
+        (advice find — the two postures differ and the default must be
+        explicit):
+
+        - ``on_conflict="skip"`` (default): FIRST-WRITE-WINS — the stored
+          row is kept and the incoming duplicate is discarded. This is a
+          deliberate deviation from ReplacingMergeTree, which collapses
+          toward the NEWEST insert; skip is the safe default for replayed
+          archives, where the bytes are identical and re-keeping the old
+          row is free.
+        - ``on_conflict="replace"``: LAST-WRITE-WINS — the reference's
+          ReplacingMergeTree posture, for corrected archives. Touched
+          month partitions are rewritten as (incoming ∪ existing-not-in-
+          incoming) via dynamic partition overwrite, so the cost is
+          O(touched partitions), never a table rewrite.
         """
+        if on_conflict not in ("skip", "replace"):
+            raise ValueError(
+                f"on_conflict must be skip|replace, got {on_conflict!r}"
+            )
         out = df.withColumn("year_month", year_month(F.col("timestamp")))
         if dedup:
             out = out.dropDuplicates(["instrument", "timestamp"])
-            if mode == "append" and self.exists(table):
-                months = [
-                    r["year_month"]
-                    for r in out.select("year_month").distinct().collect()
-                ]
-                existing = (
-                    df.sparkSession.read.parquet(self.path(table))
-                    .filter(F.col("year_month").isin(months))
-                    .select("instrument", "timestamp")
-                )
-                out = out.join(
-                    existing, ["instrument", "timestamp"], "left_anti"
-                )
-        # one materialization feeds both the write and the returned
-        # count — an incoming ZIP-decode plan must not execute twice
+        # ONE materialization of the incoming plan (often a full ZIP
+        # decode): checkpoint BEFORE the month-list collect, so the
+        # months scan, the anti-join/merge, the write, and the returned
+        # count all read the checkpoint (advice find: collecting months
+        # off the raw plan executed the decode a second time).
         out = out.localCheckpoint()
+        if dedup and mode == "append" and self.exists(table):
+            months = [
+                r["year_month"]
+                for r in out.select("year_month").distinct().collect()
+            ]
+            existing = (
+                df.sparkSession.read.parquet(self.path(table))
+                .filter(F.col("year_month").isin(months))
+            )
+            if on_conflict == "replace":
+                # Last-write-wins upsert: rewrite the touched partitions
+                # with incoming rows plus the existing rows they do not
+                # supersede (clickhouse_manager.py:159's merge posture).
+                keep = existing.join(
+                    out.select("instrument", "timestamp"),
+                    ["instrument", "timestamp"],
+                    "left_anti",
+                )
+                merged = out.unionByName(keep).localCheckpoint()
+                self.overwrite_partitions(
+                    merged.repartition("instrument", "year_month")
+                    .sortWithinPartitions("timestamp"),
+                    table,
+                )
+                return out.count()
+            out = out.join(
+                existing.select("instrument", "timestamp"),
+                ["instrument", "timestamp"],
+                "left_anti",
+            )
+            # cheap re-materialization: both inputs of the anti-join are
+            # a checkpoint + a 2-column pruned scan, but checkpointing
+            # keeps the write and the count reading identical rows
+            out = out.localCheckpoint()
         (
             out.repartition("instrument", "year_month")
             .sortWithinPartitions("timestamp")

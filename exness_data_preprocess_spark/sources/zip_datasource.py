@@ -12,31 +12,142 @@ granularity, downloader.py:40-82) falls out of the partitioning.
 
 Usage::
 
-    spark.dataSource.register(ExnessZipDataSource)
+    register_zip_source(spark)   # also enables Python-source pushdown
     df = (spark.read.format("exness_zip")
           .option("glob", "/data/ticks/EURUSD/*.zip").load())
 
-``glob`` expands driver-side at planning; paths must be reachable from
-executors (shared FS / object store — the same contract every file
-source has). Output schema matches the raw CSV surface
-(``Timestamp timestamp, Bid double, Ask double``); normalization to the
-tick schema stays in :func:`ingest.load_ticks_zip`-style callers.
+``glob`` expands driver-side at planning via :mod:`glob`, so it is
+scoped to LOCALLY-MOUNTED filesystems (local disk, NFS, FUSE mounts) —
+object-store URIs (``s3://…``) are not resolvable here; route those
+through a mounted gateway or the ``binaryFile`` ingest path, which uses
+Hadoop's FS layer. Paths must be reachable from executors. Output schema
+is the raw CSV surface plus a filename-derived ``Instrument`` column
+(``Timestamp timestamp, Bid double, Ask double, Instrument string``);
+normalization to the tick schema stays in
+:func:`ingest.load_ticks_zip`-style callers.
+
+Partition pruning (the Spark analog of the reference's per-month file
+layout, models.py:104-110): archive names encode instrument and month
+(``Exness_{PAIR}[_Raw_Spread]_{YYYY}_{MM}.zip`` upstream,
+``{PAIR}_{variant}_{YYYY}_{MM}.zip`` in the landing dir), so
+
+- an ``Instrument`` equality/IN filter, and
+- ``Timestamp`` range bounds (each archive covers one calendar month)
+
+are consumed by ``pushFilters`` and applied at *planning*: archives whose
+name proves they cannot match are never opened, never scheduled, never
+read. Unparsable names are conservatively kept (they may still match).
+All filters are also returned as unsupported so Spark re-applies them
+row-level — pruning is pure partition elimination, never a correctness
+dependency. ``.option("instrument", "EURUSD")`` prunes the same way for
+sessions where ``spark.sql.python.filterPushdown.enabled`` is off.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import datetime as dt
+import re
+from typing import Iterable, Iterator, List
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
 )
 from pyspark.sql.types import StructType
 
 __all__ = ["ExnessZipDataSource", "register_zip_source"]
 
-_SCHEMA_DDL = "Timestamp timestamp, Bid double, Ask double"
+_SCHEMA_DDL = (
+    "Timestamp timestamp, Bid double, Ask double, Instrument string"
+)
+
+#: both the upstream and the landing-dir naming shapes (downloader.py:20-41)
+_NAME_RE = re.compile(
+    r"^(?:Exness_)?(?P<pair>[A-Za-z0-9]+?)"
+    r"(?:_Raw_Spread|_raw_spread|_standard)?"
+    r"_(?P<y>\d{4})_(?P<m>\d{2})\.zip$",
+    re.IGNORECASE,
+)
+
+
+def _parse_name(path: str):
+    """``(instrument, month_start, next_month_start)`` from an archive
+    basename, or ``(None, None, None)`` when the name doesn't follow the
+    monthly convention (such archives are never pruned)."""
+    base = path.replace("\\", "/").rsplit("/", 1)[-1]
+    m = _NAME_RE.match(base)
+    if not m:
+        return None, None, None
+    y, mo = int(m.group("y")), int(m.group("m"))
+    if not 1 <= mo <= 12:
+        return None, None, None
+    start = dt.datetime(y, mo, 1)
+    nxt = dt.datetime(y + (mo == 12), mo % 12 + 1, 1)
+    return m.group("pair").upper(), start, nxt
+
+
+def _as_naive_dt(v):
+    """Filter literals for a timestamp column arrive as datetime (or str
+    in defensive cases); normalize to naive UTC-wall datetime, else None."""
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None) if v.tzinfo else v
+    if isinstance(v, dt.date):
+        return dt.datetime(v.year, v.month, v.day)
+    if isinstance(v, str):
+        try:
+            return dt.datetime.fromisoformat(v)
+        except ValueError:
+            return None
+    return None
+
+
+def _prune_paths(
+    paths: List[str],
+    instruments: set | None,
+    ts_bounds: List[tuple],
+) -> List[str]:
+    """Drop archives whose NAME proves they cannot satisfy the filters.
+
+    ``instruments``: allowed instrument set (None = no constraint).
+    ``ts_bounds``: list of ``(op, datetime)`` with op in
+    ``{">", ">=", "<", "<=", "="}`` — each must be satisfiable by some
+    instant inside the archive's [month_start, next_month) interval.
+    Pure function so the pruning contract is unit-testable without a
+    Spark session.
+    """
+    kept = []
+    for p in paths:
+        inst, start, nxt = _parse_name(p)
+        if inst is None:
+            kept.append(p)  # unknown shape: cannot prove non-match
+            continue
+        if instruments is not None and inst not in instruments:
+            continue
+        ok = True
+        for op, v in ts_bounds:
+            if op in (">", ">="):
+                # some instant in [start, nxt) exceeds v ⇔ interval top > v
+                ok = nxt > v
+            elif op == "<":
+                ok = start < v
+            elif op == "<=":
+                ok = start <= v
+            elif op == "=":
+                ok = start <= v < nxt
+            if not ok:
+                break
+        if ok:
+            kept.append(p)
+    return kept
 
 
 class _ZipPartition(InputPartition):
@@ -52,8 +163,58 @@ class _ZipReader(DataSourceReader):
                 "exness_zip requires .option('glob', <pattern>) or a load path"
             )
         self.glob_pat = glob_pat
+        # option-level pruning works even without filter pushdown enabled
+        opt_inst = options.get("instrument")
+        self.instruments: set | None = (
+            {opt_inst.upper()} if opt_inst else None
+        )
+        self.ts_bounds: List[tuple] = []
 
-    def partitions(self):  # planning: one partition per archive
+    # -- planning-time pruning (SURVEY A1/A2 pushdown) ---------------------
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        """Consume Instrument/Timestamp constraints for partition-level
+        archive pruning; EVERY filter is handed back to Spark for
+        row-level application, so pruning can only skip work, never
+        change results."""
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0].lower() if attr and len(attr) == 1 else None
+            if col == "instrument":
+                if isinstance(f, EqualTo) and isinstance(f.value, str):
+                    allowed = {f.value.upper()}
+                    self.instruments = (
+                        allowed
+                        if self.instruments is None
+                        else self.instruments & allowed
+                    )
+                elif isinstance(f, In):
+                    allowed = {
+                        v.upper() for v in f.value if isinstance(v, str)
+                    }
+                    self.instruments = (
+                        allowed
+                        if self.instruments is None
+                        else self.instruments & allowed
+                    )
+            elif col == "timestamp":
+                v = _as_naive_dt(getattr(f, "value", None))
+                if v is None:
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.ts_bounds.append((">", v))
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.ts_bounds.append((">=", v))
+                elif isinstance(f, LessThan):
+                    self.ts_bounds.append(("<", v))
+                elif isinstance(f, LessThanOrEqual):
+                    self.ts_bounds.append(("<=", v))
+                elif isinstance(f, EqualTo):
+                    self.ts_bounds.append(("=", v))
+            elif isinstance(f, IsNotNull):
+                pass  # never prunes an archive
+        return filters  # Spark re-applies everything row-level
+
+    def partitions(self):  # planning: one partition per surviving archive
         import glob as globmod
 
         paths = sorted(globmod.glob(self.glob_pat))
@@ -61,9 +222,15 @@ class _ZipReader(DataSourceReader):
             raise FileNotFoundError(
                 f"exness_zip: no archives match {self.glob_pat!r}"
             )
-        return [_ZipPartition(p) for p in paths]
+        kept = _prune_paths(paths, self.instruments, self.ts_bounds)
+        # every archive pruned is a valid (empty) scan, not an error
+        return [_ZipPartition(p) for p in kept]
 
     def read(self, partition: _ZipPartition) -> Iterator:
+        # an all-archives-pruned plan has no partitions; Spark then calls
+        # read(None) once — that is an empty scan, not an error
+        if partition is None:
+            return
         # executor-side: stream Arrow batches straight from the file —
         # the archive bytes never enter the query plan
         import zipfile
@@ -71,12 +238,14 @@ class _ZipReader(DataSourceReader):
         import pandas as pd
         import pyarrow as pa
 
+        inst, _, _ = _parse_name(partition.path)
         # pandas parses to ns precision; Spark's Arrow bridge takes µs
         schema = pa.schema(
             [
                 ("Timestamp", pa.timestamp("us")),
                 ("Bid", pa.float64()),
                 ("Ask", pa.float64()),
+                ("Instrument", pa.string()),
             ]
         )
         with zipfile.ZipFile(partition.path) as zf:
@@ -93,11 +262,13 @@ class _ZipReader(DataSourceReader):
                         ts = pa.Array.from_pandas(
                             chunk["Timestamp"].dt.tz_localize(None)
                         ).cast(pa.timestamp("us"))
+                        n = len(chunk)
                         yield pa.RecordBatch.from_arrays(
                             [
                                 ts,
                                 pa.array(chunk["Bid"], pa.float64()),
                                 pa.array(chunk["Ask"], pa.float64()),
+                                pa.array([inst] * n, pa.string()),
                             ],
                             schema=schema,
                         )
@@ -118,5 +289,10 @@ class ExnessZipDataSource(DataSource):
 
 
 def register_zip_source(spark) -> None:
-    """Idempotent registration helper."""
+    """Idempotent registration helper.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` — Spark 4.1
+    *raises* on a Python source that implements ``pushFilters`` when the
+    flag is off, rather than silently skipping pushdown."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ExnessZipDataSource)

@@ -37,6 +37,96 @@ def test_dedup_at_write(proc, tick_dfs):
     )
 
 
+def test_write_ticks_on_conflict_replace_upserts(spark, tmp_path):
+    """Advice find: the default idempotent append is FIRST-write-wins; a
+    corrected archive needs the reference's ReplacingMergeTree posture.
+    on_conflict='replace' makes the NEW row win, touching only the
+    incoming months' partitions."""
+    from exness_data_preprocess_spark.schema import TICK_SCHEMA
+    from exness_data_preprocess_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(tmp_path / "upsert")
+    cat.ensure_schema()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    t1 = dt.datetime(2024, 1, 1, 0, 0, 1)
+    t2 = dt.datetime(2024, 2, 1, 0, 0, 0)
+    first = spark.createDataFrame(
+        [("EURUSD", t0, 1.10, 1.11), ("EURUSD", t1, 1.20, 1.21),
+         ("EURUSD", t2, 1.30, 1.31)],
+        TICK_SCHEMA,
+    )
+    assert cat.write_ticks(first, "raw_spread_ticks") == 3
+
+    # default skip: corrected bid for t0 is silently discarded
+    corrected = spark.createDataFrame(
+        [("EURUSD", t0, 9.99, 9.99)], TICK_SCHEMA
+    )
+    assert cat.write_ticks(corrected, "raw_spread_ticks") == 0
+    row = (
+        cat.read(spark, "raw_spread_ticks")
+        .filter(F.col("timestamp") == t0).first()
+    )
+    assert row["bid"] == 1.10  # first write won
+
+    # replace: the corrected row supersedes, siblings in the month stay,
+    # and the untouched February partition is not rewritten
+    feb_files = sorted(
+        (cat.base / "raw_spread_ticks").glob(
+            "instrument=EURUSD/year_month=202402/*.parquet"
+        )
+    )
+    assert cat.write_ticks(
+        corrected, "raw_spread_ticks", on_conflict="replace"
+    ) == 1
+    stored = cat.read(spark, "raw_spread_ticks")
+    assert stored.count() == 3  # no duplicates introduced
+    assert stored.filter(F.col("timestamp") == t0).first()["bid"] == 9.99
+    assert stored.filter(F.col("timestamp") == t1).first()["bid"] == 1.20
+    assert sorted(
+        (cat.base / "raw_spread_ticks").glob(
+            "instrument=EURUSD/year_month=202402/*.parquet"
+        )
+    ) == feb_files
+
+    with pytest.raises(ValueError, match="on_conflict"):
+        cat.write_ticks(corrected, "raw_spread_ticks", on_conflict="merge")
+
+
+def test_sql_views_refresh_after_writes(spark, tmp_path):
+    """Advice find (medium): sql() caches view registration; a write that
+    extends the tick range must invalidate it, or the holidays/session
+    dims silently stop covering the new months."""
+    from exness_data_preprocess_spark.schema import TICK_SCHEMA
+
+    p = SparkDataProcessor(spark, tmp_path / "stale")
+    jan = spark.createDataFrame(
+        [("EURUSD", dt.datetime(2024, 1, 3, 12, 0, 0), 1.1, 1.1001)],
+        TICK_SCHEMA,
+    )
+    p.insert_ticks(jan, "raw_spread")
+    n_hol_jan = p.engine.sql(
+        "SELECT count(*) AS n FROM holidays"
+    ).first()["n"]
+    # extend the range by a year — without invalidation the cached
+    # holidays view would still end at 2024
+    nxt = spark.createDataFrame(
+        [("EURUSD", dt.datetime(2025, 6, 2, 12, 0, 0), 1.2, 1.2001)],
+        TICK_SCHEMA,
+    )
+    p.insert_ticks(nxt, "raw_spread")
+    hol = p.engine.sql(
+        "SELECT count(*) AS n FROM holidays WHERE date >= '2025-01-01'"
+    ).first()["n"]
+    assert hol > 0  # 2025 holidays present without refresh_views=True
+    assert p.engine.sql(
+        "SELECT count(*) AS n FROM holidays"
+    ).first()["n"] > n_hol_jan
+    # and the new tick is visible through the refreshed view
+    assert p.engine.sql(
+        "SELECT count(*) AS n FROM raw_spread_ticks WHERE timestamp >= '2025-01-01'"
+    ).first()["n"] == 1
+
+
 def test_partition_layout(proc):
     base = proc.catalog.base / "raw_spread_ticks"
     insts = {p.name for p in base.glob("instrument=*")}

@@ -464,6 +464,28 @@ def test_blocklist_screen_whole_word_only(spark):
     assert r["n_blocklist_hits"] == 1
 
 
+def test_blocklist_screen_rejects_non_word_edge_terms(spark):
+    """Advice find: \\b cannot anchor a non-word edge — a term like
+    'c++' would be silently dead. The guard makes that mechanical."""
+    docs = spark.createDataFrame([(0, "i know c++ well")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="word character"):
+        blocklist_screen(docs, ["c++"], drop_threshold=9)
+    with pytest.raises(ValueError, match="word character"):
+        blocklist_screen(docs, ["ok", "-dash"], drop_threshold=9)
+    # interior punctuation is fine — edges are word chars
+    r = blocklist_screen(
+        docs.withColumn("text", F.lit("use e.g. sparingly")),
+        ["e.g"],
+        drop_threshold=9,
+    ).collect()[0]
+    assert r["n_blocklist_hits"] == 1
+    # and the escaping still makes the dot literal, not "any char"
+    r2 = blocklist_screen(
+        docs.withColumn("text", F.lit("egg exg")), ["e.g"], drop_threshold=9
+    ).collect()[0]
+    assert r2["n_blocklist_hits"] == 0
+
+
 # ---------------------------------------------------------------------------
 # training-shard manifest
 # ---------------------------------------------------------------------------
