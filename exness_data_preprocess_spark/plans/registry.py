@@ -906,29 +906,28 @@ def _register_extra_queries() -> None:
 # set at sf0.1); rotation widens cumulative external coverage, it does
 # not narrow what is checked.
 _DRIVER_PRIORITY = [
-    # new this round
-    "blocklist_filter", "training_shards", "dedup_keep_best",
-    "jsonl_roundtrip", "sample_k_per_group", "cdc_apply",
-    "asof_forward", "asof_nearest", "streaming_cdc_snapshot",
-    "max_drawdown",
-    "semantic_decontamination_ivf", "dedup_exact_substring",
-    "dedup_embedding_cosine_ivf", "lm_fluency_score", "contamination_spans",
-    # not in the r3 driver sample (CORRECTNESS_r03.json)
-    "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "embedding_cosine_topk", "ann_lsh_bucketed", "lang_id",
-    "text_quality", "doc_fingerprint", "multimodal_features",
-    "video_frame_sample", "text_clean", "corpus_stats",
-    "distinct_users_skew_safe", "dup_connected_components",
-    "interval_join_events", "decontamination", "rolling_user_stats",
-    "repetition_quality", "stratified_sample", "embedding_quantize",
-    "sessionize_events", "sequence_packing", "validate_events",
-    "analyze_events", "pq_encode", "pq_ann_adc", "json_extract_stats",
-    "corpus_rollup", "quality_percentile_filter", "incremental_dedup",
-    "dedup_levenshtein", "events_window_dedup",
-    # round-4-touched paths worth a fresh driver check
-    "bm25_topk", "tfidf_top_terms", "hourly_count_corr",
+    # new in round 5 (never driver-sampled)
+    "ohlc_resample_1d", "ohlc_resample_5m", "ohlc_resample_15m",
+    "ohlc_resample_30m",
+    # sampled in r3 but not r4 — due a fresh driver check (r4-only
+    # entries were all green in CORRECTNESS_r04.json and stay covered by
+    # the full local sweep)
     "semantic_decontamination", "streaming_incremental_dedup",
-    "ann_ivf_topk", "ann_ivf_multiprobe",
+    "ann_ivf_topk", "ann_ivf_multiprobe", "tick_range_scan",
+    "keyset_pagination", "top_k", "ohlc_1m", "asof_join",
+    "asof_tolerance", "ohlc_resample_1h", "session_labels",
+    "coverage_stats", "distinct_instruments", "gap_months",
+    "minute_bucket_join", "full_outer_diff", "per_day_stats",
+    "pricing_summary", "region_revenue", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_containment", "pivot_lang_source",
+    "temperature_mix_sample", "chunk_documents", "curation_pipeline",
+    "streaming_ohlc_1m", "streaming_gap_sessions", "streaming_dedup",
+    "streaming_attribution_join", "streaming_running_anomaly",
+    "lag_lead_features", "daily_quantiles", "autocorr_lag1",
+    "flag_filters", "vocabulary", "train_val_test_split",
+    "ohlc_resample_4h", "twap_hourly", "realized_volatility",
+    "funnel_daily", "cohort_retention", "fill_minute_gaps",
+    "catalog_tick_scan", "catalog_ohlc_1m", "catalog_ohlc_1h",
 ]
 
 

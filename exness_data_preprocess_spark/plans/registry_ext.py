@@ -550,6 +550,71 @@ GROUP BY event_type, bucket
 """
 
 
+def _make_resample_query(minutes: int):
+    """D2 at width ``minutes`` — the reference serves SEVEN timeframes
+    (models.py:87; resample SQL clickhouse_query_engine.py:218-271), and
+    SURVEY §7 flags coarse bucket-ORIGIN alignment (4h/1d especially) as
+    the top plausibly-wrong risk. One factory, one plan shape, every
+    width oracle-checked: bucket = epoch floor, so a hash match proves
+    Spark's origin equals ClickHouse's epoch-aligned toStartOfInterval
+    at each width (1d = midnight UTC, since the epoch is midnight)."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from exness_data_preprocess_spark.functions.timefuncs import (
+            to_start_of_interval,
+        )
+        from exness_data_preprocess_spark.plans.registry import q_ohlc_1m_base
+
+        bars = q_ohlc_1m_base(spark, sf_dir)
+        bucket = to_start_of_interval(F.col("minute"), minutes)
+        return (
+            bars.groupBy(F.col("event_type"), bucket.alias("bucket"))
+            .agg(
+                F.min_by("open", "minute").alias("open"),
+                F.max("high").alias("high"),
+                F.min("low").alias("low"),
+                F.max_by("close", "minute").alias("close"),
+                F.sum("n_events").alias("n_events"),
+            )
+            .select(
+                "event_type",
+                F.unix_micros("bucket").alias("bucket_us"),
+                "open",
+                "high",
+                "low",
+                "close",
+                "n_events",
+            )
+        )
+
+    return q
+
+
+def _resample_oracle(minutes: int) -> str:
+    return f"""
+WITH base AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute,
+         arg_min(value, ts) AS open, max(value) AS high,
+         min(value) AS low, arg_max(value, ts) AS close,
+         count(ts) AS n_events
+  FROM events
+  GROUP BY 1, 2
+), b AS (
+  SELECT *,
+         to_timestamp(epoch(minute) - epoch(minute) % {minutes * 60}) AS bucket
+  FROM base
+)
+SELECT event_type, epoch_us(bucket) AS bucket_us,
+       arg_min(open, minute) AS open,
+       max(high) AS high,
+       min(low) AS low,
+       arg_max(close, minute) AS close,
+       CAST(sum(n_events) AS BIGINT) AS n_events
+FROM b
+GROUP BY event_type, bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF-style ANN (deterministic coarse quantizer → oracle-checkable)
 # ---------------------------------------------------------------------------
@@ -1029,6 +1094,31 @@ def build_ext_queries() -> dict:
             q_ohlc_resample_4h,
             ORACLE_OHLC_4H,
             "D2: coarse-bucket resample, epoch alignment pinned vs oracle",
+            True,
+        ),
+        "ohlc_resample_5m": (
+            _make_resample_query(5),
+            _resample_oracle(5),
+            "D2: 5m resample, epoch alignment pinned vs oracle",
+            False,
+        ),
+        "ohlc_resample_15m": (
+            _make_resample_query(15),
+            _resample_oracle(15),
+            "D2: 15m resample, epoch alignment pinned vs oracle",
+            False,
+        ),
+        "ohlc_resample_30m": (
+            _make_resample_query(30),
+            _resample_oracle(30),
+            "D2: 30m resample, epoch alignment pinned vs oracle",
+            False,
+        ),
+        "ohlc_resample_1d": (
+            _make_resample_query(1440),
+            _resample_oracle(1440),
+            "D2: 1d resample — SURVEY §7's top bucket-origin risk, "
+            "midnight-UTC alignment proven by hash vs epoch-floor oracle",
             True,
         ),
         "ann_ivf_topk": (
