@@ -375,6 +375,77 @@ class DryRunResult(_Serializable):
 
 
 @dataclass
+class SourceValidationResult(_Serializable):
+    """Outcome of one external-oracle validation day — the typed twin of
+    the reference's ``ValidationResult`` (scripts/validate_migration_data.py:
+    74-135): the ORIGINAL exness archive is the oracle the store is
+    diffed against.
+
+    Pass criteria (validate_migration_data.py:425-473): row-count
+    difference ≤ ``row_tolerance_pct`` (dedup slack), ZERO bid/ask
+    mismatches beyond ``price_tolerance``, and exact min/max timestamp
+    agreement. ``error_message`` concatenates every failed criterion.
+    """
+
+    pair: str
+    day: str
+    variant: str
+    source_row_count: int = 0
+    store_row_count: int = 0
+    matching_rows: int = 0
+    only_in_source: int = 0
+    only_in_store: int = 0
+    bid_mismatch_count: int = 0
+    ask_mismatch_count: int = 0
+    source_min_ts: str | None = None
+    source_max_ts: str | None = None
+    store_min_ts: str | None = None
+    store_max_ts: str | None = None
+    mismatch_samples: list[dict] = field(default_factory=list)
+    price_tolerance: float = 1e-10
+    row_tolerance_pct: float = 0.1
+    passed: bool = False
+    error_message: str = ""
+
+    @property
+    def row_count_diff_pct(self) -> float:
+        if self.source_row_count == 0:
+            return 0.0
+        return (
+            abs(self.source_row_count - self.store_row_count)
+            / self.source_row_count
+            * 100.0
+        )
+
+    _COMPUTED = ("row_count_diff_pct",)
+
+    def summary(self) -> str:
+        """Human-readable block, shaped like the reference's summary()."""
+        lines = [
+            "=" * 60,
+            "SOURCE VALIDATION SUMMARY",
+            f"Pair: {self.pair}  Day: {self.day}  Variant: {self.variant}",
+            "-" * 60,
+            f"  Source archive: {self.source_row_count:,} rows "
+            f"[{self.source_min_ts} .. {self.source_max_ts}]",
+            f"  Store:          {self.store_row_count:,} rows "
+            f"[{self.store_min_ts} .. {self.store_max_ts}]",
+            f"  Count diff:     {self.row_count_diff_pct:.3f}% "
+            f"(tolerance {self.row_tolerance_pct}%)",
+            f"  Matching keys:  {self.matching_rows:,}  "
+            f"(source-only {self.only_in_source:,}, "
+            f"store-only {self.only_in_store:,})",
+            f"  Price mismatches > {self.price_tolerance}: "
+            f"bid {self.bid_mismatch_count:,}, ask {self.ask_mismatch_count:,}",
+            "-" * 60,
+            "RESULT: PASSED" if self.passed
+            else f"RESULT: FAILED - {self.error_message}",
+            "=" * 60,
+        ]
+        return "\n".join(lines)
+
+
+@dataclass
 class BatchIterator:
     """Wrapper over the batch generator (F4, clickhouse_query_engine.py:474-534)."""
 

