@@ -854,3 +854,159 @@ def shard_manifest(
             ).alias("ids_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-analysis family (round 5): novelty, entropy, OOV, source overlap
+# ---------------------------------------------------------------------------
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc n-gram NOVELTY: the fraction of a document's distinct
+    n-grams whose first corpus occurrence (lowest ``id_col`` among docs
+    containing the gram) is this document.
+
+    The memorization-side complement of span dedup (Lee et al. 2022):
+    low novelty late in a corpus = the doc is mostly re-assembled from
+    earlier text; a training-data audit ranks/filters on it.
+
+    Scale shape: explode distinct grams → ONE shuffle on the gram
+    (min(doc_id) is partial-aggregable, so common grams combine
+    map-side) → join gram-firsts back to (gram, doc) pairs → one doc-id
+    agg. No self-join, no pair blowup; cost is linear in total distinct
+    (doc, gram) pairs. ``novelty`` is an exact single IEEE division of
+    two counts — hash-stable cross-engine unrounded.
+    """
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("gram"),
+    )
+    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count_if(F.col("first_doc") == F.col("doc_id")).alias(
+                "novel_grams"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "novel_grams",
+        (F.col("novel_grams") / F.col("n_grams")).alias("novelty"),
+    )
+
+
+def doc_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc unigram (word) Shannon entropy in nats — the Gopher-rule
+    family's diversity feature: near-zero entropy = degenerate repetition,
+    max ln(n_words) = all-distinct.
+
+    H = ln(N) − (Σ c·ln c)/N over per-word counts c. Computed from exact
+    integer counts; the Σ c·ln c float sum is order-dependent across
+    engines, so ``entropy`` ships rounded to 6 dp (the jaccard
+    convention) while the integer columns stay exact. Two shuffles,
+    both partial-aggregable ((doc, word) count, then doc agg).
+    """
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("word"),
+    )
+    wc = words.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count("*").alias("distinct_words"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("_clnc"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "distinct_words",
+            F.round(
+                F.log(F.col("n_words")) - F.col("_clnc") / F.col("n_words"), 6
+            ).alias("entropy"),
+        )
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the corpus' own top-V
+    vocabulary (count desc, word asc — deterministic ties).
+
+    The tokenizer-coverage audit run before committing a vocab size:
+    docs with high OOV under the candidate vocabulary either carry rare
+    content worth keeping or noise worth dropping — either way they need
+    eyes. Plan: one token-count shuffle for the vocabulary, top-V kept
+    via a single ORDER BY LIMIT on V bounded rows (broadcast-joined
+    back), one per-doc agg. ``oov`` is an exact count division.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("word"),
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(vocab_size)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_if(F.col("in_vocab").isNull()).alias("oov_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "oov_tokens",
+            (F.col("oov_tokens") / F.col("n_tokens")).alias("oov"),
+        )
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise source-overlap matrix: for every source pair (a < b),
+    how many distinct n-grams they share — the provenance audit that
+    catches mirrored/cross-posted corpora BEFORE doc-level dedup runs
+    (two sources sharing half their grams are one source twice).
+
+    Scale shape: distinct (source, gram) pairs (one shuffle), then a
+    gram-keyed self-pairing — per gram the pair count is bounded by
+    #sources² (a constant: sources are an enumerable dimension, 20
+    here), so the output and the join are corpus-LINEAR, never doc².
+    """
+    sg = df.select(
+        F.col(source_col).alias("src"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("gram"),
+    ).distinct()
+    a = sg.select(F.col("src").alias("src_a"), "gram")
+    b = sg.select(F.col("src").alias("src_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared_grams"))
+    )

@@ -908,7 +908,11 @@ def _register_extra_queries() -> None:
 _DRIVER_PRIORITY = [
     # new in round 5 (never driver-sampled)
     "ohlc_resample_1d", "ohlc_resample_5m", "ohlc_resample_15m",
-    "ohlc_resample_30m",
+    "ohlc_resample_30m", "ngram_novelty", "doc_entropy", "oov_rate",
+    "source_overlap", "dedup_embedding_cosine_ivf_trained",
+    # round-5-touched paths worth a fresh driver check
+    "dedup_embedding_cosine_ivf", "multimodal_features",
+    "blocklist_filter",
     # sampled in r3 but not r4 — due a fresh driver check (r4-only
     # entries were all green in CORRECTNESS_r04.json and stay covered by
     # the full local sweep)

@@ -1029,6 +1029,115 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-analysis family (round 5): novelty, entropy, OOV, source overlap
+# ---------------------------------------------------------------------------
+_NOVELTY_N = 3
+# DuckDB twin of dedup.shingles_col(text, 3): per-doc DISTINCT 3-grams,
+# docs shorter than n tokens have none
+_GRAMS3 = (
+    "list_distinct(list_transform(range(0, len(toks) - "
+    f"{_NOVELTY_N - 1}), i -> array_to_string("
+    f"toks[i + 1 : i + {_NOVELTY_N}], ' ')))"
+)
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.textstats import ngram_novelty
+
+    return ngram_novelty(_docs_spread(spark, sf_dir), n=_NOVELTY_N)
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), g AS (
+  SELECT doc_id, u.gram
+  FROM t, unnest({_GRAMS3}) AS u(gram)
+  WHERE len(toks) >= {_NOVELTY_N}
+), f AS (
+  SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1
+)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       count(*) FILTER (f.first_doc = g.doc_id) AS novel_grams,
+       (count(*) FILTER (f.first_doc = g.doc_id))::DOUBLE / count(*)
+         AS novelty
+FROM g JOIN f USING (gram)
+GROUP BY g.doc_id
+"""
+
+
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.textstats import doc_entropy
+
+    return doc_entropy(_docs_spread(spark, sf_dir))
+
+
+ORACLE_DOC_ENTROPY = f"""
+WITH w AS (
+  SELECT doc_id, u.word
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents), unnest(toks) AS u(word)
+), c AS (
+  SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       count(*) AS distinct_words,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+FROM c
+GROUP BY doc_id
+"""
+
+
+_OOV_V = 1000
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.textstats import oov_rate
+
+    return oov_rate(_docs_spread(spark, sf_dir), vocab_size=_OOV_V)
+
+
+ORACLE_OOV_RATE = f"""
+WITH w AS (
+  SELECT doc_id, u.word
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents), unnest(toks) AS u(word)
+), v AS (
+  SELECT word FROM (
+    SELECT word, count(*) AS cnt FROM w GROUP BY 1
+    ORDER BY cnt DESC, word LIMIT {_OOV_V}
+  )
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       count(*) FILTER (v.word IS NULL) AS oov_tokens,
+       (count(*) FILTER (v.word IS NULL))::DOUBLE / count(*) AS oov
+FROM w LEFT JOIN v USING (word)
+GROUP BY doc_id
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.textstats import source_overlap
+
+    return source_overlap(_docs_spread(spark, sf_dir), n=_NOVELTY_N)
+
+
+ORACLE_SOURCE_OVERLAP = f"""
+WITH t AS (
+  SELECT source, {_TOKS} AS toks FROM documents
+), sg AS (
+  SELECT DISTINCT source AS src, u.gram
+  FROM t, unnest({_GRAMS3}) AS u(gram)
+  WHERE len(toks) >= {_NOVELTY_N}
+)
+SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared_grams
+FROM sg a JOIN sg b ON a.gram = b.gram AND a.src < b.src
+GROUP BY 1, 2
+"""
+
+
 def build_ml_queries() -> dict:
     """name → (spark_fn, oracle_sql_or_None, description)."""
     return {
@@ -1101,4 +1210,16 @@ def build_ml_queries() -> dict:
         "distinct_users_skew_safe": (
             q_distinct_users_skew_safe, ORACLE_DISTINCT_USERS,
             "two-stage exact distinct count (hot-key-safe plan shape)"),
+        "ngram_novelty": (q_ngram_novelty, ORACLE_NGRAM_NOVELTY,
+                          "per-doc 3-gram novelty vs earlier corpus "
+                          "(memorization audit, one gram shuffle)"),
+        "doc_entropy": (q_doc_entropy, ORACLE_DOC_ENTROPY,
+                        "per-doc unigram Shannon entropy (Gopher-style "
+                        "diversity feature)"),
+        "oov_rate": (q_oov_rate, ORACLE_OOV_RATE,
+                     "per-doc OOV rate vs the corpus' own top-1000 "
+                     "vocabulary (tokenizer-coverage audit)"),
+        "source_overlap": (q_source_overlap, ORACLE_SOURCE_OVERLAP,
+                           "pairwise source shared-3-gram matrix "
+                           "(provenance / mirrored-corpus audit)"),
     }

@@ -59,11 +59,36 @@ SOURCES = [f"src{i}" for i in range(20)]
 NEAR_DUP_RATE = 0.05
 EXACT_DUP_RATE = 0.0016
 
+# --natural mode (judge r4 task 1): the 30-word vocabulary above makes
+# shingle sets SATURATE — every long same-lang doc contains nearly the
+# whole vocabulary, so containment/jaccard output is genuinely quadratic
+# and alpha~2 runtime curves cannot distinguish "plan fine, output
+# quadratic" from a real plan regression. Natural text does not behave
+# like that: a Zipf-weighted 20,000-word vocabulary keeps random docs
+# nearly shingle-disjoint, so TRUE pairs come (almost) only from the
+# constant per-doc near-dup rate — output grows ~linearly in n and a
+# linear plan must show alpha ~ 1.
+NATURAL_VOCAB_SIZE = 20_000
 
-def gen_documents(rng: np.random.Generator, n: int) -> pa.Table:
+
+def _natural_vocab_weights(size: int) -> np.ndarray:
+    # Zipf-ish 1/(rank+10): a realistic head (common words shared across
+    # docs, like natural stopwords) over a long tail of rare words
+    w = 1.0 / (np.arange(size, dtype=np.float64) + 10.0)
+    return w / w.sum()
+
+
+def gen_documents(
+    rng: np.random.Generator, n: int, natural: bool = False
+) -> pa.Table:
     langs = rng.choice(len(LANGS), size=n, p=LANG_P)
     sources = rng.integers(0, len(SOURCES), size=n)
     lengths = rng.integers(10, 101, size=n)
+    if natural:
+        vocab = [f"w{i}" for i in range(NATURAL_VOCAB_SIZE)]
+        weights = _natural_vocab_weights(NATURAL_VOCAB_SIZE)
+    else:
+        vocab, weights = VOCAB, None
     texts: list[str] = []
     for i in range(n):
         r = rng.random()
@@ -73,9 +98,12 @@ def gen_documents(rng: np.random.Generator, n: int) -> pa.Table:
             words = texts[rng.integers(0, i)].split(" ")
             words.insert(int(rng.integers(0, len(words) + 1)), "dup")
             texts.append(" ".join(words))
+        elif natural:
+            idx = rng.choice(len(vocab), size=int(lengths[i]), p=weights)
+            texts.append(" ".join(vocab[j] for j in idx))
         else:
-            idx = rng.integers(0, len(VOCAB), size=int(lengths[i]))
-            texts.append(" ".join(VOCAB[j] for j in idx))
+            idx = rng.integers(0, len(vocab), size=int(lengths[i]))
+            texts.append(" ".join(vocab[j] for j in idx))
     return pa.table(
         {
             "doc_id": pa.array(range(n), pa.int64()),
@@ -119,6 +147,38 @@ def gen_embeddings(
                 out.astype(np.float32).tolist(), pa.list_(pa.float32())
             ),
             "label": pa.array(new_labels.astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def gen_embeddings_natural(rng: np.random.Generator, n: int) -> pa.Table:
+    """--natural embeddings: 256-d uniform unit vectors (random-pair
+    cosine ~ N(0, 1/256) — a 0.3 threshold sits at 4.8 sigma, so
+    accidental >=0.3 pairs are ~1e-6-rare) plus the same constant 5%
+    near-dup rate as documents (an earlier vector + small noise,
+    renormalized, cosine ~0.999). TRUE pair count is therefore ~linear
+    in n, unlike the fitted sf0.1 cones where per-label cosine mass
+    makes output quadratic."""
+    dim = 256
+    out = np.empty((n, dim))
+    fresh = rng.standard_normal((n, dim))
+    fresh /= np.linalg.norm(fresh, axis=1, keepdims=True)
+    for i in range(n):
+        r = rng.random()
+        if i > 0 and r < NEAR_DUP_RATE:
+            src = out[rng.integers(0, i)]
+            v = src + 0.02 * rng.standard_normal(dim)
+            out[i] = v / np.linalg.norm(v)
+        else:
+            out[i] = fresh[i]
+    labels = rng.integers(0, 10, size=n)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                out.astype(np.float32).tolist(), pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
         }
     )
 
@@ -177,7 +237,18 @@ def main() -> None:
         "documents/embeddings from --src (for event-family scale "
         "probes where a mult-x corpus would be wastefully large)",
     )
+    ap.add_argument(
+        "--natural",
+        action="store_true",
+        help="natural-rate corpus mode: Zipf 20k-word vocabulary + "
+        "256-d near-orthogonal embeddings with the same constant "
+        "per-doc near-dup rates — TRUE pair output grows ~linearly, so "
+        "alpha~1 is the expected curve for a linear plan (judge r4 "
+        "task 1). events are hard-linked, not regenerated.",
+    )
     args = ap.parse_args()
+    if args.natural and args.events_only:
+        ap.error("--natural and --events-only are mutually exclusive")
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -187,26 +258,34 @@ def main() -> None:
     if not args.events_only:
         n_docs = 5000 * args.mult
         pq.write_table(
-            gen_documents(rng, n_docs), out / "documents.parquet"
+            gen_documents(rng, n_docs, natural=args.natural),
+            out / "documents.parquet",
         )
         scaled["documents"] = n_docs
         n_emb = 2000 * args.mult
-        pq.write_table(
-            gen_embeddings(rng, n_emb, f"{args.src}/embeddings.parquet"),
-            out / "embeddings.parquet",
+        emb = (
+            gen_embeddings_natural(rng, n_emb)
+            if args.natural
+            else gen_embeddings(rng, n_emb, f"{args.src}/embeddings.parquet")
         )
+        pq.write_table(emb, out / "embeddings.parquet")
         scaled["embeddings"] = n_emb
-    n_ev = 100_000 * args.mult
-    pq.write_table(
-        gen_events(
-            rng, n_ev, 1500 * args.mult, f"{args.src}/events.parquet"
-        ),
-        out / "events.parquet",
-    )
-    scaled["events"] = n_ev
+    if not args.natural:
+        n_ev = 100_000 * args.mult
+        pq.write_table(
+            gen_events(
+                rng, n_ev, 1500 * args.mult, f"{args.src}/events.parquet"
+            ),
+            out / "events.parquet",
+        )
+        scaled["events"] = n_ev
 
     unscaled = []
-    extra = () if not args.events_only else ("documents", "embeddings")
+    extra = ()
+    if args.events_only:
+        extra = ("documents", "embeddings")
+    elif args.natural:
+        extra = ("events",)
     for t in (
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", *extra,
@@ -224,6 +303,7 @@ def main() -> None:
         "mult": args.mult,
         "seed": args.seed,
         "src": args.src,
+        "natural": args.natural,
         "scaled_tables": scaled,
         "unscaled_tables": unscaled,
     }

@@ -601,3 +601,84 @@ def test_interval_join_left_null_payload_not_duplicated(spark):
     by_pid = {r["pid"]: r for r in rows}
     assert by_pid[1]["iv_id"] == 7 and by_pid[1]["tag"] is None
     assert by_pid[2]["iv_id"] is None
+
+
+# ---------------------------------------------------------------------------
+# corpus-analysis family (round 5)
+# ---------------------------------------------------------------------------
+def test_ngram_novelty_first_vs_copy(spark):
+    from exness_data_preprocess_spark.operators.textstats import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "alpha beta gamma delta epsilon"),   # verbatim copy → 0
+            (2, "zeta eta theta iota kappa"),        # all fresh → 1
+            (3, "alpha beta gamma lambda mu nu"),    # 1 old gram of 4
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert out[0]["novelty"] == 1.0
+    assert out[1]["novelty"] == 0.0
+    assert out[2]["novelty"] == 1.0
+    # doc 3 grams: 'alpha beta gamma' (seen), 'beta gamma lambda',
+    # 'gamma lambda mu', 'lambda mu nu' → 3/4 novel
+    assert out[3]["n_grams"] == 4 and out[3]["novel_grams"] == 3
+    assert out[3]["novelty"] == 0.75
+
+
+def test_doc_entropy_degenerate_and_uniform(spark):
+    import math
+
+    from exness_data_preprocess_spark.operators.textstats import doc_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam"),   # H = 0
+            (1, "a b c d"),               # H = ln 4
+            (2, "x x y y"),               # H = ln 2
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in doc_entropy(docs).collect()}
+    assert out[0]["entropy"] == 0.0 and out[0]["distinct_words"] == 1
+    assert abs(out[1]["entropy"] - round(math.log(4), 6)) < 1e-9
+    assert abs(out[2]["entropy"] - round(math.log(2), 6)) < 1e-9
+
+
+def test_oov_rate_against_corpus_vocab(spark):
+    from exness_data_preprocess_spark.operators.textstats import oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common common common rare1"),
+            (1, "common common rare2 rare3"),
+        ],
+        "doc_id long, text string",
+    )
+    # vocab_size=1 → only 'common' is in-vocab
+    out = {r["doc_id"]: r for r in oov_rate(docs, vocab_size=1).collect()}
+    assert out[0]["oov_tokens"] == 1 and out[0]["oov"] == 0.25
+    assert out[1]["oov_tokens"] == 2 and out[1]["oov"] == 0.5
+    # big enough vocab → zero OOV everywhere
+    full = oov_rate(docs, vocab_size=100).collect()
+    assert all(r["oov"] == 0.0 for r in full)
+
+
+def test_source_overlap_counts_shared_grams(spark):
+    from exness_data_preprocess_spark.operators.textstats import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three four", "sA"),
+            (1, "one two three five", "sB"),   # shares 'one two three'
+            (2, "six seven eight nine", "sC"),  # disjoint
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["src_a"], r["src_b"]): r["shared_grams"]
+        for r in source_overlap(docs, n=3, source_col="source").collect()
+    }
+    assert rows == {("sA", "sB"): 1}  # only ordered pairs with overlap

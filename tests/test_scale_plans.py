@@ -146,10 +146,26 @@ def test_session_enrichment_broadcasts_and_stays_codegen(spark, tick_dfs):
 # ---------------------------------------------------------------------------
 # Hot paths stay JVM-side
 # ---------------------------------------------------------------------------
-# multimodal plumbing is *deliberately* Arrow-batched Python (mapInPandas
-# decode stubs); everything else must compile to JVM expressions.
-PYTHON_OK = {"multimodal_features", "video_frame_sample"}
+# Arrow-batched Python is allowed ONLY where it is deliberately the fast
+# path: multimodal decode stubs (mapInPandas codec plumbing) and the
+# embedding dense-algebra kernels (round-5 measured: interpreted
+# zip_with/aggregate dot products made IVF assignment alpha 2.39 / 261 s
+# at natural-10x; one NumPy matmul per Arrow batch is the Spark-idiomatic
+# physical plan for dense vectors). Everything else must compile to JVM
+# expressions — including NO row-at-a-time Python anywhere.
+PYTHON_OK = {
+    "multimodal_features",
+    "video_frame_sample",
+    "dedup_embedding_cosine_ivf",
+    "dedup_embedding_cosine_ivf_trained",
+}
 STREAMING = {"streaming_ohlc_1m", "streaming_gap_sessions"}
+_PY_MARKERS = (
+    "BatchEvalPython",      # row-at-a-time UDF: never acceptable
+    "ArrowEvalPython",      # scalar pandas UDF
+    "MapInPandas",          # iterator pandas transform
+    "FlatMapGroupsInPandas",  # applyInPandas grouped map
+)
 
 
 def test_no_python_udfs_in_relational_plans(spark):
@@ -158,9 +174,13 @@ def test_no_python_udfs_in_relational_plans(spark):
         if name in PYTHON_OK | STREAMING:
             continue
         plan = plan_of(spec.spark(spark, SF))
-        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+        if any(m in plan for m in _PY_MARKERS):
             offenders.append(name)
     assert offenders == []
+    # and even in the allowlist, row-at-a-time Python never appears
+    for name in PYTHON_OK:
+        plan = plan_of(QUERIES[name].spark(spark, SF))
+        assert "BatchEvalPython" not in plan, name
 
 
 def test_whole_stage_codegen_covers_ohlc(spark):
