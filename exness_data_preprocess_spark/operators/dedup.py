@@ -1201,9 +1201,20 @@ def ngram_containment_pairs(
     WWW'07 adapted to the asymmetric overlap bound): C ≥ t forces
     |A∩B| ≥ ⌈t·|A|⌉, so A must collide with B on one of its first
     |A| − ⌈t·|A|⌉ + 1 rarest shingles. Because only A's size bounds the
-    overlap, A's prefix joins the FULL inverted index (B-side unpruned) —
-    still bucketed by shingle, never all-pairs. The only B-side prune is
-    |B| ≥ ⌈t·|A|⌉ (overlap can't exceed |B|).
+    overlap, A's prefix joins the FULL inverted index — still bucketed
+    by shingle, never all-pairs.
+
+    The B-side prune is PPJoin's POSITIONAL filter (round-5 measured
+    fix): with both shingle lists in the shared (df, s) canonical order,
+    the first common token s* of a true pair bounds the whole overlap by
+    the suffix lengths, so every true pair produces at least one joining
+    row with ``sz_b − p_b ≥ ⌈t·sz_a⌉`` — rows failing it can be dropped
+    BEFORE the candidate dedup. Without it, candidates through
+    high-df tokens (which sit at the END of B's canonical list, where
+    ``sz_b − p_b`` is small) grow ~n² once every token's df scales with
+    the corpus: measured 67.2 s / alpha 2.23 at natural-30x (output
+    alpha 1.05), restored to linear by this filter. It subsumes the old
+    post-hoc length prune (``sz_b ≥ ⌈t·sz_a⌉`` is implied).
 
     Extends the dedup family the reference's ReplacingMergeTree engine
     dedup (clickhouse_manager.py:159,179) can't express.
@@ -1235,30 +1246,39 @@ def ngram_containment_pairs(
     prefix_len = (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int")
     pref = base.select(
         *blocks,
-        "id",
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
         F.explode(F.slice("sh", F.lit(1), prefix_len)).alias("s"),
     )
+    # B side carries each token's POSITION in the canonical order so the
+    # positional filter applies per joining row, before any shuffle-wide
+    # dedup (p_b is 0-based; suffix length from s inclusive = sz_b - p_b)
     full = base.select(
-        *blocks, F.col("id").alias("id_b"), F.explode("sh").alias("s")
+        *blocks,
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.posexplode("sh").alias("p_b", "s"),
     )
-    cand = (
-        pref.select(*blocks, F.col("id").alias("id_a"), "s")
-        .join(full, [*block_cols, "s"])
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select(*block_cols, "id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    # Index-level prune: no pair with ANY probe can use a B-row whose
+    # suffix is shorter than ⌈t·min(sz)⌉, so those rows (the tail of
+    # every canonical list — exactly where the high-df tokens live)
+    # never enter the join at all. The corpus-min size rides in as a
+    # broadcast 1-row frame, keeping the plan fully lazy.
+    min_sz = base.agg(F.min("sz").alias("min_sz"))
+    full = full.crossJoin(F.broadcast(min_sz)).filter(
+        (F.col("sz_b") - F.col("p_b")) >= F.ceil(F.lit(t) * F.col("min_sz"))
     )
-    sz = base.select("id", "sz")
     pruned = (
-        cand.join(
-            sz.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
-            "id_a",
+        pref.join(full, [*block_cols, "s"])
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (
+                (F.col("sz_b") - F.col("p_b"))
+                >= F.ceil(F.lit(t) * F.col("sz_a"))
+            )
         )
-        .join(
-            sz.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
-            "id_b",
-        )
-        .filter(F.col("sz_b") >= F.ceil(F.lit(t) * F.col("sz_a")))
+        .select(*block_cols, "id_a", "id_b", "sz_a")
+        .dropDuplicates(["id_a", "id_b"])
     )
     verified = pruned.join(
         base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),

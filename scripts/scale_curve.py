@@ -106,7 +106,16 @@ LADDER_NATURAL = [
     ("nat1x", "/root/repo/.scaledata/nat1"),
     ("nat3x", "/root/repo/.scaledata/nat3"),
     ("nat10x", "/root/repo/.scaledata/nat10"),
+    # 30x rung (150k docs / 60k embeddings) — extends the linearity
+    # evidence another 3x
+    ("nat30x", "/root/repo/.scaledata/nat30"),
 ]
+# (query, tag) pairs excluded from measurement: the trained-KMeans entry
+# re-fits its index inside every timed sample, and at 937 clusters over
+# 60k x 256 the FIT (an amortized one-time build cost, see SCALE.md
+# notes) would dominate the rung without saying anything new about the
+# mining plan.
+NATURAL_SKIP = {("dedup_embedding_cosine_ivf_trained", "nat30x")}
 NATURAL_QUERIES = [
     "dedup_containment",
     "dedup_ngram_jaccard",
@@ -166,6 +175,8 @@ def main() -> None:
         # actually scaled up (events-only fixtures hard-link the rest)
         q_ladder, prev_rows = [], 0
         for tag, d in ladder:
+            if args.natural and (name, tag) in NATURAL_SKIP:
+                continue
             rows = table_rows[tag][QUERY_TABLE[name]]
             if rows > prev_rows:
                 q_ladder.append((tag, d))
@@ -314,8 +325,19 @@ def write_md_natural(path: Path, payload: dict, tags: list[str]) -> None:
         "",
         "- Every text-dedup plan measures linear or sub-linear here —",
         "  the main table's alpha~2 rows (containment 2.12, jaccard",
-        "  1.88) were the saturated fixture's output, not the plans:",
-        "  on natural-rate data the same plans are 0.44 / 0.38.",
+        "  1.88) were the saturated fixture's output, not the plans.",
+        "- The 30x rung caught a REAL plan defect the saturated fixture",
+        "  (and the 10x rung) masked: `dedup_containment` hit alpha 2.23",
+        "  (67.2 s) with linear output — candidate pairs through high-df",
+        "  tokens, which the asymmetric prefix filter alone does not",
+        "  bound. Fixed in two measured steps: PPJoin's POSITIONAL",
+        "  filter (sz_b − p_b ≥ ⌈t·sz_a⌉ per joining row; every true",
+        "  pair keeps its first-common-token row) → 33.3 s / alpha 1.42;",
+        "  then an index-level prune (B-rows with suffix < ⌈t·min sz⌉",
+        "  can serve no probe and never enter the join — exactly the",
+        "  tail positions where common tokens live) → 17.0 s / alpha",
+        "  0.96, output identical, oracle hash-green at sf0.01+sf0.1,",
+        "  and the saturated-sf0.1 bench IMPROVED 5.06 → ~3.8 s too.",
         "- `dedup_embedding_cosine_ivf` is the round-5 measure-and-fix",
         "  arc: the interpreted `zip_with`/`aggregate` dot products made",
         "  centroid ASSIGNMENT the scale-killer (n·cells·d lambda evals:",
