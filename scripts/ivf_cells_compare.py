@@ -28,6 +28,7 @@ LADDER = [
     ("nat1x", "/root/repo/.scaledata/nat1"),
     ("nat3x", "/root/repo/.scaledata/nat3"),
     ("nat10x", "/root/repo/.scaledata/nat10"),
+    ("nat30x", "/root/repo/.scaledata/nat30"),
 ]
 
 

@@ -350,8 +350,18 @@ def write_md_natural(path: Path, payload: dict, tags: list[str]) -> None:
         "  index INSIDE every timed sample (312 clusters × 10 iters over",
         "  20k×256 at nat10x) — the super-linear step is the fit, an",
         "  index-BUILD cost paid once per corpus in production and",
-        "  amortized across queries; the mining itself is the 2.49 s /",
-        "  alpha 0.61 literal-centroid curve above.",
+        "  amortized across queries; the mining itself is the",
+        "  literal-centroid curve above.",
+        "- Fixed vs corpus-grown cell count (`ivf_cells_compare.json`,",
+        "  scripts/ivf_cells_compare.py): with the BLAS kernels, 16",
+        "  fixed cells measure alpha 0.74 vs grown 0.91 up to 60k",
+        "  vectors — the fixed-cell per-cell quadratic (n²/cells·d",
+        "  FLOPs) has not yet crossed the grown path's n·cells·d assign",
+        "  cost at these sizes. The growth formula is the ASYMPTOTIC",
+        "  guard (fixed cells are Θ(n²) FLOPs and must lose at ~10⁶+",
+        "  vectors); it is not a measured win at fixture scale, and",
+        "  bigger cells buy recall (fixed16 emits 2558 pairs at 30x vs",
+        "  grown937's 1893 — boundary-split pairs are the IVF trade).",
         "",
         NAT_END,
     ]
