@@ -36,7 +36,27 @@ from typing import Iterator
 
 from pyspark.sql import SparkSession
 
-__all__ = ["scoped_cache", "persistent_checkpoint_ids", "release_checkpoints"]
+__all__ = [
+    "scoped_cache",
+    "checkpoint_rdd_id",
+    "persistent_checkpoint_ids",
+    "release_checkpoints",
+]
+
+
+def checkpoint_rdd_id(df) -> int | None:
+    """The EXACT persistent-RDD id behind a ``df.localCheckpoint()``
+    result (the LogicalRDD's wrapped RDD), or None if the frame is not a
+    local checkpoint. Iterative operators release superseded rounds by
+    THIS id — owning the id directly is concurrency-safe, unlike diffing
+    the session-global persistent-RDD map, where a checkpoint created by
+    a concurrent job in the diff window would be claimed and wrongly
+    released (review find)."""
+    try:
+        r = df._jdf.queryExecution().logical().rdd()
+        return int(r.id()) if r.isLocallyCheckpointed() else None
+    except Exception:  # noqa: BLE001 — not a LogicalRDD plan
+        return None
 
 
 def _persistent_ids(spark: SparkSession) -> set[int]:

@@ -1079,6 +1079,10 @@ def _cell_blocked_pairs_np(
 
     C = np.asarray(centroids, dtype=np.float64)
     Cn = np.linalg.norm(C, axis=1)
+    # id dtype rides through from the input (review find: a hard-coded
+    # `id long` broke string/decimal id columns the expression path
+    # accepted); pandas carries it opaquely either way
+    id_ddl = df.schema[id_col].dataType.simpleString()
 
     def assign(batches):
         for pdf in batches:
@@ -1105,7 +1109,7 @@ def _cell_blocked_pairs_np(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
     assigned = side.mapInPandas(
-        assign, "cell_id int, id long, v array<double>"
+        assign, f"cell_id int, id {id_ddl}, v array<double>"
     )
 
     def pairs_of_cell(key, pdf):
@@ -1113,10 +1117,9 @@ def _cell_blocked_pairs_np(
         if m < 2:
             return pd.DataFrame(
                 {"cell_id": [], "id_a": [], "id_b": [], "cosine": []}
-            ).astype({"cell_id": "int32", "id_a": "int64",
-                      "id_b": "int64", "cosine": "float64"})
+            )
         ids = pdf["id"].to_numpy()
-        order = np.argsort(ids)
+        order = np.argsort(ids)  # works for numeric and string ids alike
         ids = ids[order]
         X = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
@@ -1135,7 +1138,8 @@ def _cell_blocked_pairs_np(
         )
 
     return assigned.groupBy("cell_id").applyInPandas(
-        pairs_of_cell, "cell_id int, id_a long, id_b long, cosine double"
+        pairs_of_cell,
+        f"cell_id int, id_a {id_ddl}, id_b {id_ddl}, cosine double",
     )
 
 
@@ -1159,24 +1163,28 @@ def embedding_cosine_pairs_auto(
     KMeans over the corpus, seeded), so cells track the data's actual
     density rather than an arbitrary labeling.
 
-    Cost shape: one corpus count (parquet-footer cheap), one KMeans fit
-    (Spark ML, itself distributed), then the standard broadcast-assign +
-    within-cell join of :func:`embedding_cosine_pairs`. At 100 TB the
-    centroids are a trained artifact — train once on a sample, persist,
-    and pass them to :func:`embedding_cosine_pairs` directly.
+    Cost shape: the (id, vector) projection is persisted so the count,
+    the KMeans fit, and the assignment scan read ONE materialization —
+    an expensive upstream plan (join/decode pipeline) would otherwise
+    execute three times (review find). The cache follows the module's
+    caller-owns-cleanup contract; ``CorpusCurator``'s context manager
+    releases it at scope exit. At 100 TB the centroids are a trained
+    artifact — train once on a sample, persist, and pass them to
+    :func:`embedding_cosine_pairs` directly.
     """
     from exness_data_preprocess_spark.operators.similarity import (
         train_ivf_centroids,
     )
 
+    proj = df.select(id_col, vec_col).persist()
     if n_cells is None:
-        n = df.count()
+        n = proj.count()
         n_cells = max(16, n // int(target_cell_size))
     cents = train_ivf_centroids(
-        df, n_cells=int(n_cells), vec_col=vec_col, seed=seed
+        proj, n_cells=int(n_cells), vec_col=vec_col, seed=seed
     )
     return embedding_cosine_pairs(
-        df,
+        proj,
         vec_col=vec_col,
         id_col=id_col,
         block_col=None,

@@ -70,13 +70,13 @@ def connected_components(
     # single-stage reduce over the checkpointed frame per round, instead of
     # a labels⋈labels diff join.
     from exness_data_preprocess_spark.cache import (
-        persistent_checkpoint_ids,
+        checkpoint_rdd_id,
         release_checkpoints,
     )
 
     spark = edges.sparkSession
     prev_sum: int | None = None
-    prev_round_ckpts: set[int] = set()
+    prev_round_ckpt: int | None = None
     for _ in range(max_iterations):
         # min over neighbors' labels
         nb = (
@@ -93,7 +93,6 @@ def connected_components(
         jump = labels.select(
             F.col("id").alias("comp"), F.col("comp").alias("jump_comp")
         )
-        before_ckpts = persistent_checkpoint_ids(spark)
         labels = (
             stepped.join(jump, "comp", "left")
             .select("id", F.least("comp", "jump_comp").alias("comp"))
@@ -105,11 +104,14 @@ def connected_components(
         # driver GC, bounding resident state to ONE round's labels
         # regardless of convergence depth (at 100 TB, O(log n) rounds
         # of full label sets would otherwise stack up in executor
-        # storage). DataFrame.unpersist can't reach checkpoint storage,
-        # hence the id-diff bookkeeping.
-        this_round = persistent_checkpoint_ids(spark) - before_ckpts
-        release_checkpoints(spark, prev_round_ckpts)
-        prev_round_ckpts = this_round
+        # storage). DataFrame.unpersist can't reach checkpoint storage;
+        # the id comes from THIS frame's LogicalRDD (exact ownership —
+        # a global persistent-map diff could claim a concurrent job's
+        # checkpoint, review find).
+        this_ckpt = checkpoint_rdd_id(labels)
+        if prev_round_ckpt is not None:
+            release_checkpoints(spark, {prev_round_ckpt})
+        prev_round_ckpt = this_ckpt
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
             break

@@ -154,7 +154,14 @@ def _decode_image(payload: bytes) -> np.ndarray:
         except Exception:  # noqa: BLE001 — non-image payload: fall through
             pass
     if payload.startswith(_PNG_MAGIC):
-        return _png_decode(payload).reshape(-1)
+        # the builtin decoder covers a SUBSET (8-bit gray/RGB/RGBA,
+        # non-interlaced); a palette/16-bit/interlaced/corrupt PNG must
+        # fall through to the stub, not fail the task (review find —
+        # zlib/struct errors escape a ValueError-only handler)
+        try:
+            return _png_decode(payload).reshape(-1)
+        except Exception:  # noqa: BLE001 — unsupported subset or corrupt
+            pass
     # Deterministic pseudo-pixels from the content digest.
     digest = hashlib.sha256(payload).digest()
     return np.frombuffer(digest, dtype=np.uint8).astype(np.float64)

@@ -134,6 +134,15 @@ class ParquetCatalog:
             raise ValueError(
                 f"on_conflict must be skip|replace, got {on_conflict!r}"
             )
+        if on_conflict == "replace" and (not dedup or mode != "append"):
+            # the merge branch only exists under the dedup'd append path;
+            # silently plain-appending duplicates after a replace request
+            # is the worst of both semantics (review find)
+            raise ValueError(
+                "on_conflict='replace' requires dedup=True and "
+                "mode='append' (an overwrite already replaces, and an "
+                "un-deduped batch has no conflict keys to resolve)"
+            )
         out = df.withColumn("year_month", year_month(F.col("timestamp")))
         if dedup:
             out = out.dropDuplicates(["instrument", "timestamp"])
@@ -144,29 +153,36 @@ class ParquetCatalog:
         # off the raw plan executed the decode a second time).
         out = out.localCheckpoint()
         if dedup and mode == "append" and self.exists(table):
-            months = [
-                r["year_month"]
-                for r in out.select("year_month").distinct().collect()
+            touched = [
+                (r["instrument"], r["year_month"])
+                for r in out.select("instrument", "year_month")
+                .distinct()
+                .collect()
             ]
+            months = sorted({ym for _, ym in touched})
+            insts = sorted({i for i, _ in touched})
+            # prune BOTH partition keys: a one-instrument correction must
+            # not read (or, under replace, rewrite) every other
+            # instrument's partitions for the month (review find)
             existing = (
                 df.sparkSession.read.parquet(self.path(table))
                 .filter(F.col("year_month").isin(months))
+                .filter(F.col("instrument").isin(insts))
             )
             if on_conflict == "replace":
                 # Last-write-wins upsert: rewrite the touched partitions
                 # with incoming rows plus the existing rows they do not
                 # supersede (clickhouse_manager.py:159's merge posture).
+                # overwrite_partitions owns the repartition+sort layout
+                # pass — doing it here too paid the shuffle twice
+                # (review find).
                 keep = existing.join(
                     out.select("instrument", "timestamp"),
                     ["instrument", "timestamp"],
                     "left_anti",
                 )
                 merged = out.unionByName(keep).localCheckpoint()
-                self.overwrite_partitions(
-                    merged.repartition("instrument", "year_month")
-                    .sortWithinPartitions("timestamp"),
-                    table,
-                )
+                self.overwrite_partitions(merged, table)
                 return out.count()
             out = out.join(
                 existing.select("instrument", "timestamp"),

@@ -321,7 +321,12 @@ def write_md_natural(path: Path, payload: dict, tags: list[str]) -> None:
         "",
         *_query_table_rows(payload, tags),
         "",
-        "Notes:",
+        "Notes (round-5 measurement RECORD — the table above regenerates",
+        "with every `--natural` run, but the specific timings/alphas",
+        "quoted below are from the committed round-5 artifacts",
+        "`scale_curve_natural.json` / `ivf_cells_compare.json` and",
+        "describe the fixes made that round, not necessarily the current",
+        "table):",
         "",
         "- Every text-dedup plan measures linear or sub-linear here —",
         "  the main table's alpha~2 rows (containment 2.12, jaccard",

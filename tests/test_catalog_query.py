@@ -90,6 +90,46 @@ def test_write_ticks_on_conflict_replace_upserts(spark, tmp_path):
 
     with pytest.raises(ValueError, match="on_conflict"):
         cat.write_ticks(corrected, "raw_spread_ticks", on_conflict="merge")
+    # replace without the dedup'd-append machinery must refuse, not
+    # silently plain-append duplicates (review find)
+    with pytest.raises(ValueError, match="replace"):
+        cat.write_ticks(
+            corrected, "raw_spread_ticks", dedup=False, on_conflict="replace"
+        )
+    with pytest.raises(ValueError, match="replace"):
+        cat.write_ticks(
+            corrected, "raw_spread_ticks", mode="overwrite",
+            on_conflict="replace",
+        )
+
+    # a correction to one instrument must not rewrite siblings' month
+    # partitions (review find: existing read was month-pruned only)
+    other = spark.createDataFrame(
+        [("XAUUSD", t0, 2000.0, 2000.5)], TICK_SCHEMA
+    )
+    assert cat.write_ticks(other, "raw_spread_ticks") == 1
+    xau_files = sorted(
+        (cat.base / "raw_spread_ticks").glob(
+            "instrument=XAUUSD/year_month=202401/*.parquet"
+        )
+    )
+    corrected2 = spark.createDataFrame(
+        [("EURUSD", t0, 8.88, 8.88)], TICK_SCHEMA
+    )
+    assert cat.write_ticks(
+        corrected2, "raw_spread_ticks", on_conflict="replace"
+    ) == 1
+    assert sorted(
+        (cat.base / "raw_spread_ticks").glob(
+            "instrument=XAUUSD/year_month=202401/*.parquet"
+        )
+    ) == xau_files
+    assert (
+        cat.read(spark, "raw_spread_ticks")
+        .filter((F.col("instrument") == "EURUSD") & (F.col("timestamp") == t0))
+        .first()["bid"]
+        == 8.88
+    )
 
 
 def test_sql_views_refresh_after_writes(spark, tmp_path):

@@ -742,6 +742,34 @@ def test_embedding_cosine_ivf_blocking(spark):
         assert v == unblocked[k]
 
 
+def test_embedding_cosine_pairs_centroids_string_ids(spark):
+    """The Arrow kernels must carry non-bigint id columns (review find:
+    a hard-coded `id long` schema broke what the expression path
+    accepted)."""
+    from exness_data_preprocess_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    rows = [
+        ("doc-a", [1.0, 0.0, 0.0]),
+        ("doc-b", [0.999, 0.04, 0.0]),
+        ("doc-c", [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "uid string, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(
+            df,
+            id_col="uid",
+            block_col=None,
+            threshold=0.9,
+            centroids=[rows[0][1]],
+        ).collect()
+    }
+    assert ("doc-a", "doc-b") in pairs and pairs[("doc-a", "doc-b")] > 0.99
+    assert all(a < b for a, b in pairs)  # lexicographic id ordering holds
+
+
 def test_embedding_cosine_pairs_auto_trained_cells(spark):
     """embedding_cosine_pairs_auto (the production default): KMeans-
     trained cells, n_cells grown from the corpus count. Every emitted

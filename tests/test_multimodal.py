@@ -161,6 +161,19 @@ def test_png_decode_rejects_unsupported_subset():
     with pytest.raises(ValueError, match="not a PNG"):
         _png_decode(b"GIF89a...")
 
+    # but the DISPATCHER must fall back to the digest stub for any
+    # PNG-magic payload outside the subset — a palette/16-bit/corrupt
+    # PNG cannot fail the task (review find)
+    from exness_data_preprocess_spark.operators.multimodal import (
+        _decode_image,
+    )
+
+    stub = hashlib.sha256(bad).digest()
+    assert list(_decode_image(bad)) == [float(b) for b in stub]
+    corrupt = b"\x89PNG\r\n\x1a\n" + b"\x00\x01garbage-not-chunks"
+    stub2 = hashlib.sha256(corrupt).digest()
+    assert list(_decode_image(corrupt)) == [float(b) for b in stub2]
+
 
 def test_feature_extraction_real_png_and_stub_coexist(spark):
     """A media table mixing REAL PNG payloads with fixture text payloads:
