@@ -100,6 +100,12 @@ class CorpusCurator:
             export_training_shards,
         )
 
+        # docs is typically the tail of the full curation pipeline; the
+        # shard write and the manifest aggregation are two consumers, so
+        # persist across them (review find: the whole upstream plan —
+        # LSH joins included — executed twice). Scope cleanup releases
+        # it when the curator is used as a context manager.
+        docs = docs.persist()
         export_training_shards(docs, out_dir, n_shards=n_shards, seed=seed)
         return shard_manifest(docs, n_shards=n_shards, seed=seed)
 
@@ -206,14 +212,20 @@ class CorpusCurator:
         )
 
     def decontaminate(self, docs: DataFrame, bench: DataFrame) -> DataFrame:
-        """Docs NOT flagged by the 3-gram benchmark-overlap check."""
+        """Docs NOT flagged by the 3-gram benchmark-overlap check.
+
+        The operator returns only (doc_id, overlap_ngrams, contaminated)
+        — the doc payload comes back via a semi-join on doc_id (review
+        find: a ``select(*docs.columns)`` on the operator output raised
+        UNRESOLVED_COLUMN on every call)."""
         from exness_data_preprocess_spark.operators.textstats import (
             decontaminate,
         )
 
-        return decontaminate(docs, bench).filter(
+        clean = decontaminate(docs, bench).filter(
             F.col("contaminated") == 0
-        ).select(*docs.columns)
+        ).select("doc_id")
+        return docs.join(clean, "doc_id", "semi")
 
     # -- sampling ------------------------------------------------------------
     def sample_per_group(

@@ -34,8 +34,17 @@ from exness_data_preprocess_spark.sources.catalog import ParquetCatalog
 
 
 def _ym(date_str: str) -> str:
-    """'YYYY-MM-DD...' → 'yyyyMM' partition key."""
-    return date_str[:7].replace("-", "")
+    """Date string → 'yyyyMM' partition key.
+
+    Parsed and re-padded, NOT sliced (review find): Spark's timestamp
+    cast accepts '2024-1-5', but a sliced '20241' compares
+    lexicographically BELOW '202401'..'202409', so the redundant
+    partition bound silently excluded the months the timestamp
+    predicate selected — wrong results, not an error."""
+    import pandas as pd
+
+    d = pd.Timestamp(date_str)
+    return f"{d.year:04d}{d.month:02d}"
 
 
 def _range_filter(

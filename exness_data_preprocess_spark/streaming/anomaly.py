@@ -62,9 +62,17 @@ def _running_stats(
     n_prev = n0 + np.arange(k, dtype="int64")
     csum = np.concatenate(([0], np.cumsum(v6)[:-1]))
     sum6_prev = sum0 + csum
-    anomaly = (
-        (n_prev > 0) & (np.abs(v6 * n_prev - sum6_prev) > thr6 * n_prev)
-    ).astype("int64")
+    # The deviation test multiplies by n_prev, which overflows int64 at
+    # n ~ 9.2e6 events for values ~1e6 — numpy wraps silently and the
+    # flag flips to garbage (review find). Python-object arithmetic is
+    # arbitrary-precision; k per micro-batch is small, so the exactness
+    # costs microseconds. (The EMITTED sum6_prev column stays BIGINT —
+    # its own horizon is the cumulative sum at 2^63 µ-units ≈ 9.2e12 in
+    # value units, vastly beyond the product's former overflow.)
+    v6o, n_prev_o = v6.astype(object), n_prev.astype(object)
+    sum6_prev_o = sum0 + np.concatenate(([0], np.cumsum(v6o)[:-1]))
+    dev_exceeds = np.abs(v6o * n_prev_o - sum6_prev_o) > thr6 * n_prev_o
+    anomaly = ((n_prev > 0) & dev_exceeds.astype(bool)).astype("int64")
 
     state.update((int(n0 + k), int(sum0 + v6.sum())))
     yield pd.DataFrame(

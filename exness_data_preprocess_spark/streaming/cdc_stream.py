@@ -9,11 +9,17 @@ apply against plain parquet/in-memory state). The reference's analog is
 ReplacingMergeTree resolving upserts at merge time (clickhouse_manager
 .py:139-176); this makes the application explicit and incremental.
 
-Correctness contract: micro-batches must be **seq-monotone per key**
-(a change for key k in batch i+1 carries a seq ≥ any seq for k in batch
-i). That is the natural property of a CDC feed consumed in order; under
-it, per-batch application composes to the same result as one global
-``apply_cdc`` (each later batch's winner supersedes by construction).
+Correctness contract: micro-batches must be **STRICTLY seq-monotone per
+key** (a change for key k in batch i+1 carries a seq > every seq for k
+in batch i). Strict, not ≥ (review find): a seq TIE straddling a batch
+boundary breaks composition — ``apply_cdc``'s global tie rule picks
+max(struct(seq, op, payload)) across BOTH rows, but the later batch
+never sees the earlier row and its change supersedes unconditionally
+(e.g. (5,'U') in batch i then (5,'D') in batch i+1: streaming deletes k,
+global apply keeps the 'U' because 'U' > 'D'). Strict monotonicity is
+the natural property of a CDC feed consumed in order — LSN/offset-
+ordered feeds never re-issue a sequence number; under it, per-batch
+application composes to the same result as one global ``apply_cdc``.
 For unordered bulk backfills, use the batch operator on the whole
 change set instead.
 
@@ -71,8 +77,15 @@ def run_cdc_snapshot_available_now(
         .start()
     )
     try:
-        q.awaitTermination(timeout_seconds)
+        drained = q.awaitTermination(timeout_seconds)
     finally:
         if q.isActive:  # pragma: no cover - only on timeout
             q.stop()
+    if not drained:  # pragma: no cover - only on timeout
+        # returning a snapshot missing the backlog tail would persist
+        # silently stale data downstream (review find)
+        raise TimeoutError(
+            f"availableNow CDC drain {query_name!r} did not finish within "
+            f"{timeout_seconds}s; partial snapshot discarded"
+        )
     return state["snap"]

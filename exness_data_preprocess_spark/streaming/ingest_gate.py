@@ -59,6 +59,15 @@ def _row_minhash_bands(
     """(new_id, sh_n, band_idx, band_key) via per-row expressions only —
     value-identical to the batch explode/groupBy path (same hash family,
     same concat_ws band keys), but stateless and shuffle-free."""
+    if num_perm % bands != 0:
+        # same guard as the batch paths (review find: silently dropping
+        # the trailing permutations yields band keys from a DIFFERENT
+        # family that never match the corpus index — every near-dup
+        # missed, no error)
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}); "
+            "band keys from a truncated signature never match the index"
+        )
     rows_per_band = num_perm // bands
     base = df.select(
         F.col(id_col).alias("new_id"),

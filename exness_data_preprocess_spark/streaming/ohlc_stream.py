@@ -122,18 +122,33 @@ def write_stream_ohlc(
     """Production sink: append finalized OHLC windows to partitioned
     parquet with checkpointed exactly-once delivery.
 
+    Partition layout matches the batch catalog (review find: the old
+    writer claimed "partitioned parquet" but never called partitionBy):
+    when the bar frame carries (instrument, minute), a ``year_month``
+    column is derived and the write partitions by
+    (instrument, year_month) — the same directories ``ParquetCatalog``
+    prunes — otherwise the frame is written flat as-is.
+
     ``available_now=True`` drains the current backlog and stops (backfill
     mode); otherwise the query runs continuously, micro-batching on
     ``processing_interval`` (None → as-fast-as-possible). Restarts resume
     from the checkpoint with no duplicate or lost windows
     (tests/test_streaming.py::test_stream_checkpoint_restart_exactly_once).
     """
+    from exness_data_preprocess_spark.functions.timefuncs import year_month
+
+    part_cols: list[str] = []
+    if "instrument" in bars.columns and "minute" in bars.columns:
+        bars = bars.withColumn("year_month", year_month(F.col("minute")))
+        part_cols = ["instrument", "year_month"]
     writer = (
         bars.writeStream.format("parquet")
         .option("path", path)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
     if available_now:
         writer = writer.trigger(availableNow=True)
     elif processing_interval is not None:
@@ -164,10 +179,17 @@ def run_available_now_to_memory(
         .start()
     )
     try:
-        q.awaitTermination(timeout_seconds)
+        drained = q.awaitTermination(timeout_seconds)
     finally:
         if q.isActive:  # pragma: no cover - only on timeout
             q.stop()
+    if not drained:  # pragma: no cover - only on timeout
+        # a partial memory table silently masquerading as "the drained
+        # output" is worse than failing (review find)
+        raise TimeoutError(
+            f"availableNow drain of {query_name!r} did not finish within "
+            f"{timeout_seconds}s; partial results discarded"
+        )
     return df.sparkSession.table(query_name)
 
 

@@ -79,6 +79,24 @@ def _sessionize(
             elif t - cur[1] > gap_us:
                 sessions.append(tuple(cur))
                 cur = [t, t, 1, p, p]
+            elif cur[0] - t > gap_us:
+                # older than the open by more than the gap: it belongs
+                # to an already-closed epoch — emit it as its own
+                # degenerate session rather than stretch the current one
+                # across a silence that DID happen
+                sessions.append((t, t, 1, p, p))
+            elif t < cur[0]:
+                # cross-batch late arrival BEFORE the open (review find:
+                # sorting fixes only intra-batch order): extend the
+                # session backwards — it becomes the open, never rewinds
+                # session_end/close
+                cur[0] = t
+                cur[2] += 1
+                cur[3] = p
+            elif t < cur[1]:
+                # late arrival inside the session: counts, but the
+                # newest-by-event-time tick keeps close and last_ts
+                cur[2] += 1
             else:
                 cur[1] = t
                 cur[2] += 1

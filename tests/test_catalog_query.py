@@ -167,6 +167,18 @@ def test_sql_views_refresh_after_writes(spark, tmp_path):
     ).first()["n"] == 1
 
 
+def test_range_filter_accepts_unpadded_dates(proc):
+    """Review find: '2024-1-5' parsed fine as a timestamp but the sliced
+    year_month bound '20241' lexicographically excluded '202401'..'202409'
+    — silently zero rows. The bound is now parsed and re-padded."""
+    padded = proc.query_ticks("EURUSD", start_date="2024-01-10",
+                              end_date="2024-01-31")
+    bare = proc.query_ticks("EURUSD", start_date="2024-1-10",
+                            end_date="2024-1-31")
+    assert len(padded) > 0
+    assert len(bare) == len(padded)
+
+
 def test_partition_layout(proc):
     base = proc.catalog.base / "raw_spread_ticks"
     insts = {p.name for p in base.glob("instrument=*")}

@@ -55,6 +55,26 @@ def test_curator_dedup_exact_and_keep_best(spark):
     assert lowid == [0, 2]
 
 
+def test_curator_decontaminate_returns_doc_payload(spark):
+    """Review find: decontaminate selected *docs.columns off an operator
+    output that has none of them — UNRESOLVED_COLUMN on every call."""
+    docs = spark.createDataFrame(
+        [
+            _doc(0, ["alpha", "beta", "gamma", "delta", "epsilon"]),
+            _doc(1, [f"fresh{j}" for j in range(10)]),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    cur = CorpusCurator(spark)
+    out = cur.decontaminate(docs, bench)
+    assert out.columns == docs.columns  # full payload back
+    assert [r["doc_id"] for r in out.collect()] == [1]  # doc 0 flagged
+
+
 def test_curator_scoped_cache_released_after_multipass(spark):
     """Judge r4 task 6: a multi-pass curator run inside the context
     manager must leave ZERO new persistent RDDs behind — the facade
