@@ -26,6 +26,24 @@ class ExchangeConfig:
     close_minute: int
     # (start_hour, start_minute, end_hour, end_minute) local time, or None
     lunch_break: tuple[int, int, int, int] | None = field(default=None)
+    # Dated changes to the regular close: ((effective_from_iso, hour,
+    # minute), ...) applied in order — real exchanges amend their hours
+    # (review find: TSE moved its cash close 15:00 → 15:30 on
+    # 2024-11-05, so a single static close mislabels every bar in the
+    # extended half hour after that date). base close_hour/minute are
+    # the hours BEFORE the first change.
+    close_changes: tuple = field(default=())
+
+    def close_on(self, d) -> tuple[int, int]:
+        """(hour, minute) of the regular close in effect on local date
+        ``d`` (datetime.date)."""
+        h, m = self.close_hour, self.close_minute
+        for eff, ch, cm in self.close_changes:
+            import datetime as _dt
+
+            if d >= _dt.date.fromisoformat(eff):
+                h, m = ch, cm
+        return h, m
 
 
 EXCHANGES: dict[str, ExchangeConfig] = {
@@ -43,7 +61,10 @@ EXCHANGES: dict[str, ExchangeConfig] = {
                            "Pacific/Auckland", "New Zealand", 10, 0, 16, 45),
     "xtks": ExchangeConfig("XTKS", "Tokyo Stock Exchange", "JPY",
                            "Asia/Tokyo", "Japan", 9, 0, 15, 0,
-                           lunch_break=(11, 30, 12, 30)),
+                           lunch_break=(11, 30, 12, 30),
+                           # cash session extended to 15:30 (TSE "extension
+                           # of trading hours", effective 2024-11-05)
+                           close_changes=(("2024-11-05", 15, 30),)),
     "xasx": ExchangeConfig("XASX", "Australian Securities Exchange", "AUD",
                            "Australia/Sydney", "Australia", 10, 0, 16, 0),
     "xhkg": ExchangeConfig("XHKG", "Hong Kong Stock Exchange", "HKD",

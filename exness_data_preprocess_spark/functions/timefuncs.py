@@ -31,10 +31,17 @@ def to_start_of_interval(ts: Column, minutes: int) -> Column:
     ``window(ts, f"{m} minutes").start`` is equivalent, but an explicit
     floor keeps the output a flat column (no struct) and makes the epoch
     alignment auditable: bucket = floor(unix_seconds / (60*m)) * (60*m).
+
+    ``pmod``, not ``%`` (review find, verified): Spark's ``%`` takes the
+    dividend's sign, so pre-epoch timestamps (negative unix seconds)
+    rounded UP to the bucket END — 1960-01-01 00:07 bucketed to 00:10 at
+    5m width — while ClickHouse floors everywhere. ``pmod`` is sign-
+    correct for both eras.
     """
     secs = 60 * int(minutes)
     return F.timestamp_seconds(
-        (F.unix_timestamp(ts) - (F.unix_timestamp(ts) % F.lit(secs))).cast("long")
+        (F.unix_timestamp(ts) - F.pmod(F.unix_timestamp(ts), F.lit(secs)))
+        .cast("long")
     )
 
 

@@ -251,8 +251,11 @@ def build_session_intervals(
                 open_local = dt.datetime(
                     d.year, d.month, d.day, cfg.open_hour, cfg.open_minute, tzinfo=tz
                 )
+                # close may carry dated amendments (TSE 15:00 → 15:30 on
+                # 2024-11-05) — resolve per local date
+                c_h, c_m = cfg.close_on(d)
                 close_local = dt.datetime(
-                    d.year, d.month, d.day, cfg.close_hour, cfg.close_minute, tzinfo=tz
+                    d.year, d.month, d.day, c_h, c_m, tzinfo=tz
                 )
                 lunch_s = lunch_e = None
                 if cfg.lunch_break is not None:

@@ -33,14 +33,19 @@ __all__ = [
 ]
 
 # The documents-table contract (TESTDATA.md); JSONL files carry exactly
-# these fields per line object.
+# these fields per line object. Derived from the canonical
+# schema.DOCUMENTS_SCHEMA (review find: a hand-copied twin with
+# different nullability would silently drift on the next field change)
+# with every field nullable — the JSON source cannot enforce
+# non-nullability at parse time, so honesty over aspiration here.
+from exness_data_preprocess_spark.schema import (
+    DOCUMENTS_SCHEMA as _CANONICAL_DOCS_SCHEMA,
+)
+
 DOCUMENTS_SCHEMA = T.StructType(
     [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-        T.StructField("source", T.StringType()),
-        T.StructField("n_chars", T.LongType()),
+        T.StructField(f.name, f.dataType, True)
+        for f in _CANONICAL_DOCS_SCHEMA.fields
     ]
 )
 
@@ -66,22 +71,30 @@ def read_documents_jsonl(
     schema: T.StructType = DOCUMENTS_SCHEMA,
 ) -> DataFrame:
     """Read a JSONL corpus directory with the schema enforced; returns
-    CLEAN rows only (malformed lines silently excluded here — audit them
-    with :func:`audit_corrupt_lines`).
+    CLEAN rows only (malformed lines excluded here — audit them with
+    :func:`audit_corrupt_lines`).
 
-    DROPMALFORMED mode: a malformed line is skipped, never kills the
-    job — the 100 TB-safe posture (one bad line in a billion). The
-    built-in JSON source is used for this hot path because it supports
-    schema pruning; carrying a ``_corrupt_record`` column here instead
-    would trip Spark's corrupt-column-only query restriction on plain
-    ``count()``-style plans, which is also why the audit lives in a
-    separate text+``from_json`` function.
+    A malformed line is skipped, never kills the job — the 100 TB-safe
+    posture (one bad line in a billion). Mechanically this is PERMISSIVE
+    parse + an explicit required-field filter rather than DROPMALFORMED
+    (review find, verified: under DROPMALFORMED a ``count()`` plan
+    parses with an empty required schema, so type-mismatched lines were
+    COUNTED but vanished when rows materialized — the same frame gave
+    different row sets per plan). The filter references real data
+    columns, so every plan — count included — agrees on the row set;
+    corrupt or type-mismatched lines null out doc_id/text and drop.
+    Carrying a ``_corrupt_record`` column instead would trip Spark's
+    corrupt-column-only query restriction on plain ``count()`` plans,
+    which is also why the audit lives in a separate text+``from_json``
+    function.
     """
-    return (
-        spark.read.schema(schema)
-        .option("mode", "DROPMALFORMED")
-        .json(path)
-    )
+    req = [f.name for f in schema.fields[:2]]  # doc_id, text
+    df = spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+    cond = None
+    for c in req:
+        cur = F.col(c).isNotNull()
+        cond = cur if cond is None else (cond & cur)
+    return df.filter(cond)
 
 
 def audit_corrupt_lines(

@@ -27,8 +27,19 @@ from exness_data_preprocess_spark.schema import TICK_CSV_SCHEMA, TICK_SCHEMA
 def load_ticks_csv(
     spark: SparkSession, paths: str | list[str], instrument: str
 ) -> DataFrame:
-    """CSV(s) → normalized tick rows (timestamp, bid, ask, instrument)."""
-    df = spark.read.csv(paths, schema=TICK_CSV_SCHEMA, header=True)
+    """CSV(s) → normalized tick rows (timestamp, bid, ask, instrument).
+
+    FAILFAST mode (review find): the default PERMISSIVE read turned a
+    row with an unparseable Timestamp into a null-timestamp tick —
+    violating TICK_SCHEMA's non-null contract — and the write-side
+    ``dropDuplicates`` then collapsed all such junk rows into one,
+    destroying the evidence. The reference's ``pandas.read_csv(
+    parse_dates=...)`` raises on malformed source data (processor.py:
+    283-307); failing loudly on a corrupt archive is the parity
+    behavior."""
+    df = spark.read.csv(
+        paths, schema=TICK_CSV_SCHEMA, header=True, mode="FAILFAST"
+    )
     return normalize_ticks(df, instrument)
 
 
@@ -67,11 +78,22 @@ def load_ticks_zip(
                             chunk = pd.read_csv(
                                 fh,
                                 usecols=["Timestamp", "Bid", "Ask"],
-                                parse_dates=["Timestamp"],
                             )
-                        chunk["Timestamp"] = (
-                            chunk["Timestamp"].dt.tz_localize(None)
-                        )
+                        # parse explicitly: pandas' parse_dates leaves an
+                        # OBJECT column on any malformed row (no error),
+                        # and .dt on it raises an AttributeError that
+                        # names neither archive nor member (review find)
+                        try:
+                            ts = pd.to_datetime(
+                                chunk["Timestamp"], errors="raise"
+                            )
+                        except (ValueError, TypeError) as exc:
+                            raise ValueError(
+                                f"malformed Timestamp in {name!r}: {exc}"
+                            ) from exc
+                        if getattr(ts.dt, "tz", None) is not None:
+                            ts = ts.dt.tz_localize(None)
+                        chunk["Timestamp"] = ts
                         yield chunk[["Timestamp", "Bid", "Ask"]]
 
     decoded = binaries.select("content").mapInPandas(decode, TICK_CSV_SCHEMA)

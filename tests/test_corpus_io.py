@@ -97,3 +97,23 @@ def test_jsonl_clean_reader_count_drops_malformed(spark, tmp_path):
     )
     df = read_documents_jsonl(spark, str(d))
     assert df.count() == 2 == len(df.collect())
+
+
+def test_jsonl_clean_reader_consistent_on_type_mismatch(spark, tmp_path):
+    """Review find (verified): DROPMALFORMED counted a type-mismatched
+    line ({"doc_id": "abc"}) that then vanished at materialization —
+    count() and collect() disagreed on the same frame. The PERMISSIVE +
+    required-field filter makes every plan see the same row set."""
+    d = tmp_path / "jl2"
+    d.mkdir()
+    (d / "p.json").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "not json at all\n"
+        '{"doc_id": "abc", "text": "bad id", "lang": "en", "source": "s", "n_chars": 6}\n'
+        '{"doc_id": 2, "text": "ok2", "lang": "en", "source": "s", "n_chars": 3}\n'
+    )
+    df = read_documents_jsonl(spark, str(d))
+    n_count = df.count()
+    n_rows = len(df.collect())
+    n_proj = df.select("doc_id").count()
+    assert n_count == n_rows == n_proj == 2

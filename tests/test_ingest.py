@@ -349,3 +349,33 @@ def test_zip_datasource_empty_glob_raises(spark, tmp_path):
         spark.read.format("exness_zip").option(
             "glob", f"{tmp_path}/none/*.zip"
         ).load().collect()
+
+
+def test_load_ticks_csv_failfast_on_malformed(spark, tmp_path):
+    """Review find: PERMISSIVE turned unparseable timestamps into
+    null-timestamp ticks that write-side dedup then collapsed; the
+    reference's pandas parse raises — so do we."""
+    p = tmp_path / "bad.csv"
+    p.write_text(
+        "Timestamp,Bid,Ask\n"
+        "2024-03-01 00:00:00.103,1.08001,1.08001\n"
+        "garbage-not-a-time,2.2,2.3\n"
+    )
+    with pytest.raises(Exception, match="(?i)malformed|failfast|cannot"):
+        load_ticks_csv(spark, str(p), "eurusd").collect()
+
+
+def test_load_ticks_zip_names_malformed_member(spark, tmp_path):
+    """Review find: one bad timestamp left an object column and .dt
+    raised an AttributeError naming neither archive nor member."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "EURUSD_2024_05.csv",
+            "Timestamp,Bid,Ask\n"
+            "2024-05-01 00:00:00.103,1.08,1.08\n"
+            "not-a-timestamp,1.09,1.09\n",
+        )
+    (tmp_path / "Exness_EURUSD_2024_05.zip").write_bytes(buf.getvalue())
+    with pytest.raises(Exception, match="EURUSD_2024_05.csv"):
+        load_ticks_zip(spark, f"{tmp_path}/*.zip", "eurusd").collect()

@@ -133,3 +133,34 @@ def test_fill_minute_gaps_cross_day_carry(spark):
     assert out[dt.datetime(2024, 1, 3, 0, 2)]["close_filled"] == 2.0
     # no row outside the span
     assert dt.datetime(2024, 1, 3, 0, 3) not in out
+
+
+def test_interval_floor_pre_epoch(spark):
+    """Review find (verified): Spark's % takes the dividend's sign, so
+    pre-epoch timestamps bucketed to the interval END; pmod floors both
+    eras like ClickHouse toStartOfInterval."""
+    import datetime as dt
+
+    from exness_data_preprocess_spark.functions.timefuncs import (
+        to_start_of_interval,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(1960, 1, 1, 0, 7, 0),),
+            (dt.datetime(2024, 1, 1, 0, 7, 0),),
+            (dt.datetime(1969, 12, 31, 23, 58, 0),),
+        ],
+        "ts timestamp",
+    )
+    got = [
+        r["b"]
+        for r in df.select(to_start_of_interval(F.col("ts"), 5).alias("b"))
+        .orderBy("b")
+        .collect()
+    ]
+    assert got == [
+        dt.datetime(1960, 1, 1, 0, 5, 0),
+        dt.datetime(1969, 12, 31, 23, 55, 0),
+        dt.datetime(2024, 1, 1, 0, 5, 0),
+    ]

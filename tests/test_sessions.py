@@ -113,3 +113,26 @@ def test_nyse_new_year_saturday_not_observed():
     assert dt.date(2023, 1, 2) in d2023  # Sun -> Mon observance intact
     d2024 = {d for d, _ in nyse_holidays(2024)}
     assert dt.date(2024, 1, 1) in d2024  # weekday New Year unchanged
+
+
+def test_xtks_close_extension_2024(spark):
+    """TSE extended its cash close 15:00 -> 15:30 JST on 2024-11-05
+    (review find: a static close mislabeled the extended half hour)."""
+    import datetime as dt
+
+    from exness_data_preprocess_spark.exchanges import EXCHANGES
+
+    cfg = EXCHANGES["xtks"]
+    assert cfg.close_on(dt.date(2024, 11, 1)) == (15, 0)
+    assert cfg.close_on(dt.date(2024, 11, 5)) == (15, 30)
+    assert cfg.close_on(dt.date(2026, 1, 5)) == (15, 30)
+
+    before = build_session_intervals(
+        spark, dt.date(2024, 11, 1), dt.date(2024, 11, 1)
+    ).filter("exchange = 'xtks'").first()
+    after = build_session_intervals(
+        spark, dt.date(2024, 11, 5), dt.date(2024, 11, 5)
+    ).filter("exchange = 'xtks'").first()
+    # JST = UTC+9: 15:00 -> 06:00 UTC, 15:30 -> 06:30 UTC
+    assert (before["close_utc"].hour, before["close_utc"].minute) == (6, 0)
+    assert (after["close_utc"].hour, after["close_utc"].minute) == (6, 30)
