@@ -1143,6 +1143,104 @@ def _cell_blocked_pairs_np(
     )
 
 
+def srp_banded_pairs(
+    df: DataFrame,
+    dim: int,
+    bands: int = 8,
+    planes_per_band: int = 8,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """High-threshold embedding near-dup pairs via banded SIGNED RANDOM
+    PROJECTION — the blocking family whose per-row cost is a CONSTANT
+    (bands × planes_per_band dot products), independent of corpus size:
+    the truly linear scale path for near-dup mining, complementing the
+    IVF cells (whose centroid-assign cost grows with the cell count).
+
+    SimHash for dense vectors (Charikar 2002): bit_j = sign⟨v, h_j⟩ over
+    fixed-seed hyperplane literals; two vectors collide in a band iff
+    all ``planes_per_band`` signs agree there, P = (1 − θ/π)^k per band
+    — at cos 0.999 per-band match ≈ 0.97, at cos 0.5 ≈ 0.08, so b bands
+    OR'd give near-total recall for true near-dups and tiny candidate
+    rates for unrelated pairs. Candidates verify against the EXACT
+    round-6 cosine, so precision is always exact; recall is the only
+    approximation (knobs: more bands ↑ recall, more planes/band ↓
+    candidates).
+
+    The planes are ``similarity.hyperplanes`` literals (rounded 6 dp)
+    and both engines fold the dot products in the same element order, so
+    sign bits — and therefore the candidate set — are bit-reproducible
+    in the DuckDB oracle. Same degenerate-bucket cap and id-only
+    candidate shuffle as :func:`minhash_lsh_pairs`.
+    """
+    from exness_data_preprocess_spark.operators.similarity import (
+        hyperplanes,
+        lsh_signature,
+    )
+
+    if bands < 1 or planes_per_band < 1:
+        raise ValueError("bands and planes_per_band must be positive")
+    planes = hyperplanes(dim, bands * planes_per_band, seed)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    base = df.select(
+        F.col(id_col).alias("id"), v.alias("v"), nrm.alias("nrm")
+    ).persist()
+    banded = base.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    lsh_signature(
+                        F.col("v"),
+                        planes[b * planes_per_band:(b + 1) * planes_per_band],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_sig"),
+    )
+    if max_bucket_size is not None:
+        counts = banded.groupBy("band_idx", "band_sig").count()
+        banded = banded.join(
+            counts.filter(F.col("count") <= max_bucket_size).drop("count"),
+            ["band_idx", "band_sig"],
+        )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_idx", "band_sig"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.join(
+        base.select(
+            F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+            F.col("nrm").alias("n_a"),
+        ),
+        "id_a",
+    ).join(
+        base.select(
+            F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+            F.col("nrm").alias("n_b"),
+        ),
+        "id_b",
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("n_a") * F.col("n_b")), 6)
+    return (
+        verified.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_cosine_pairs_auto(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -910,6 +910,7 @@ _DRIVER_PRIORITY = [
     "ohlc_resample_1d", "ohlc_resample_5m", "ohlc_resample_15m",
     "ohlc_resample_30m", "ngram_novelty", "doc_entropy", "oov_rate",
     "source_overlap", "dedup_embedding_cosine_ivf_trained",
+    "dedup_embedding_cosine_srp",
     # round-5-touched paths worth a fresh driver check
     "dedup_embedding_cosine_ivf", "multimodal_features",
     "blocklist_filter",

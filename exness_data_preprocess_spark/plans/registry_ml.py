@@ -1138,6 +1138,81 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# SRP-banded embedding near-dup pairs (constant-cost blocking)
+# ---------------------------------------------------------------------------
+# knobs tuned to the fixture's cosine mass (max pairwise cos ~0.55):
+# 4 planes/band keeps per-band match P=(1-theta/pi)^4 high enough that 8
+# bands recover ~75% of >=0.4 pairs — a REAL candidate set to verify,
+# not a vacuous 0-row match. Production near-dup corpora (cos >= 0.9+)
+# would run 8+ planes/band for sharper buckets.
+_SRP_BANDS, _SRP_PPB, _SRP_T, _SRP_CAP = 8, 4, 0.4, 1000
+
+
+def q_dedup_embedding_cosine_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.operators.dedup import srp_banded_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return srp_banded_pairs(
+        emb,
+        dim=64,
+        bands=_SRP_BANDS,
+        planes_per_band=_SRP_PPB,
+        threshold=_SRP_T,
+        max_bucket_size=_SRP_CAP,
+    )
+
+
+def _srp_oracle() -> str:
+    """Banded sign-bit pair oracle: the same fixed-seed hyperplane
+    literals, the same left-to-right fold, the same bucket cap — so the
+    candidate set (not just the verified values) is bit-reproducible."""
+    from exness_data_preprocess_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, _SRP_BANDS * _SRP_PPB, seed=42)
+
+    def band_sig(b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+            f"i -> v[i] * ([{', '.join(repr(x) for x in plane)}])[i])) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j, plane in enumerate(
+                planes[b * _SRP_PPB:(b + 1) * _SRP_PPB]
+            )
+        )
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, v, nrm, {b} AS band_idx, ({band_sig(b)}) AS band_sig "
+        "FROM n"
+        for b in range(_SRP_BANDS)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+), banded_all AS (
+  {band_rows}
+), kept AS (
+  SELECT * FROM banded_all
+  QUALIFY count(*) OVER (PARTITION BY band_idx, band_sig) <= {_SRP_CAP}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+   AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_sum(list_transform(generate_series(1, 64),
+                                     i -> x.v[i] * y.v[i]))
+             / (x.nrm * y.nrm), 6) AS cosine
+FROM cand c JOIN n x ON x.vec_id = c.id_a JOIN n y ON y.vec_id = c.id_b
+WHERE round(list_sum(list_transform(generate_series(1, 64),
+                                    i -> x.v[i] * y.v[i]))
+            / (x.nrm * y.nrm), 6) >= {_SRP_T}
+"""
+
+
 def build_ml_queries() -> dict:
     """name → (spark_fn, oracle_sql_or_None, description)."""
     return {
@@ -1222,4 +1297,8 @@ def build_ml_queries() -> dict:
         "source_overlap": (q_source_overlap, ORACLE_SOURCE_OVERLAP,
                            "pairwise source shared-3-gram matrix "
                            "(provenance / mirrored-corpus audit)"),
+        "dedup_embedding_cosine_srp": (
+            q_dedup_embedding_cosine_srp, _srp_oracle(),
+            "banded signed-random-projection near-dup pairs "
+            "(constant-cost blocking, exact round-6 verify)"),
     }

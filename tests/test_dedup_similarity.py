@@ -742,6 +742,54 @@ def test_embedding_cosine_ivf_blocking(spark):
         assert v == unblocked[k]
 
 
+def test_srp_banded_pairs_subset_of_exact_with_high_recall(spark):
+    """SRP blocking: every emitted pair is a true >=threshold pair with
+    the exact round-6 cosine; on a near-dup fixture (cos ~0.999) recall
+    is near-total because per-band sign-match probability is ~0.97^k."""
+    import math
+    import random
+
+    from exness_data_preprocess_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        srp_banded_pairs,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    vid = 0
+    for c in range(15):
+        center = [rng.uniform(-1, 1) for _ in range(16)]
+        nc = math.sqrt(sum(x * x for x in center))
+        center = [x / nc for x in center]
+        for _ in range(4):  # 4 near-copies per family, cos ~0.999
+            rows.append(
+                (vid, [x + rng.gauss(0, 0.01) for x in center])
+            )
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    truth = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(
+            df, block_col=None, threshold=0.98, allow_full_compare=True
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in srp_banded_pairs(
+            df, dim=16, bands=8, planes_per_band=8, threshold=0.98
+        ).collect()
+    }
+    assert set(got) <= set(truth)
+    for k, v in got.items():
+        assert v == truth[k]  # exact verify, same rounding
+    assert len(got) >= 0.9 * len(truth)  # near-dup recall
+    assert len(truth) >= 15 * 6 * 0.9  # fixture sanity
+
+    with pytest.raises(ValueError, match="positive"):
+        srp_banded_pairs(df, dim=16, bands=0)
+
+
 def test_embedding_cosine_pairs_centroids_string_ids(spark):
     """The Arrow kernels must carry non-bigint id columns (review find:
     a hard-coded `id long` schema broke what the expression path
