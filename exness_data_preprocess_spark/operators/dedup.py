@@ -1143,11 +1143,16 @@ def _cell_blocked_pairs_np(
     )
 
 
+#: width of the always-computed SRP signature; band keys mask its low
+#: planes_per_band bits (constant hash cost, scalable bucket count)
+_SRP_MAX_BITS = 16
+
+
 def srp_banded_pairs(
     df: DataFrame,
-    dim: int,
+    dim: int | None = None,
     bands: int = 8,
-    planes_per_band: int = 8,
+    planes_per_band: int | None = None,
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -1162,82 +1167,136 @@ def srp_banded_pairs(
 
     SimHash for dense vectors (Charikar 2002): bit_j = sign⟨v, h_j⟩ over
     fixed-seed hyperplane literals; two vectors collide in a band iff
-    all ``planes_per_band`` signs agree there, P = (1 − θ/π)^k per band
-    — at cos 0.999 per-band match ≈ 0.97, at cos 0.5 ≈ 0.08, so b bands
-    OR'd give near-total recall for true near-dups and tiny candidate
-    rates for unrelated pairs. Candidates verify against the EXACT
-    round-6 cosine, so precision is always exact; recall is the only
-    approximation (knobs: more bands ↑ recall, more planes/band ↓
-    candidates).
+    the low ``planes_per_band`` sign bits agree there, P = (1 − θ/π)^k
+    per band — at cos 0.999 per-band match ≈ 0.98^k, at cos 0.5 ≈
+    0.67^k, so ``bands`` OR'd bands give near-total recall for true
+    near-dups and tiny candidate rates for unrelated pairs. Candidates
+    verify against the EXACT round-6 cosine, so precision is always
+    exact; recall is the only approximation.
 
-    The planes are ``similarity.hyperplanes`` literals (rounded 6 dp)
-    and both engines fold the dot products in the same element order, so
-    sign bits — and therefore the candidate set — are bit-reproducible
-    in the DuckDB oracle. Same degenerate-bucket cap and id-only
-    candidate shuffle as :func:`minhash_lsh_pairs`.
+    Scale mechanics (round-5 measured): the signature is ALWAYS
+    ``_SRP_MAX_BITS`` bits per band — one Arrow-batched BLAS matmul, a
+    constant per-row cost — and the band key masks its low
+    ``planes_per_band`` bits. Random-direction mass puts ~n²/2^k
+    candidate pairs per band behind a k-bit key, so k defaults to
+    clamp(⌈log2 n⌉ − 5, 4, 16): bucket count grows with the corpus and
+    candidates/row stay constant, while the mask gives the DuckDB
+    oracle a closed form (full-width sig ``% (1 << k)`` with k derived
+    from ``count(*)`` in SQL). Dots are round-6-ed before the sign, so
+    BLAS-vs-fold differences (~1e-13, far below the 5e-7 step) never
+    flip a bit — the candidate SET is bit-reproducible cross-engine.
+    Same degenerate-bucket cap and id-only candidate shuffle as
+    :func:`minhash_lsh_pairs`.
     """
-    from exness_data_preprocess_spark.operators.similarity import (
-        hyperplanes,
-        lsh_signature,
-    )
+    import math
 
-    if bands < 1 or planes_per_band < 1:
+    import numpy as np
+    import pandas as pd
+
+    from exness_data_preprocess_spark.operators.similarity import hyperplanes
+
+    if bands < 1:
         raise ValueError("bands and planes_per_band must be positive")
-    planes = hyperplanes(dim, bands * planes_per_band, seed)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    base = df.select(
-        F.col(id_col).alias("id"), v.alias("v"), nrm.alias("nrm")
-    ).persist()
-    banded = base.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    lsh_signature(
-                        F.col("v"),
-                        planes[b * planes_per_band:(b + 1) * planes_per_band],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_sig"),
-    )
-    if max_bucket_size is not None:
-        counts = banded.groupBy("band_idx", "band_sig").count()
-        banded = banded.join(
-            counts.filter(F.col("count") <= max_bucket_size).drop("count"),
-            ["band_idx", "band_sig"],
+    if planes_per_band is not None and planes_per_band < 1:
+        raise ValueError("bands and planes_per_band must be positive")
+    if dim is None:
+        # bounded probe: hyperplanes MUST match the vector width — a
+        # mismatched dim makes every dot degenerate and the whole corpus
+        # lands in one (capped) bucket: silently zero candidates
+        first = df.select(vec_col).first()
+        if first is None:
+            raise ValueError("srp_banded_pairs: empty frame, cannot infer dim")
+        dim = len(first[0])
+    if planes_per_band is None:
+        # Bucket-count scaling law: random-direction mass puts ~n²/2^k
+        # candidate pairs per band behind a k-bit signature, so k must
+        # grow like log2(n) for candidates/row to stay CONSTANT.
+        # k = clamp(ceil(log2 n) − 5, 4, 16) targets ~32 rows/bucket.
+        n = df.count()
+        planes_per_band = min(
+            _SRP_MAX_BITS, max(4, math.ceil(math.log2(max(n, 2))) - 5)
         )
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band_idx", "band_sig"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    if planes_per_band > _SRP_MAX_BITS:
+        raise ValueError(f"planes_per_band must be <= {_SRP_MAX_BITS}")
+    # a CONSTANT _SRP_MAX_BITS-bit signature is always computed (one
+    # BLAS matmul per Arrow batch); the band key is its low
+    # planes_per_band bits — masking keeps the per-row cost fixed while
+    # the bucket count scales, and gives the SQL oracle a closed form
+    # (sig % (1 << k))
+    planes = hyperplanes(dim, bands * _SRP_MAX_BITS, seed)
+    P = np.asarray(planes, dtype=np.float64)  # (bands*MAX_BITS, dim)
+    mask = (1 << planes_per_band) - 1
+    id_ddl = df.schema[id_col].dataType.simpleString()
+
+    def signatures(batches):
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+            )
+            # round-6 before sign: BLAS vs sequential-fold differences
+            # are ~1e-13, far below the 5e-7 rounding step, so the sign
+            # bits match the SQL oracle's round-then-compare bit-for-bit
+            D = np.round(X @ P.T, 6)  # (m, bands*MAX_BITS)
+            bits = (D >= 0).astype(np.int64)
+            m = len(pdf)
+            weights = 1 << np.arange(_SRP_MAX_BITS, dtype=np.int64)
+            sigs = (
+                bits.reshape(m, bands, _SRP_MAX_BITS) * weights
+            ).sum(axis=2) & mask  # (m, bands)
+            out_ids = np.repeat(pdf["id"].to_numpy(), bands)
+            yield pd.DataFrame(
+                {
+                    "id": out_ids,
+                    "band_idx": np.tile(
+                        np.arange(bands, dtype=np.int32), m
+                    ),
+                    "band_sig": sigs.reshape(-1),
+                    "v": np.repeat(pdf["v"].to_numpy(), bands),
+                }
+            )
+
+    # Bucket-LOCAL verify (one applyInPandas per (band_idx, band_sig)
+    # group): vectors shuffle ONCE per (row, band) — n·bands rows —
+    # instead of once per candidate pair (a candidate-join carried both
+    # full vectors per pair: ~30x more bytes at the 30x rung). The cap
+    # is enforced inside the kernel (the group IS the bucket), the
+    # within-bucket pairwise X@X.T is one BLAS call, and the global
+    # dropDuplicates runs on the (tiny) verified survivors — every
+    # band that finds the same pair computes the identical round-6
+    # cosine, so keep-any is deterministic.
+    def bucket_pairs(key, pdf):
+        m = len(pdf)
+        if m < 2 or (max_bucket_size is not None and m > max_bucket_size):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+        )[order]
+        nrm = np.linalg.norm(X, axis=1)
+        G = np.round((X @ X.T) / np.outer(nrm, nrm), 6)
+        iu, ju = np.triu_indices(m, k=1)
+        keep = G[iu, ju] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "cosine": G[iu, ju][keep],
+            }
+        )
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("id"), v.alias("v"))
+    banded = base.mapInPandas(
+        signatures, f"id {id_ddl}, band_idx int, band_sig long, v array<double>"
     )
-    verified = cand.join(
-        base.select(
-            F.col("id").alias("id_a"), F.col("v").alias("v_a"),
-            F.col("nrm").alias("n_a"),
-        ),
-        "id_a",
-    ).join(
-        base.select(
-            F.col("id").alias("id_b"), F.col("v").alias("v_b"),
-            F.col("nrm").alias("n_b"),
-        ),
-        "id_b",
-    )
-    dot = F.aggregate(
-        F.zip_with("v_a", "v_b", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = F.round(dot / (F.col("n_a") * F.col("n_b")), 6)
     return (
-        verified.select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        banded.groupBy("band_idx", "band_sig")
+        .applyInPandas(
+            bucket_pairs, f"id_a {id_ddl}, id_b {id_ddl}, cosine double"
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

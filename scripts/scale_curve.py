@@ -63,6 +63,7 @@ QUERY_TABLE = {
     "dedup_embedding_cosine": "embeddings",
     "dedup_embedding_cosine_ivf": "embeddings",
     "dedup_embedding_cosine_ivf_trained": "embeddings",
+    "dedup_embedding_cosine_srp": "embeddings",
     "pq_ann_adc": "embeddings",
     "ann_lsh_bucketed": "embeddings",
     "ann_ivf_topk": "embeddings",
@@ -125,6 +126,7 @@ NATURAL_QUERIES = [
     "dedup_exact_substring",
     "dedup_embedding_cosine_ivf",
     "dedup_embedding_cosine_ivf_trained",
+    "dedup_embedding_cosine_srp",
 ]
 WARM_DIR = "/root/testdata/sf0.001"
 

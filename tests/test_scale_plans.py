@@ -158,6 +158,7 @@ PYTHON_OK = {
     "video_frame_sample",
     "dedup_embedding_cosine_ivf",
     "dedup_embedding_cosine_ivf_trained",
+    "dedup_embedding_cosine_srp",  # BLAS signature matmul per batch
 }
 STREAMING = {"streaming_ohlc_1m", "streaming_gap_sessions"}
 _PY_MARKERS = (
