@@ -42,21 +42,30 @@ def get_data_coverage(
 ) -> CoverageInfo:
     """Assemble CoverageInfo (clickhouse_query_engine.py:279-375)."""
     inst = instrument.upper()
-    counts = tagged_union_counts(raw, std, inst).first()
-    raw_count = counts["raw_count"] if counts else 0
-    std_count = counts["std_count"] if counts else 0
+    # ONE aggregate pass over the raw table returns count+min+max
+    # together (review find: a tagged-union count job plus a separate
+    # min/max job doubled the dominant raw scan; tagged_union_counts
+    # remains the oracle-checked operator for its own registry query)
+    rng = (
+        raw.filter(F.col("instrument") == inst)
+        .agg(
+            F.count("*").alias("n"),
+            F.min("timestamp").alias("earliest"),
+            F.max("timestamp").alias("latest"),
+        )
+        .first()
+    )
+    raw_count = rng["n"] if rng else 0
+    std_count = std.filter(F.col("instrument") == inst).count()
 
     ohlc_count = 0
     if ohlc is not None:
         ohlc_count = ohlc.filter(F.col("instrument") == inst).count()
 
-    rng = (
-        raw.filter(F.col("instrument") == inst)
-        .agg(F.min("timestamp").alias("earliest"), F.max("timestamp").alias("latest"))
-        .first()
-    )
     earliest = rng["earliest"] if rng else None
     latest = rng["latest"] if rng else None
+    # timedelta.days truncation is DELIBERATE reference parity
+    # (clickhouse_query_engine.py:356 computes exactly this)
     date_range_days = (latest - earliest).days if earliest and latest else 0
 
     return CoverageInfo(

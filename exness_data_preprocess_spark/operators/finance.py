@@ -69,12 +69,22 @@ def twap_hourly(
     hour = F.date_trunc("hour", F.col(ts_col))
     ts_us = F.unix_micros(F.col(ts_col))
     w = Window.partitionBy(key_col, "bucket_hour").orderBy("ts_us", "tie")
-    e = df.select(
-        F.col(key_col),
-        hour.alias("bucket_hour"),
-        ts_us.alias("ts_us"),
-        F.col(tie_col).alias("tie"),
-        F.col(value_col).cast("decimal(18,6)").alias("v"),
+    e = (
+        df
+        # NULL-valued observations are excluded BEFORE the lead()
+        # duration assignment (review find): kept in, they contributed
+        # holding time to the denominator but nothing to the weighted
+        # sum — silently deflating the TWAP — and truncated the
+        # previous observation's holding period. Filtering first makes
+        # the previous value correctly hold across the gap.
+        .filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col),
+            hour.alias("bucket_hour"),
+            ts_us.alias("ts_us"),
+            F.col(tie_col).alias("tie"),
+            F.col(value_col).cast("decimal(18,6)").alias("v"),
+        )
     )
     e = e.withColumn(
         "dur_us",

@@ -34,7 +34,10 @@ import datetime as dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from exness_data_preprocess_spark.exchanges import EXCHANGES
+from exness_data_preprocess_spark.exchanges import (
+    EXCHANGES,
+    SESSION_FLAG_COLUMNS,
+)
 from exness_data_preprocess_spark.functions.timefuncs import (
     hour_in_tz,
     london_session_label,
@@ -120,14 +123,21 @@ def generate_ohlc_1m(
         if lo is None:
             # Empty input: return empty with the right shape.
             lo = hi = dt.datetime(1970, 1, 1)
-        start, end = lo.date(), hi.date()
+        # Pad the dim range one LOCAL day both ways (review find): a
+        # UTC-ahead exchange's next local trading day opens before UTC
+        # midnight (NZX's Jan-9 session starts 21:00 UTC Jan 8), so dims
+        # ending at the max UTC tick date zeroed the session flags for
+        # the final UTC hours; symmetrically, a UTC-behind venue's prior
+        # local day covers the first hours.
+        start = lo.date() - dt.timedelta(days=1)
+        end = hi.date() + dt.timedelta(days=1)
         if holiday_dim is None:
             holiday_dim = build_holiday_dim(spark, start, end)
         if minutes_dim is None:
             minutes_dim = build_trading_minutes_dim(spark, start, end)
 
     enriched = enrich_with_sessions(bars, holiday_dim, minutes_dim)
-    flag_cols = [f"is_{n}_session" for n in EXCHANGES]
+    flag_cols = SESSION_FLAG_COLUMNS
     return enriched.select(
         "instrument",
         "timestamp",

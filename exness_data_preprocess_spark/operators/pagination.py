@@ -42,7 +42,13 @@ def paginate_keyset(
     """
     page = df
     if cursor is not None:
-        page = page.filter(F.col(order_col) > F.lit(cursor).cast("timestamp"))
+        # cast the cursor to the ORDER column's own type (review find: a
+        # hard-coded timestamp cast broke pagination on any non-timestamp
+        # sort column under ANSI mode)
+        page = page.filter(
+            F.col(order_col)
+            > F.lit(cursor).cast(df.schema[order_col].dataType)
+        )
     rows = (
         page.orderBy(order_col)
         .limit(page_size + 1)

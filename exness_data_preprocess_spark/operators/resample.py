@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from exness_data_preprocess_spark.exchanges import EXCHANGES
+from exness_data_preprocess_spark.exchanges import SESSION_FLAG_COLUMNS
 from exness_data_preprocess_spark.functions.timefuncs import (
     null_safe_ratio,
     to_start_of_interval,
@@ -29,7 +29,7 @@ _FLAG_COLS = [
     "is_us_holiday",
     "is_uk_holiday",
     "is_major_holiday",
-    *[f"is_{n}_session" for n in EXCHANGES],
+    *SESSION_FLAG_COLUMNS,
 ]
 
 

@@ -40,7 +40,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from exness_data_preprocess_spark.exchanges import EXCHANGES
+from exness_data_preprocess_spark.exchanges import (
+    EXCHANGES,
+    SESSION_FLAG_COLUMNS,
+)
 
 try:  # pragma: no cover - optional dependency, absent in this container
     import exchange_calendars as _xcals  # noqa: F401
@@ -117,7 +120,43 @@ def nyse_holidays(year: int) -> list[tuple[dt.date, str]]:
         out.append((_observed_us(ny), "New Year's Day"))
     if year >= 2022:
         out.append((_observed_us(dt.date(year, 6, 19)), "Juneteenth"))
+    out.extend(NYSE_ONE_OFF.get(year, []))
     return sorted(out)
+
+
+# One-off NYSE closures the RULES cannot derive (review find: the
+# "exact public schedule" claim needs them). Public knowledge, scoped
+# to the modern era this engine serves data for.
+NYSE_ONE_OFF: dict[int, list[tuple[dt.date, str]]] = {
+    2025: [(dt.date(2025, 1, 9), "National Day of Mourning (Carter)")],
+    2018: [(dt.date(2018, 12, 5), "National Day of Mourning (Bush)")],
+    2012: [
+        (dt.date(2012, 10, 29), "Hurricane Sandy"),
+        (dt.date(2012, 10, 30), "Hurricane Sandy"),
+    ],
+}
+
+# UK bank-holiday amendments the rules cannot derive: royal one-offs
+# and PROCLAIMED moves of rule-derived holidays (the moved source date
+# was a normal trading day). (year -> (added, removed-rule-dates))
+UK_ONE_OFF: dict[int, tuple[list[tuple[dt.date, str]], list[dt.date]]] = {
+    2020: (
+        [(dt.date(2020, 5, 8), "Early May Bank Holiday (VE Day move)")],
+        [dt.date(2020, 5, 4)],  # rule's first-Monday May was a trading day
+    ),
+    2022: (
+        [
+            (dt.date(2022, 6, 2), "Spring Bank Holiday (moved)"),
+            (dt.date(2022, 6, 3), "Platinum Jubilee"),
+            (dt.date(2022, 9, 19), "State Funeral of Queen Elizabeth II"),
+        ],
+        [dt.date(2022, 5, 30)],  # rule's last-Monday May was a trading day
+    ),
+    2023: (
+        [(dt.date(2023, 5, 8), "Coronation of King Charles III")],
+        [],
+    ),
+}
 
 
 def _observed_uk(d: dt.date) -> dt.date:
@@ -128,22 +167,52 @@ def _observed_uk(d: dt.date) -> dt.date:
 
 
 def lse_holidays(year: int) -> list[tuple[dt.date, str]]:
-    """LSE full-day closures (public UK bank-holiday schedule)."""
+    """LSE full-day closures (public UK bank-holiday schedule, including
+    proclaimed moves and royal one-offs — review find)."""
     easter = _easter_sunday(year)
     xmas = _observed_uk(dt.date(year, 12, 25))
     boxing = _observed_uk(xmas + dt.timedelta(days=1))
-    return sorted(
-        [
-            (_observed_uk(dt.date(year, 1, 1)), "New Year's Day"),
-            (easter - dt.timedelta(days=2), "Good Friday"),
-            (easter + dt.timedelta(days=1), "Easter Monday"),
-            (_nth_weekday(year, 5, 0, 1), "Early May Bank Holiday"),
-            (_last_weekday(year, 5, 0), "Spring Bank Holiday"),
-            (_last_weekday(year, 8, 0), "Summer Bank Holiday"),
-            (xmas, "Christmas Day"),
-            (boxing, "Boxing Day"),
-        ]
-    )
+    out = [
+        (_observed_uk(dt.date(year, 1, 1)), "New Year's Day"),
+        (easter - dt.timedelta(days=2), "Good Friday"),
+        (easter + dt.timedelta(days=1), "Easter Monday"),
+        (_nth_weekday(year, 5, 0, 1), "Early May Bank Holiday"),
+        (_last_weekday(year, 5, 0), "Spring Bank Holiday"),
+        (_last_weekday(year, 8, 0), "Summer Bank Holiday"),
+        (xmas, "Christmas Day"),
+        (boxing, "Boxing Day"),
+    ]
+    added, removed = UK_ONE_OFF.get(year, ([], []))
+    out = [(d, n) for d, n in out if d not in removed]
+    out.extend(added)
+    return sorted(out)
+
+
+def early_closes(exchange: str, year: int) -> dict[dt.date, tuple[int, int]]:
+    """Scheduled half-day closes, local time (review find: without them
+    the afternoon minutes of short sessions were flagged in-session).
+
+    Public schedules: NYSE closes 13:00 ET on July 3 (when a weekday and
+    July 4 is the observed holiday), the day after Thanksgiving, and
+    Christmas Eve (when a weekday); LSE closes 12:30 on Dec 24 and
+    Dec 31 (when weekdays). Other registry venues keep full sessions
+    (callers may supply richer tables the same way as holidays).
+    """
+    out: dict[dt.date, tuple[int, int]] = {}
+    if exchange == "nyse":
+        jul3 = dt.date(year, 7, 3)
+        if jul3.weekday() < 5 and dt.date(year, 7, 4).weekday() < 5:
+            out[jul3] = (13, 0)
+        thanksgiving = _nth_weekday(year, 11, 3, 4)
+        out[thanksgiving + dt.timedelta(days=1)] = (13, 0)
+        xmas_eve = dt.date(year, 12, 24)
+        if xmas_eve.weekday() < 5 and dt.date(year, 12, 25).weekday() < 5:
+            out[xmas_eve] = (13, 0)
+    elif exchange == "lse":
+        for d in (dt.date(year, 12, 24), dt.date(year, 12, 31)):
+            if d.weekday() < 5:
+                out[d] = (12, 30)
+    return out
 
 
 def holidays_for_exchange(exchange: str, year: int) -> list[tuple[dt.date, str]]:
@@ -245,6 +314,9 @@ def build_session_intervals(
     for name, cfg in EXCHANGES.items():
         tz = ZoneInfo(cfg.timezone)
         hol = {d for d, _ in _years_holidays(name, start, end)}
+        early: dict[dt.date, tuple[int, int]] = {}
+        for y in range(start.year, end.year + 1):
+            early.update(early_closes(name, y))
         d = start
         while d <= end:
             if d.weekday() < 5 and d not in hol:
@@ -252,8 +324,11 @@ def build_session_intervals(
                     d.year, d.month, d.day, cfg.open_hour, cfg.open_minute, tzinfo=tz
                 )
                 # close may carry dated amendments (TSE 15:00 → 15:30 on
-                # 2024-11-05) — resolve per local date
+                # 2024-11-05) and scheduled HALF-DAY closes — resolve
+                # per local date, earliest wins
                 c_h, c_m = cfg.close_on(d)
+                if d in early:
+                    c_h, c_m = early[d]
                 close_local = dt.datetime(
                     d.year, d.month, d.day, c_h, c_m, tzinfo=tz
                 )
@@ -341,10 +416,16 @@ def enrich_with_sessions(
     (clickhouse_ohlc_generator.py:217-329) with two map-side joins in the
     same plan — zero extra shuffles on the bar side.
     """
-    flag_cols = [f"is_{n}_session" for n in EXCHANGES]
+    flag_cols = SESSION_FLAG_COLUMNS
+    # rename the dim's join column before joining (review find: a bare
+    # drop("date") after the join removed a caller-supplied bar column
+    # of the same name along with the dim's)
+    hol = holiday_dim.withColumnRenamed("date", "__hol_date")
     out = bars.withColumn("__date", F.to_date(F.col(ts_col)))
-    out = out.join(F.broadcast(holiday_dim), out["__date"] == holiday_dim["date"], "left")
-    out = out.drop("date", "__date")
+    out = out.join(
+        F.broadcast(hol), out["__date"] == hol["__hol_date"], "left"
+    )
+    out = out.drop("__hol_date", "__date")
     out = out.join(
         F.broadcast(minutes_dim), out[ts_col] == minutes_dim["minute_ts"], "left"
     ).drop("minute_ts")

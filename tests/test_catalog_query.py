@@ -459,3 +459,20 @@ def test_processor_estimate_download_size(proc):
 def test_processor_estimate_rejects_reversed_range(proc):
     with pytest.raises(ValueError, match="after"):
         proc.estimate_download_size("EURUSD", "2024-03-01", "2024-01-01")
+
+
+def test_keyset_pagination_non_timestamp_column(spark):
+    """Review find: the cursor was hard-cast to timestamp regardless of
+    order_col, breaking pagination on any other sort column."""
+    from exness_data_preprocess_spark.operators.pagination import (
+        paginate_keyset,
+    )
+
+    df = spark.range(0, 25).withColumnRenamed("id", "event_id")
+    page1 = paginate_keyset(df, None, 10, order_col="event_id")
+    assert len(page1.data) == 10 and page1.has_more
+    page2 = paginate_keyset(df, page1.next_cursor, 10, order_col="event_id")
+    assert list(page2.data["event_id"]) == list(range(10, 20))
+    page3 = paginate_keyset(df, page2.next_cursor, 10, order_col="event_id")
+    assert list(page3.data["event_id"]) == list(range(20, 25))
+    assert not page3.has_more

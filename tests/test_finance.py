@@ -128,3 +128,25 @@ def test_corr_perfect_anticorrelation(spark):
     df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
     out = hourly_count_corr_daily(df).collect()
     assert math.isclose(out[0]["corr_ab"], -1.0)
+
+
+def test_twap_null_values_do_not_deflate(spark):
+    """Review find: a NULL-valued observation contributed holding time to
+    the denominator but nothing to the weighted sum. It must be excluded
+    BEFORE duration assignment so the prior value holds across the gap."""
+    import datetime as dt
+
+    from exness_data_preprocess_spark.operators.finance import twap_hourly
+
+    rows = [
+        (1, "a", dt.datetime(2024, 1, 1, 10, 0, 0), 2.0),
+        (2, "a", dt.datetime(2024, 1, 1, 10, 30, 0), None),
+        (3, "a", dt.datetime(2024, 1, 1, 10, 45, 0), 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    out = twap_hourly(df).first()
+    # value 2.0 holds 10:00->10:45 (45 min), 4.0 holds 10:45->11:00 (15)
+    assert float(out["twap"]) == (2.0 * 45 + 4.0 * 15) / 60
+    assert out["n_events"] == 2

@@ -136,3 +136,63 @@ def test_xtks_close_extension_2024(spark):
     # JST = UTC+9: 15:00 -> 06:00 UTC, 15:30 -> 06:30 UTC
     assert (before["close_utc"].hour, before["close_utc"].minute) == (6, 0)
     assert (after["close_utc"].hour, after["close_utc"].minute) == (6, 30)
+
+
+def test_uk_one_off_closures_2022(spark):
+    """Review find: proclaimed moves and royal one-offs are closures the
+    rules can't derive — 2022 is the richest year."""
+    from exness_data_preprocess_spark.operators.sessions import lse_holidays
+
+    days = {d for d, _ in lse_holidays(2022)}
+    assert dt.date(2022, 6, 2) in days     # Spring Bank moved
+    assert dt.date(2022, 6, 3) in days     # Platinum Jubilee
+    assert dt.date(2022, 9, 19) in days    # State Funeral
+    assert dt.date(2022, 5, 30) not in days  # LSE traded that Monday
+    days20 = {d for d, _ in lse_holidays(2020)}
+    assert dt.date(2020, 5, 8) in days20 and dt.date(2020, 5, 4) not in days20
+    days23 = {d for d, _ in lse_holidays(2023)}
+    assert dt.date(2023, 5, 8) in days23
+
+
+def test_nyse_one_off_closures(spark):
+    from exness_data_preprocess_spark.operators.sessions import nyse_holidays
+
+    assert dt.date(2025, 1, 9) in {d for d, _ in nyse_holidays(2025)}
+    assert dt.date(2012, 10, 29) in {d for d, _ in nyse_holidays(2012)}
+
+
+def test_nyse_early_close_day_after_thanksgiving(spark):
+    """Review find: half-day sessions closed at the regular time, so
+    afternoon minutes of short sessions were flagged in-session."""
+    iv = build_session_intervals(
+        spark, dt.date(2024, 11, 29), dt.date(2024, 11, 29)
+    ).filter("exchange = 'nyse'").first()
+    # 13:00 ET = 18:00 UTC (EST)
+    assert (iv["close_utc"].hour, iv["close_utc"].minute) == (18, 0)
+    # LSE Dec 24 2024 closes 12:30 local
+    lse = build_session_intervals(
+        spark, dt.date(2024, 12, 24), dt.date(2024, 12, 24)
+    ).filter("exchange = 'lse'").first()
+    assert (lse["close_utc"].hour, lse["close_utc"].minute) == (12, 30)
+
+
+def test_enrich_preserves_caller_date_column(spark):
+    """Review find: drop('date') after the holiday join also removed a
+    caller-supplied bar column named 'date'."""
+    from exness_data_preprocess_spark.operators.sessions import (
+        build_holiday_dim,
+        build_trading_minutes_dim,
+        enrich_with_sessions,
+    )
+
+    bars = spark.createDataFrame(
+        [("EURUSD", dt.datetime(2024, 1, 8, 15, 0), dt.date(2024, 1, 8))],
+        "instrument string, timestamp timestamp, date date",
+    )
+    hol = build_holiday_dim(spark, dt.date(2024, 1, 1), dt.date(2024, 1, 31))
+    mins = build_trading_minutes_dim(
+        spark, dt.date(2024, 1, 8), dt.date(2024, 1, 8)
+    )
+    out = enrich_with_sessions(bars, hol, mins)
+    assert "date" in out.columns
+    assert out.first()["date"] == dt.date(2024, 1, 8)
