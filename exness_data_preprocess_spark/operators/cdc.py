@@ -61,5 +61,11 @@ def apply_cdc(
     unchanged = base.join(
         latest.select(*key_cols), list(key_cols), "left_anti"
     )
-    upserts = latest.filter(F.col("_op") != delete_op).drop("_op")
+    # null-safe inequality (review find): a NULL op made `!=` evaluate
+    # NULL, dropping the row from upserts while the anti-join still
+    # removed its key from base — a silent delete, contradicting the
+    # "any op other than delete_op is an upsert" contract
+    upserts = latest.filter(
+        ~F.col("_op").eqNullSafe(F.lit(delete_op))
+    ).drop("_op")
     return unchanged.unionByName(upserts)

@@ -52,17 +52,38 @@ def connected_components(
     Returns ``(id_col, component)`` with ``component`` = min id of the
     connected component.  Deterministic — safe under the value-hash oracle.
     """
-    # Symmetrize once; only ids travel through the loop.
+    # Symmetrize once; only ids travel through the loop. Partitioned on
+    # the per-round JOIN key (review find: a repartition on 'src' never
+    # satisfied the neighbor join, which keys on 'dst' — the cached
+    # layout was useless and every round re-shuffled the full edge list).
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
     )
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.repartition("src").persist()
+    sym = sym.repartition("dst").persist()
 
     labels = vertices.select(
         F.col(id_col).cast("long").alias("id"), F.col(id_col).cast("long").alias("comp")
     )
+    # min-label propagation needs NUMERIC ids. Under ANSI mode a
+    # non-numeric id would eventually fail the main cast mid-loop with a
+    # raw CAST_INVALID_INPUT; under non-ANSI configs it would cast to
+    # NULL silently, the Σcomp probe would return NULL, and None == None
+    # would "converge" on round 1 with all-NULL components —
+    # canonical_docs then drops EVERY document (review find). One
+    # bounded try_cast probe raises the contract violation up front in
+    # both configurations.
+    bad = vertices.filter(
+        F.col(id_col).isNotNull()
+        & F.col(id_col).try_cast("long").isNull()
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"connected_components requires numeric ids; {id_col!r} has "
+            "values that do not cast to long (map string ids to dense "
+            "longs first)"
+        )
 
     # Convergence probe: every per-row label is the least() of candidates
     # that include the row's own label, so labels are monotonically

@@ -69,21 +69,18 @@ def interval_join(
     residual = F.col(ts_col).between(F.col(start_col), F.col(end_col))
     if how == "inner":
         return b_pts.join(b_iv, "__bkt").filter(residual).drop("__bkt")
-    # left: inner core + anti-joined leftovers, avoids the nested-loop
-    # left-join Spark would otherwise plan for a range predicate.
-    core = b_pts.join(b_iv, "__bkt").filter(residual).drop("__bkt")
-    matched = core.select(*points.columns).dropDuplicates(points.columns)
-    # NULL-SAFE anti-join (review find): a name-list anti-join uses
-    # null-unsafe equality, so a matched point carrying a NULL payload
-    # column would fail to match itself and be emitted a second time as
-    # a spurious NULL-interval row
-    lhs = b_pts.drop("__bkt").alias("__l")
-    rhs = matched.alias("__m")
-    cond = None
-    for c in points.columns:
-        eq = F.col(f"__l.{c}").eqNullSafe(F.col(f"__m.{c}"))
-        cond = eq if cond is None else (cond & eq)
-    unmatched = lhs.join(rhs, cond, "left_anti")
-    for c in intervals.columns:
-        unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
-    return core.unionByName(unmatched)
+    # left: ONE outer join on the bucket equi-key with the BETWEEN as a
+    # residual join condition (review find: the previous core + matched
+    # + null-safe anti-join shape executed the expensive bucketed join
+    # twice and added a full-width dedup — while the equi-key already
+    # prevents the nested-loop plan, and each point lands in exactly
+    # one bucket so the left join natively emits one NULL-interval row
+    # per unmatched point).
+    lhs = b_pts.alias("__l")
+    rhs = b_iv.alias("__r")
+    cond = (F.col("__l.__bkt") == F.col("__r.__bkt")) & residual
+    joined = lhs.join(rhs, cond, "left")
+    return joined.select(
+        *[F.col(f"__l.{c}") for c in points.columns],
+        *[F.col(f"__r.{c}") for c in intervals.columns],
+    )

@@ -47,9 +47,17 @@ def bm25_topk(
     """
     toks = df.select(
         F.col(id_col).alias("doc"),
-        tokens_col(F.col(text_col)).alias("tk"),
+        # drop the '' token a whitespace split of empty/blank text
+        # yields (review find: it scored as a real term and padded dl)
+        F.filter(
+            tokens_col(F.col(text_col)), lambda t: t != ""
+        ).alias("tk"),
     ).select("doc", "tk", F.size("tk").cast("double").alias("dl"))
 
+    # query terms pass through the SAME normalization as the corpus
+    # tokenizer (review find: 'Spark' silently matched nothing because
+    # tokens_col lowercases — a case-differing term scored 0 everywhere)
+    query_terms = [t.strip().lower() for t in query_terms]
     terms = F.array(*[F.lit(t) for t in query_terms])
     # array_intersect dedups, so hit carries exactly one row per
     # (matching doc, term): per-term document frequency is a plain
@@ -120,7 +128,9 @@ def tfidf_top_terms(
     """
     ex = df.select(
         F.col(group_col).alias("grp"),
-        F.explode(tokens_col(F.col(text_col))).alias("term"),
+        F.explode(
+            F.filter(tokens_col(F.col(text_col)), lambda t: t != "")
+        ).alias("term"),
     )
     # tf is vocabulary-sized, one row per (group, term) — so the
     # group-frequency of a term is count(*) over a term-partitioned

@@ -67,12 +67,33 @@ def cosine_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
+    # Bounded top-k FIRST (review find): a bare row_number window
+    # partitioned by query_id funnels every scored corpus row for a
+    # query through ONE reducer — the single-partition-window
+    # anti-pattern this repo polices elsewhere. topk_per_group_bounded
+    # prunes to ≤ k rows per query with partial-aggregable state
+    # (negated cosine gives the ascending order it needs; negation of a
+    # rounded double is exact), and the rank window then runs over k
+    # rows per query instead of the corpus.
+    from exness_data_preprocess_spark.operators.skew import (
+        topk_per_group_bounded,
+    )
+
+    bounded = topk_per_group_bounded(
+        scored.select(
+            "query_id", (-F.col("cosine")).alias("_negcos"), "neighbor_id"
+        ),
+        ("query_id",),
+        ("_negcos", "neighbor_id"),
+        k,
+    ).withColumn("cosine", -F.col("_negcos"))  # negation round-trips exactly
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        bounded.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 

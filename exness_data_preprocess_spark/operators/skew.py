@@ -37,12 +37,17 @@ def distinct_count_skew_safe(
     counted, like SQL) with bounded per-task state.
     """
     key_cols = [F.col(k) for k in keys]
-    pairs = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(*key_cols, F.col(value_col))
-        .agg(F.lit(1).alias("_one"))
+    # NULL values keep the KEY alive with a zero count (review find:
+    # a pre-filter dropped keys whose values were all NULL, diverging
+    # from count(DISTINCT value), which returns the key with 0): dedup
+    # over (keys, value) INCLUDING null-value rows, then count only the
+    # non-null values per key.
+    pairs = df.groupBy(*key_cols, F.col(value_col)).agg(
+        F.lit(1).alias("_one")
     )
-    return pairs.groupBy(*key_cols).agg(F.count("*").alias(out_col))
+    return pairs.groupBy(*key_cols).agg(
+        F.count(F.col(value_col)).alias(out_col)
+    )
 
 
 def salted_join(
@@ -154,7 +159,13 @@ def sample_k_per_group(
     from exness_data_preprocess_spark.functions.hashing import md5_h32
 
     h = md5_h32(F.concat(F.lit(seed), F.col(id_col).cast("string")))
-    hashed = df.select(*group_cols, F.col(id_col), h.alias("_h"))
+    # NULL ids are excluded (review find): concat with NULL hashes to
+    # NULL, and NULLs sort FIRST in the ascending struct order — junk
+    # rows would deterministically win sample slots ahead of every real
+    # row. An id-less row has no stable sampling identity; drop it.
+    hashed = df.filter(F.col(id_col).isNotNull()).select(
+        *group_cols, F.col(id_col), h.alias("_h")
+    )
     out = topk_per_group_bounded(
         hashed, tuple(group_cols), ("_h", id_col), k
     )

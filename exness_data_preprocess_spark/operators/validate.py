@@ -50,6 +50,9 @@ def validate(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame:
     All rules evaluate in a single aggregate over one scan (conditional
     counts), so the audit costs the same as one COUNT(*) regardless of
     how many rules are registered."""
+    if not rules:
+        # stack(0) is a ParseException, not an empty report (review find)
+        raise ValueError("validate requires at least one rule")
     agg = df.agg(
         F.count(F.lit(1)).alias("total_rows"),
         *[
@@ -57,10 +60,17 @@ def validate(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame:
             for name, cond in rules.items()
         ],
     )
-    # unpivot to the report shape: stack(n, 'rule', rulecol, ...)
-    stack_args = ", ".join(f"'{name}', {name}" for name in rules)
-    return agg.selectExpr(
-        f"stack({len(rules)}, {stack_args}) as (rule, violations)",
+    # unpivot to the report shape via the COLUMN API (review find: a
+    # rule name with a quote/space/hyphen aliased fine but then broke
+    # the interpolated selectExpr stack() SQL — the dict[str, Column]
+    # contract must accept any name the alias accepts)
+    n = len(rules)
+    stack_cols: list = []
+    for name in rules:
+        stack_cols.append(F.lit(name))
+        stack_cols.append(agg[name])  # by-name access: no SQL parsing
+    return agg.select(
+        F.stack(F.lit(n), *stack_cols).alias("rule", "violations"),
         "total_rows",
     )
 
@@ -77,21 +87,35 @@ def analyze_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
             c
             for name in cols
             for c in (
-                F.min(name).cast("string").alias(f"min_{name}"),
-                F.max(name).cast("string").alias(f"max_{name}"),
+                # df[name] resolves by name without SQL parsing, so
+                # non-identifier column names survive end to end
+                F.min(df[name]).cast("string").alias(f"min_{name}"),
+                F.max(df[name]).cast("string").alias(f"max_{name}"),
                 F.sum(
-                    F.when(F.col(name).isNull(), 1).otherwise(0)
+                    F.when(df[name].isNull(), 1).otherwise(0)
                 ).alias(f"nulls_{name}"),
-                F.approx_count_distinct(name).alias(f"ndv_{name}"),
+                F.approx_count_distinct(df[name]).alias(f"ndv_{name}"),
             )
         ],
     )
-    stack_args = ", ".join(
-        f"'{name}', min_{name}, max_{name}, nulls_{name}, ndv_{name}"
-        for name in cols
-    )
-    return agg.selectExpr(
-        f"stack({len(cols)}, {stack_args}) as "
-        "(column, min_value, max_value, null_count, approx_ndv)",
-        "__n as total_rows",
+    # column API, not interpolated SQL — a column name that is not a
+    # bare identifier must not break the unpivot (review find)
+    if not cols:
+        raise ValueError("analyze_columns requires at least one column")
+    stack_cols: list = []
+    for name in cols:
+        stack_cols.extend(
+            (
+                F.lit(name),
+                agg[f"min_{name}"],
+                agg[f"max_{name}"],
+                agg[f"nulls_{name}"],
+                agg[f"ndv_{name}"],
+            )
+        )
+    return agg.select(
+        F.stack(F.lit(len(cols)), *stack_cols).alias(
+            "column", "min_value", "max_value", "null_count", "approx_ndv"
+        ),
+        F.col("__n").alias("total_rows"),
     )

@@ -417,7 +417,8 @@ def _bm25_oracle() -> str:
     k1, b = _BM25_K1, _BM25_B
     return f"""
 WITH d AS (
-  SELECT doc_id AS doc, {_TOKS} AS tk, len({_TOKS})::DOUBLE AS dl
+  SELECT doc_id AS doc, list_filter({_TOKS}, t -> t <> '') AS tk,
+         len(list_filter({_TOKS}, t -> t <> ''))::DOUBLE AS dl
   FROM documents
 ), hit AS (
   SELECT doc, dl, t.term,
@@ -456,7 +457,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TFIDF_TOP_TERMS = f"""
 WITH ex AS (
-  SELECT source AS grp, unnest({_TOKS}) AS term FROM documents
+  SELECT source AS grp, unnest(list_filter({_TOKS}, t -> t <> '')) AS term FROM documents
 ), tf AS (
   SELECT grp, term, count(*) AS tf FROM ex GROUP BY 1, 2
 ), gdf AS (

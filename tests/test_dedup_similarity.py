@@ -296,7 +296,17 @@ def test_distinct_count_skew_safe_matches_exact(spark):
     )
     got = {r["k"]: r["n_distinct"]
            for r in distinct_count_skew_safe(df, ("k",), "v").collect()}
-    assert got == {"a": 2, "b": 1}  # NULL-only key drops, like COUNT(DISTINCT)
+    # matches groupBy(k).agg(count(DISTINCT v)): NULLs are not counted,
+    # but a key whose values are ALL NULL stays in the result with 0
+    # (review find: the old pre-filter dropped the key entirely)
+    assert got == {"a": 2, "b": 1, "c": 0}
+    ref = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(
+            F.count_distinct("v").alias("n")
+        ).collect()
+    }
+    assert got == ref
 
     # plan shape: no Expand (the distinct-rewrite fingerprint); first
     # shuffle keys include the value column so hot keys spread

@@ -682,3 +682,50 @@ def test_source_overlap_counts_shared_grams(spark):
         for r in source_overlap(docs, n=3, source_col="source").collect()
     }
     assert rows == {("sA", "sB"): 1}  # only ordered pairs with overlap
+
+
+def test_cdc_null_op_is_upsert_not_silent_delete(spark):
+    """Review find: a NULL op made `!=` evaluate NULL — the row left the
+    upsert set while the anti-join still removed its key: silent delete."""
+    from exness_data_preprocess_spark.operators.cdc import apply_cdc
+
+    base = spark.createDataFrame([(1, "x")], "k long, payload string")
+    changes = spark.createDataFrame(
+        [(1, 11, None, "y")], "k long, seq long, op string, payload string"
+    )
+    out = {r["k"]: r["payload"] for r in apply_cdc(
+        base, changes, ("k",), seq_col="seq", op_col="op"
+    ).collect()}
+    assert out == {1: "y"}  # upserted, not vanished
+
+
+def test_validate_accepts_non_identifier_rule_names(spark):
+    from exness_data_preprocess_spark.operators.validate import validate
+
+    df = spark.createDataFrame([(1.0,), (-2.0,)], "bid double")
+    out = {r["rule"]: r["violations"] for r in validate(
+        df, {"bid's range-check": F.col("bid") < 0}
+    ).collect()}
+    assert out == {"bid's range-check": 1}
+    with pytest.raises(ValueError, match="at least one rule"):
+        validate(df, {})
+
+
+def test_connected_components_rejects_non_numeric_ids(spark):
+    """Review find: string ids cast to NULL and 'converged' instantly
+    with all-NULL components — canonical_docs then dropped everything."""
+    e = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    v = spark.createDataFrame([("a",), ("b",)], "doc_id string")
+    with pytest.raises(ValueError, match="numeric ids"):
+        connected_components(e, v)
+
+
+def test_bm25_normalizes_query_term_case(spark):
+    from exness_data_preprocess_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "Spark spark streaming"), (2, "pandas only here")],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(df, ["  SPARK  "], k=2).collect()
+    assert [r["doc_id"] for r in rows] == [1]  # matched despite case/space
