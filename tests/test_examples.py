@@ -47,3 +47,15 @@ def test_corpus_curation_example_runs(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Example 6" in out and "done" in out
     assert "admitted" in out  # the ingest gate actually ran
+
+
+@pytest.mark.smoke
+def test_corpus_analysis_example_runs(spark, capsys):
+    from examples.corpus_analysis import main
+
+    main(spark=spark)
+    out = capsys.readouterr().out
+    assert "least-novel docs" in out
+    assert "mean unigram entropy" in out
+    assert "near-dup pairs >= 0.5" in out
+    assert "RESULT: PASSED" in out  # validate_against_source end-to-end
