@@ -732,14 +732,16 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_lsh_oracle() -> str:
     """Sign-bit bucket oracle: the hyperplanes are fixed-seed literals
-    rounded to 6 decimals, and both engines fold the dot product
-    left-to-right, so bucket assignment is bit-reproducible in SQL."""
+    rounded to 6 decimals, and both engines round the dot product to
+    6 dp BEFORE the sign (the lsh_signature contract) — BLAS-vs-fold
+    association differences (~1e-13, far below the 5e-7 step) can never
+    flip a bit, so bucket assignment is bit-reproducible in SQL."""
     from exness_data_preprocess_spark.operators.similarity import hyperplanes
 
     planes = hyperplanes(64, 8, seed=42)
     bits = " + ".join(
-        f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
-        f"i -> v[i] * ([{', '.join(repr(x) for x in plane)}])[i])) >= 0 "
+        f"(CASE WHEN round(list_sum(list_transform(generate_series(1, 64), "
+        f"i -> v[i] * ([{', '.join(repr(x) for x in plane)}])[i])), 6) >= 0 "
         f"THEN {1 << j} ELSE 0 END)"
         for j, plane in enumerate(planes)
     )

@@ -857,11 +857,11 @@ e AS (
     SELECT e.vec_id, cb.sub, cb.code,
            row_number() OVER (
              PARTITION BY e.vec_id, cb.sub
-             ORDER BY list_sum(list_transform(
+             ORDER BY round(list_sum(list_transform(
                generate_series(1, {_PQ_DSUB}),
                i -> (e.v[cb.sub * {_PQ_DSUB} + i] - cb.cvec[i])
                     * (e.v[cb.sub * {_PQ_DSUB} + i] - cb.cvec[i])
-             )), cb.code
+             )), 6), cb.code
            ) AS rn
     FROM e CROSS JOIN cb
   ) WHERE rn = 1
@@ -898,11 +898,11 @@ def q_pq_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PQ_ADC = f"""
 WITH {_PQ_CB_SQL}, lut AS (
   SELECT q.vec_id AS query_id, cb.sub, cb.code,
-         CAST(list_sum(list_transform(
+         CAST(round(list_sum(list_transform(
            generate_series(1, {_PQ_DSUB}),
            i -> (q.v[cb.sub * {_PQ_DSUB} + i] - cb.cvec[i])
                 * (q.v[cb.sub * {_PQ_DSUB} + i] - cb.cvec[i])
-         )) AS DECIMAL(28,12)) AS pd
+         )), 6) AS DECIMAL(28,12)) AS pd
   FROM e q CROSS JOIN cb
   WHERE q.vec_id < 10
 ), cand AS (
