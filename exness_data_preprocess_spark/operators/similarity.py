@@ -254,6 +254,94 @@ def train_ivf_centroids(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+def train_ivf_centroids_spherical(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "ivf-init-42",
+) -> list[list[float]]:
+    """Deterministic spherical k-means — real Lloyd training whose every
+    step is reproducible in ANSI SQL, so a trained-IVF pipeline can be
+    oracle-verified end-to-end (pyspark.ml's k-means|| init cannot be).
+
+    Contract (mirrored by the registry's unrolled-CTE DuckDB oracle):
+
+    - init: the ``n_cells`` rows with the smallest ``md5(seed|id)`` — a
+      seeded uniform sample (the classical random init, made
+      deterministic), numbered 1..n_cells in hash order;
+    - each Lloyd iteration assigns by argmax round-6 cosine (ties to
+      the lowest cell — the shared IVF contract) and recomputes each
+      centroid as the per-component mean of its members, rounded to
+      6 dp (sum-association differences ~1e-13 vanish below the 5e-7
+      step); empty cells carry the previous centroid forward;
+    - exactly ``iters`` iterations — no data-dependent convergence test,
+      so both engines run the identical computation.
+
+    Scale shape: per iteration one ``mapInPandas`` pass emits per-batch
+    per-cell partial (count, sum-vector) rows — ≤ n_cells rows per Arrow
+    batch — combined driver-side (cells × d doubles, index-artifact
+    sized). No shuffle anywhere; the projected corpus is persisted once
+    across the iteration loop and released on exit. Train once per
+    corpus snapshot and persist the result like any index artifact; the
+    registry caches it per fixture fingerprint.
+    """
+    init_rows = (
+        corpus.select(
+            F.md5(
+                F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))
+            ).alias("_h"),
+            _as_double(vec_col).alias("v"),
+        )
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+    C = _mat([r["v"] for r in init_rows])
+    side = corpus.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    ).persist()
+    try:
+        for _ in range(iters):
+            Cn = _norms(C, "centroids")
+
+            def partials(batches, C=C, Cn=Cn):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = _mat(pdf["v"])
+                    cells = _np_assign(X, _norms(X, "corpus"), C, Cn)
+                    out = [
+                        (
+                            int(cell),
+                            int((cells == cell).sum()),
+                            X[cells == cell].sum(axis=0).tolist(),
+                        )
+                        for cell in np.unique(cells)
+                    ]
+                    yield pd.DataFrame(
+                        out, columns=["cell_id", "n", "s"]
+                    )
+
+            agg = side.mapInPandas(
+                partials, "cell_id int, n long, s array<double>"
+            ).collect()
+            counts: dict[int, int] = {}
+            sums: dict[int, np.ndarray] = {}
+            for r in agg:
+                c = r["cell_id"]
+                counts[c] = counts.get(c, 0) + r["n"]
+                sums[c] = sums.get(c, 0) + np.asarray(r["s"])
+            newC = C.copy()
+            for c, n in counts.items():
+                newC[c - 1] = np.round(sums[c] / n, 6)
+            C = newC
+        return [[float(x) for x in c] for c in C]
+    finally:
+        side.unpersist()
+
+
 def _centroid_matrix(
     corpus: DataFrame,
     n_cells: int,

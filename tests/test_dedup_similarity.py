@@ -232,6 +232,44 @@ def test_ivf_trained_vs_standin_recall(spark):
     assert cents == cents2
 
 
+def test_spherical_trainer_deterministic_and_mines_true_pairs(spark):
+    """train_ivf_centroids_spherical (the oracle-reproducible trainer
+    behind dedup_embedding_cosine_ivf_trained): reproducible across
+    invocations (seeded-hash init + fixed iterations + round-6 means —
+    no RNG, no convergence test), right shape, and the pairs mined from
+    its cells are a subset of the exact all-pairs ground truth with
+    exact cosines (IVF blocking can only lose recall, never precision)."""
+    from exness_data_preprocess_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+    from exness_data_preprocess_spark.operators.similarity import (
+        train_ivf_centroids_spherical,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = train_ivf_centroids_spherical(emb, n_cells=16, iters=3)
+    assert len(cents) == 16 and all(len(c) == 64 for c in cents)
+    # round-6 means: every component is a 6-dp decimal
+    assert all(x == round(x, 6) for c in cents for x in c)
+    assert cents == train_ivf_centroids_spherical(emb, n_cells=16, iters=3)
+
+    truth = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(
+            emb, block_col=None, threshold=0.3, allow_full_compare=True
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(
+            emb, block_col=None, threshold=0.3, centroids=cents
+        ).collect()
+    }
+    assert got  # the trained cells do surface near-dup pairs
+    assert set(got) <= set(truth)  # zero false positives
+    assert all(truth[k] == v for k, v in got.items())  # exact cosines
+
+
 def test_ivf_multiprobe_recall_monotone(spark):
     """nprobe=2 candidates are a superset of nprobe=1 → recall@5 cannot
     drop; on sf0.01 it strictly improves for the stand-in centroids."""
