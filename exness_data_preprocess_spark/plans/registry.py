@@ -39,6 +39,10 @@ class QuerySpec:
     oracle: str | None  # None → non-SQL-expressible, rows-only check
     description: str
     bench: bool = True  # False → correctness-only (skipped by bench.py)
+    # the TRUE reason a bench=False entry is untimed, carried on the spec
+    # so bench.py reports it verbatim (review find: a name-prefix guess
+    # mislabeled the correctness-only resamples in a driver artifact)
+    bench_skip_reason: str | None = None
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -889,10 +893,10 @@ def _register_extra_queries() -> None:
 
     for name, (fn, oracle, desc) in build_ml_queries().items():
         QUERIES[name] = QuerySpec(fn, oracle, desc)
-    for name, (fn, oracle, desc, bench) in build_pipeline_queries().items():
-        QUERIES[name] = QuerySpec(fn, oracle, desc, bench)
-    for name, (fn, oracle, desc, bench) in build_ext_queries().items():
-        QUERIES[name] = QuerySpec(fn, oracle, desc, bench)
+    for name, (fn, oracle, desc, *rest) in build_pipeline_queries().items():
+        QUERIES[name] = QuerySpec(fn, oracle, desc, *rest)
+    for name, (fn, oracle, desc, *rest) in build_ext_queries().items():
+        QUERIES[name] = QuerySpec(fn, oracle, desc, *rest)
     QUERIES.update(catalog_query_specs())
 
 

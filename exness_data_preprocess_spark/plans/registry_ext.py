@@ -1039,6 +1039,15 @@ ORDER BY 1, 2
 """
 
 
+SKIP_STREAMING_DRAIN = (
+    "streaming drain (availableNow wall time measures sink polling, "
+    "not plan cost)"
+)
+SKIP_ITERATIVE = (
+    "iterative convergence loop (driver-paced rounds, not one plan)"
+)
+
+
 def build_ext_queries() -> dict:
     """name → (spark_fn, oracle_sql|None, description, bench)"""
     return {
@@ -1047,30 +1056,35 @@ def build_ext_queries() -> dict:
             ORACLE_STREAMING_OHLC,
             "Streaming: watermarked 1m OHLC window agg (availableNow drain)",
             False,
+            SKIP_STREAMING_DRAIN,
         ),
         "streaming_gap_sessions": (
             q_streaming_sessions,
             ORACLE_STREAMING_SESSIONS,
             "Streaming: applyInPandasWithState session/gap operator",
             False,
+            SKIP_STREAMING_DRAIN,
         ),
         "streaming_dedup": (
             q_streaming_dedup,
             ORACLE_STREAMING_DEDUP,
             "Streaming: watermarked dedup collapses duplicate delivery",
             False,
+            SKIP_STREAMING_DRAIN,
         ),
         "streaming_attribution_join": (
             q_streaming_attribution_join,
             ORACLE_STREAMING_ATTRIBUTION,
             "Streaming: watermarked stream-stream time-range join",
             False,
+            SKIP_STREAMING_DRAIN,
         ),
         "streaming_running_anomaly": (
             q_streaming_running_anomaly,
             ORACLE_STREAMING_ANOMALY,
             "Streaming: stateful running-mean anomaly flags (int state)",
             False,
+            SKIP_STREAMING_DRAIN,
         ),
         "lag_lead_features": (
             q_lag_lead_features,
@@ -1118,19 +1132,19 @@ def build_ext_queries() -> dict:
             _make_resample_query(5),
             _resample_oracle(5),
             "D2: 5m resample, epoch alignment pinned vs oracle",
-            False,
+            True,
         ),
         "ohlc_resample_15m": (
             _make_resample_query(15),
             _resample_oracle(15),
             "D2: 15m resample, epoch alignment pinned vs oracle",
-            False,
+            True,
         ),
         "ohlc_resample_30m": (
             _make_resample_query(30),
             _resample_oracle(30),
             "D2: 30m resample, epoch alignment pinned vs oracle",
-            False,
+            True,
         ),
         "ohlc_resample_1d": (
             _make_resample_query(1440),

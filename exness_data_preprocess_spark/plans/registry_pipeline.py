@@ -27,6 +27,10 @@ from exness_data_preprocess_spark.operators.textstats import (
     repetition_features,
     stratified_sample,
 )
+from exness_data_preprocess_spark.plans.registry_ext import (
+    SKIP_ITERATIVE,
+    SKIP_STREAMING_DRAIN,
+)
 from exness_data_preprocess_spark.plans.registry_ml import (
     ORACLE_DEDUP_NGRAM_JACCARD,
 )
@@ -1468,11 +1472,11 @@ def build_pipeline_queries() -> dict:
         "dup_connected_components": (
             q_dup_connected_components, ORACLE_DUP_CC,
             "near-dup pairs → clusters (min-label CC, recursive-CTE oracle)",
-            False),
+            False, SKIP_ITERATIVE),
         "dedup_keep_best": (
             q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST,
             "cluster resolution: keep-best doc per near-dup family",
-            False),
+            False, SKIP_ITERATIVE),
         "blocklist_filter": (
             q_blocklist_filter, ORACLE_BLOCKLIST,
             "C4-style blocklist screening: drop / redact decisions",
@@ -1496,7 +1500,7 @@ def build_pipeline_queries() -> dict:
         "streaming_cdc_snapshot": (
             q_streaming_cdc_snapshot, ORACLE_CDC_APPLY,
             "Streaming: foreachBatch CDC snapshot maintenance (batch twin)",
-            False),
+            False, SKIP_STREAMING_DRAIN),
         "interval_join_events": (
             q_interval_join_events, ORACLE_INTERVAL_JOIN,
             "bucketed range join: events into overlapping activity spans",
@@ -1564,7 +1568,7 @@ def build_pipeline_queries() -> dict:
         "streaming_incremental_dedup": (
             q_streaming_incremental_dedup, _streaming_incremental_oracle(),
             "Streaming: ingest dedup gate vs persisted corpus index",
-            False),
+            False, SKIP_STREAMING_DRAIN),
         "temperature_mix_sample": (
             q_temperature_mix, ORACLE_TEMPERATURE_MIX,
             "α-smoothed temperature mixing rates + deterministic sample",
