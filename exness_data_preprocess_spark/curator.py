@@ -103,11 +103,19 @@ class CorpusCurator:
         # docs is typically the tail of the full curation pipeline; the
         # shard write and the manifest aggregation are two consumers, so
         # persist across them (review find: the whole upstream plan —
-        # LSH joins included — executed twice). Scope cleanup releases
-        # it when the curator is used as a context manager.
+        # LSH joins included — executed twice). Both consumers run
+        # inside this call — the write is eager and the manifest is
+        # n_shards rows, so it materializes here too — letting the
+        # persist be released before returning (review find: it leaked
+        # unless the curator was used as a context manager).
         docs = docs.persist()
-        export_training_shards(docs, out_dir, n_shards=n_shards, seed=seed)
-        return shard_manifest(docs, n_shards=n_shards, seed=seed)
+        try:
+            export_training_shards(docs, out_dir, n_shards=n_shards, seed=seed)
+            manifest = shard_manifest(docs, n_shards=n_shards, seed=seed)
+            rows = manifest.collect()
+            return self.spark.createDataFrame(rows, manifest.schema)
+        finally:
+            docs.unpersist()
 
     # -- quality -------------------------------------------------------------
     def quality_features(self, docs: DataFrame) -> DataFrame:

@@ -1077,8 +1077,10 @@ def _cell_blocked_pairs_np(
     import numpy as np
     import pandas as pd
 
+    from exness_data_preprocess_spark.operators.similarity import _norms
+
     C = np.asarray(centroids, dtype=np.float64)
-    Cn = np.linalg.norm(C, axis=1)
+    Cn = _norms(C, "centroids")
     # id dtype rides through from the input (review find: a hard-coded
     # `id long` broke string/decimal id columns the expression path
     # accepted); pandas carries it opaquely either way
@@ -1089,7 +1091,10 @@ def _cell_blocked_pairs_np(
             X = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
             )
-            nrm = np.linalg.norm(X, axis=1)
+            # zero-norm guard (review find): silently dividing gives
+            # NaN cosines that poison the argmax cell assignment where
+            # the expression path produced null — fail loudly instead
+            nrm = _norms(X, "corpus")
             cos = np.round(
                 (X @ C.T) / np.outer(nrm, Cn), 6
             )
@@ -1124,7 +1129,7 @@ def _cell_blocked_pairs_np(
         X = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
         )[order]
-        nrm = np.linalg.norm(X, axis=1)
+        nrm = _norms(X, "corpus")
         G = np.round((X @ X.T) / np.outer(nrm, nrm), 6)
         iu, ju = np.triu_indices(m, k=1)
         keep = G[iu, ju] >= threshold
@@ -1193,7 +1198,10 @@ def srp_banded_pairs(
     import numpy as np
     import pandas as pd
 
-    from exness_data_preprocess_spark.operators.similarity import hyperplanes
+    from exness_data_preprocess_spark.operators.similarity import (
+        _norms,
+        hyperplanes,
+    )
 
     if bands < 1:
         raise ValueError("bands and planes_per_band must be positive")
@@ -1274,7 +1282,7 @@ def srp_banded_pairs(
         X = np.asarray(
             [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
         )[order]
-        nrm = np.linalg.norm(X, axis=1)
+        nrm = _norms(X, "corpus")
         G = np.round((X @ X.T) / np.outer(nrm, nrm), 6)
         iu, ju = np.triu_indices(m, k=1)
         keep = G[iu, ju] >= threshold
@@ -1320,28 +1328,36 @@ def embedding_cosine_pairs_auto(
     KMeans over the corpus, seeded), so cells track the data's actual
     density rather than an arbitrary labeling.
 
-    Cost shape: the (id, vector) projection is persisted so the count,
-    the KMeans fit, and the assignment scan read ONE materialization —
-    an expensive upstream plan (join/decode pipeline) would otherwise
-    execute three times (review find). The cache follows the module's
-    caller-owns-cleanup contract; ``CorpusCurator``'s context manager
-    releases it at scope exit. At 100 TB the centroids are a trained
-    artifact — train once on a sample, persist, and pass them to
-    :func:`embedding_cosine_pairs` directly.
+    Cost shape: the (id, vector) projection is persisted across the
+    count and the KMeans fit (an expensive upstream join/decode pipeline
+    would otherwise execute twice) and released before returning — the
+    returned mining plan re-reads the source once, leak-free (review
+    find: the former caller-owns-cleanup persist outlived the call
+    unless the curator's context manager cleaned up). At 100 TB the
+    centroids are a trained artifact — train once on a sample, persist,
+    and pass them to :func:`embedding_cosine_pairs` directly.
     """
     from exness_data_preprocess_spark.operators.similarity import (
         train_ivf_centroids,
     )
 
     proj = df.select(id_col, vec_col).persist()
-    if n_cells is None:
-        n = proj.count()
-        n_cells = max(16, n // int(target_cell_size))
-    cents = train_ivf_centroids(
-        proj, n_cells=int(n_cells), vec_col=vec_col, seed=seed
-    )
+    try:
+        if n_cells is None:
+            n = proj.count()
+            n_cells = max(16, n // int(target_cell_size))
+        cents = train_ivf_centroids(
+            proj, n_cells=int(n_cells), vec_col=vec_col, seed=seed
+        )
+    finally:
+        # cache scope ends with training (review find: the persist
+        # leaked for the session lifetime unless the curator's context
+        # manager cleaned up). The returned plan re-reads the source
+        # once — the same single scan it would have paid reading the
+        # cache, minus decode savings, with no leaked storage.
+        proj.unpersist()
     return embedding_cosine_pairs(
-        proj,
+        df.select(id_col, vec_col),
         vec_col=vec_col,
         id_col=id_col,
         block_col=None,

@@ -286,104 +286,118 @@ class SparkDataProcessor:
             .select("timestamp", "bid", "ask")
             .localCheckpoint()
         )
-        store = (
-            self.engine.ticks_df(variant)
-            .filter(
-                (F.col("instrument") == inst)
-                & (F.col("timestamp") >= day_lo)
-                & (F.col("timestamp") < day_hi)
-            )
-            .select("timestamp", "bid", "ask")
+        from exness_data_preprocess_spark.cache import (
+            checkpoint_rdd_id,
+            release_checkpoints,
         )
-        stats = []
-        for side in (online, store):
-            stats.append(
-                side.agg(
-                    F.count("*").alias("n"),
-                    F.min("timestamp").alias("lo"),
-                    F.max("timestamp").alias("hi"),
-                ).first()
-            )
-        res.source_row_count = stats[0]["n"]
-        res.store_row_count = stats[1]["n"]
-        res.source_min_ts = str(stats[0]["lo"]) if stats[0]["lo"] else None
-        res.source_max_ts = str(stats[0]["hi"]) if stats[0]["hi"] else None
-        res.store_min_ts = str(stats[1]["lo"]) if stats[1]["lo"] else None
-        res.store_max_ts = str(stats[1]["hi"]) if stats[1]["hi"] else None
-        if res.source_row_count == 0:
-            res.error_message = "No data found in source archive for day"
-            return res
-        if res.store_row_count == 0:
-            res.error_message = "No data found in store for day"
-            return res
 
-        # C4's full-outer diff (the oracle-green plan), one shuffle on
-        # the shared sort key; dedup for key-compare semantics
-        o = online.dropDuplicates(["timestamp"]).select(
-            "timestamp",
-            F.col("bid").alias("bid_src"),
-            F.col("ask").alias("ask_src"),
-        )
-        s = store.dropDuplicates(["timestamp"]).select(
-            "timestamp",
-            F.col("bid").alias("bid_store"),
-            F.col("ask").alias("ask_store"),
-        )
-        joined = o.join(s, "timestamp", "full_outer").localCheckpoint()
-        both = F.col("bid_src").isNotNull() & F.col("bid_store").isNotNull()
-        bid_bad = both & (
-            F.abs(F.col("bid_src") - F.col("bid_store")) > price_tolerance
-        )
-        ask_bad = both & (
-            F.abs(F.col("ask_src") - F.col("ask_store")) > price_tolerance
-        )
-        agg = joined.agg(
-            F.count_if(both).alias("matching"),
-            F.count_if(F.col("bid_store").isNull()).alias("only_src"),
-            F.count_if(F.col("bid_src").isNull()).alias("only_store"),
-            F.count_if(bid_bad).alias("bid_bad"),
-            F.count_if(ask_bad).alias("ask_bad"),
-        ).first()
-        res.matching_rows = agg["matching"]
-        res.only_in_source = agg["only_src"]
-        res.only_in_store = agg["only_store"]
-        res.bid_mismatch_count = agg["bid_bad"]
-        res.ask_mismatch_count = agg["ask_bad"]
-        res.mismatch_samples = [
-            r.asDict()
-            for r in joined.filter(bid_bad | ask_bad)
-            .orderBy("timestamp")
-            .limit(sample_limit)
-            .collect()
-        ]
-        res.mismatch_samples = [
-            {k: (str(v) if hasattr(v, "isoformat") else v) for k, v in m.items()}
-            for m in res.mismatch_samples
-        ]
+        # the day-slice and diff checkpoints are owned by THIS call and
+        # released on every exit path (review find: they leaked executor
+        # storage for the session lifetime; DataFrame.unpersist cannot
+        # reach a local checkpoint's storage — release by exact RDD id)
+        own = {checkpoint_rdd_id(online)} - {None}
+        try:
+            store = (
+                self.engine.ticks_df(variant)
+                .filter(
+                    (F.col("instrument") == inst)
+                    & (F.col("timestamp") >= day_lo)
+                    & (F.col("timestamp") < day_hi)
+                )
+                .select("timestamp", "bid", "ask")
+            )
+            stats = []
+            for side in (online, store):
+                stats.append(
+                    side.agg(
+                        F.count("*").alias("n"),
+                        F.min("timestamp").alias("lo"),
+                        F.max("timestamp").alias("hi"),
+                    ).first()
+                )
+            res.source_row_count = stats[0]["n"]
+            res.store_row_count = stats[1]["n"]
+            res.source_min_ts = str(stats[0]["lo"]) if stats[0]["lo"] else None
+            res.source_max_ts = str(stats[0]["hi"]) if stats[0]["hi"] else None
+            res.store_min_ts = str(stats[1]["lo"]) if stats[1]["lo"] else None
+            res.store_max_ts = str(stats[1]["hi"]) if stats[1]["hi"] else None
+            if res.source_row_count == 0:
+                res.error_message = "No data found in source archive for day"
+                return res
+            if res.store_row_count == 0:
+                res.error_message = "No data found in store for day"
+                return res
 
-        errors = []
-        if res.row_count_diff_pct > row_tolerance_pct:
-            errors.append(
-                f"Row count difference ({res.row_count_diff_pct:.2f}%) "
-                f"exceeds tolerance ({row_tolerance_pct}%)"
+            # C4's full-outer diff (the oracle-green plan), one shuffle on
+            # the shared sort key; dedup for key-compare semantics
+            o = online.dropDuplicates(["timestamp"]).select(
+                "timestamp",
+                F.col("bid").alias("bid_src"),
+                F.col("ask").alias("ask_src"),
             )
-        if res.bid_mismatch_count:
-            errors.append(f"{res.bid_mismatch_count} bid price mismatches")
-        if res.ask_mismatch_count:
-            errors.append(f"{res.ask_mismatch_count} ask price mismatches")
-        if res.source_min_ts != res.store_min_ts:
-            errors.append(
-                f"Min timestamp mismatch: source={res.source_min_ts}, "
-                f"store={res.store_min_ts}"
+            s = store.dropDuplicates(["timestamp"]).select(
+                "timestamp",
+                F.col("bid").alias("bid_store"),
+                F.col("ask").alias("ask_store"),
             )
-        if res.source_max_ts != res.store_max_ts:
-            errors.append(
-                f"Max timestamp mismatch: source={res.source_max_ts}, "
-                f"store={res.store_max_ts}"
+            joined = o.join(s, "timestamp", "full_outer").localCheckpoint()
+            own |= {checkpoint_rdd_id(joined)} - {None}
+            both = F.col("bid_src").isNotNull() & F.col("bid_store").isNotNull()
+            bid_bad = both & (
+                F.abs(F.col("bid_src") - F.col("bid_store")) > price_tolerance
             )
-        res.error_message = "; ".join(errors)
-        res.passed = not errors
-        return res
+            ask_bad = both & (
+                F.abs(F.col("ask_src") - F.col("ask_store")) > price_tolerance
+            )
+            agg = joined.agg(
+                F.count_if(both).alias("matching"),
+                F.count_if(F.col("bid_store").isNull()).alias("only_src"),
+                F.count_if(F.col("bid_src").isNull()).alias("only_store"),
+                F.count_if(bid_bad).alias("bid_bad"),
+                F.count_if(ask_bad).alias("ask_bad"),
+            ).first()
+            res.matching_rows = agg["matching"]
+            res.only_in_source = agg["only_src"]
+            res.only_in_store = agg["only_store"]
+            res.bid_mismatch_count = agg["bid_bad"]
+            res.ask_mismatch_count = agg["ask_bad"]
+            res.mismatch_samples = [
+                r.asDict()
+                for r in joined.filter(bid_bad | ask_bad)
+                .orderBy("timestamp")
+                .limit(sample_limit)
+                .collect()
+            ]
+            res.mismatch_samples = [
+                {k: (str(v) if hasattr(v, "isoformat") else v) for k, v in m.items()}
+                for m in res.mismatch_samples
+            ]
+
+            errors = []
+            if res.row_count_diff_pct > row_tolerance_pct:
+                errors.append(
+                    f"Row count difference ({res.row_count_diff_pct:.2f}%) "
+                    f"exceeds tolerance ({row_tolerance_pct}%)"
+                )
+            if res.bid_mismatch_count:
+                errors.append(f"{res.bid_mismatch_count} bid price mismatches")
+            if res.ask_mismatch_count:
+                errors.append(f"{res.ask_mismatch_count} ask price mismatches")
+            if res.source_min_ts != res.store_min_ts:
+                errors.append(
+                    f"Min timestamp mismatch: source={res.source_min_ts}, "
+                    f"store={res.store_min_ts}"
+                )
+            if res.source_max_ts != res.store_max_ts:
+                errors.append(
+                    f"Max timestamp mismatch: source={res.source_max_ts}, "
+                    f"store={res.store_max_ts}"
+                )
+            res.error_message = "; ".join(errors)
+            res.passed = not errors
+            return res
+        finally:
+            release_checkpoints(self.spark, own)
 
     def compact_storage(
         self, instrument: str | None = None, table: str | None = None

@@ -217,17 +217,25 @@ class SparkQueryEngine:
                 self.ticks_df(variant).createOrReplaceTempView(f"{variant}_ticks")
         if self.catalog.exists("ohlc_1m"):
             self.ohlc_df().createOrReplaceTempView("ohlc_1m")
+        import datetime as dt
+
+        # close hours carry dated amendments (TSE 15:00 → 15:30 on
+        # 2024-11-05): the view reports the close CURRENTLY in effect
+        # (close_on(today)) so it agrees with the session intervals,
+        # plus the pre-amendment base for historical context (review
+        # find: the static base hour showed TSE 15:00 after the change)
+        _today = dt.date.today()
         ex_rows = [
             (c.code, c.name, c.timezone, c.open_hour, c.open_minute,
-             c.close_hour, c.close_minute)
+             *c.close_on(_today), c.close_hour, c.close_minute)
             for c in EXCHANGES.values()
         ]
         self.spark.createDataFrame(
             ex_rows,
             "code string, name string, timezone string, open_hour int, "
-            "open_minute int, close_hour int, close_minute int",
+            "open_minute int, close_hour int, close_minute int, "
+            "base_close_hour int, base_close_minute int",
         ).createOrReplaceTempView("exchange_sessions")
-        import datetime as dt
 
         lo_hi = None
         if self.catalog.exists("raw_spread_ticks"):

@@ -126,9 +126,17 @@ class ParquetCatalog:
           row is free.
         - ``on_conflict="replace"``: LAST-WRITE-WINS — the reference's
           ReplacingMergeTree posture, for corrected archives. Touched
-          month partitions are rewritten as (incoming ∪ existing-not-in-
-          incoming) via dynamic partition overwrite, so the cost is
-          O(touched partitions), never a table rewrite.
+          (instrument, month) partitions are rewritten as (incoming ∪
+          existing-not-in-incoming) via dynamic partition overwrite, so
+          the cost is O(touched partitions), never a table rewrite.
+
+        Return value: rows APPLIED from the incoming batch after
+        intra-batch dedup — under ``skip`` that equals rows newly
+        written; under ``replace`` every incoming row is applied (new or
+        superseding), while the physical rewrite additionally carries
+        the touched partitions' surviving rows (advice find: the two
+        modes count different things; this is the mode-consistent
+        "rows from this batch now stored" number).
         """
         if on_conflict not in ("skip", "replace"):
             raise ValueError(
@@ -161,13 +169,21 @@ class ParquetCatalog:
             ]
             months = sorted({ym for _, ym in touched})
             insts = sorted({i for i, _ in touched})
-            # prune BOTH partition keys: a one-instrument correction must
-            # not read (or, under replace, rewrite) every other
-            # instrument's partitions for the month (review find)
+            # prune BOTH partition keys, then restrict to the EXACT
+            # (instrument, year_month) pairs the batch touches: the
+            # coarse isin filters drive partition pruning but their
+            # cross-product also covers untouched combinations — a batch
+            # touching (A,m1)+(B,m2) must not read (or, under replace,
+            # rewrite) (A,m2)/(B,m1) (advice find)
+            pair_key = F.concat_ws(
+                "\x00", F.col("instrument"), F.col("year_month")
+            )
+            touched_keys = [f"{i}\x00{m}" for i, m in touched]
             existing = (
                 df.sparkSession.read.parquet(self.path(table))
                 .filter(F.col("year_month").isin(months))
                 .filter(F.col("instrument").isin(insts))
+                .filter(pair_key.isin(touched_keys))
             )
             if on_conflict == "replace":
                 # Last-write-wins upsert: rewrite the touched partitions

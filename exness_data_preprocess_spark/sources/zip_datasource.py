@@ -165,6 +165,9 @@ class _ZipReader(DataSourceReader):
         self.glob_pat = glob_pat
         # option-level pruning works even without filter pushdown enabled
         opt_inst = options.get("instrument")
+        # kept for read(): archives with unparsable names fall back to
+        # the caller-declared instrument
+        self.opt_instrument: str | None = opt_inst.upper() if opt_inst else None
         self.instruments: set | None = (
             {opt_inst.upper()} if opt_inst else None
         )
@@ -239,6 +242,19 @@ class _ZipReader(DataSourceReader):
         import pyarrow as pa
 
         inst, _, _ = _parse_name(partition.path)
+        if inst is None:
+            # unparsable archive name (kept at pruning: "may still
+            # match"): fall back to the caller-declared instrument, else
+            # fail loudly — emitting NULL Instrument made a pushed-down
+            # instrument filter silently drop every row of such archives
+            # while unfiltered consumers got null keys (review find)
+            inst = self.opt_instrument
+            if inst is None:
+                raise ValueError(
+                    f"exness_zip: cannot derive instrument from archive "
+                    f"name {partition.path!r}; pass "
+                    f".option('instrument', <PAIR>) for non-standard names"
+                )
         # pandas parses to ns precision; Spark's Arrow bridge takes µs
         schema = pa.schema(
             [

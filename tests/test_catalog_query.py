@@ -131,6 +131,32 @@ def test_write_ticks_on_conflict_replace_upserts(spark, tmp_path):
         == 8.88
     )
 
+    # exact-pair pruning (advice find): a batch touching (EURUSD, Feb) +
+    # (XAUUSD, Jan) crosses instruments and months, but the untouched
+    # cross-product partition (EURUSD, Jan) must not be rewritten —
+    # the independent isin(months)/isin(insts) filters alone would
+    # sweep it into the dynamic partition overwrite
+    eur_jan_files = sorted(
+        (cat.base / "raw_spread_ticks").glob(
+            "instrument=EURUSD/year_month=202401/*.parquet"
+        )
+    )
+    cross = spark.createDataFrame(
+        [("EURUSD", t2, 7.77, 7.78), ("XAUUSD", t0, 2001.0, 2001.5)],
+        TICK_SCHEMA,
+    )
+    assert cat.write_ticks(
+        cross, "raw_spread_ticks", on_conflict="replace"
+    ) == 2
+    assert sorted(
+        (cat.base / "raw_spread_ticks").glob(
+            "instrument=EURUSD/year_month=202401/*.parquet"
+        )
+    ) == eur_jan_files
+    assert cat.read(spark, "raw_spread_ticks").filter(
+        (F.col("instrument") == "EURUSD") & (F.col("timestamp") == t2)
+    ).first()["bid"] == 7.77
+
 
 def test_sql_views_refresh_after_writes(spark, tmp_path):
     """Advice find (medium): sql() caches view registration; a write that
@@ -309,6 +335,15 @@ def test_sql_surface_runs_documented_patterns(proc):
 
     dims = eng.sql("SELECT count(*) AS n FROM exchange_sessions").first()
     assert dims["n"] == 10
+    # the view reports the close CURRENTLY in effect (dated amendments
+    # honored: TSE moved 15:00 → 15:30 on 2024-11-05) plus the
+    # pre-amendment base for historical context
+    tse = eng.sql(
+        "SELECT close_hour, close_minute, base_close_hour "
+        "FROM exchange_sessions WHERE code = 'XTKS'"
+    ).first()
+    assert (tse["close_hour"], tse["close_minute"]) == (15, 30)
+    assert tse["base_close_hour"] == 15
     hol = eng.sql(
         "SELECT count(*) AS n FROM holidays WHERE exchange_code = 'XNYS'"
     ).first()
