@@ -99,23 +99,46 @@ def _png_decode(payload: bytes) -> np.ndarray:
             cur = line
         elif ftype == 2:  # Up
             cur = (line + prev).astype(np.uint8)
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a scan
-            cur = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = int(cur[x - channels]) if x >= channels else 0
-                b = int(prev[x])
-                if ftype == 1:
-                    rec = line[x] + a
-                elif ftype == 3:
-                    rec = line[x] + (a + b) // 2
+        elif ftype == 1:  # Sub: cur[x] = line[x] + cur[x-ch] unrolls to
+            # a per-channel prefix sum (mod distributes over the sum)
+            cur = (
+                (
+                    np.cumsum(
+                        line.reshape(width, channels).astype(np.int64),
+                        axis=0,
+                    )
+                    % 256
+                )
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif ftype in (3, 4):  # Average / Paeth: a true scanline
+            # recurrence (each pixel needs the reconstructed left
+            # neighbor), so the loop is per PIXEL with the channel math
+            # vectorized (review hygiene: the former per-BYTE Python
+            # loop paid width×channels interpreter steps)
+            cur = np.zeros(stride, dtype=np.uint8)
+            prev32 = prev.astype(np.int32)
+            line32 = line.astype(np.int32)
+            a = np.zeros(channels, dtype=np.int32)
+            c = np.zeros(channels, dtype=np.int32)
+            for px in range(width):
+                sl = slice(px * channels, (px + 1) * channels)
+                b = prev32[sl]
+                if ftype == 3:
+                    rec = (line32[sl] + (a + b) // 2) & 0xFF
                 else:
-                    c = int(prev[x - channels]) if x >= channels else 0
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    rec = line[x] + pred
-                cur[x] = rec & 0xFF
-            cur = cur.astype(np.uint8)
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        a,
+                        np.where(pb <= pc, b, c),
+                    )
+                    rec = (line32[sl] + pred) & 0xFF
+                cur[sl] = rec
+                a = rec
+                c = b
         else:
             raise ValueError(f"unknown PNG filter {ftype}")
         out[y] = cur

@@ -330,7 +330,14 @@ def jpx_holidays(year: int) -> list[tuple[dt.date, str]]:
             (dt.date(year, 12, 31), "TSE year-end closure"),
         ]
     )
-    return sorted(out)
+    # one row per date (review find: a Sunday Jan 1 substitutes to
+    # Jan 2, which the TSE year-end block also emits — e.g. 2023 —
+    # and duplicate (date, exchange) rows would fan out the holidays
+    # view's enrichment join); first label wins
+    seen: dict[dt.date, str] = {}
+    for d, n in sorted(out):
+        seen.setdefault(d, n)
+    return sorted(seen.items())
 
 
 #: HKEX lunisolar + proclaimed closures (official observed dates,

@@ -29,7 +29,12 @@ so the DuckDB oracles reproduce every decision bit-for-bit.
 
 Zero-norm vectors have no cosine direction; kernels raise rather than
 silently NaN-poison an argmax (validated precondition — embeddings are
-unit-normalized upstream).
+unit-normalized upstream). NULL-id / NULL-vector rows are excluded from
+candidate sets up front (:func:`_valid_vectors`) — the deterministic
+analog of the old expression plans' NULL cosines; only
+:func:`semantic_decontaminate` keeps NULL-vector corpus rows, reporting
+them uncontaminated with a NULL best cosine (its contract is one output
+row per corpus row).
 """
 
 from __future__ import annotations
@@ -57,7 +62,11 @@ def _dot(a: Column, b: Column) -> Column:
 # NumPy kernel helpers
 # ---------------------------------------------------------------------------
 def _mat(vals) -> np.ndarray:
-    """Stack a pandas column of array values into an (m, d) float64 matrix."""
+    """Stack a pandas column of array values into an (m, d) float64
+    matrix; empty input yields a well-formed (0, 0) matrix (review find:
+    a 1-D (0,) array broke every axis=1 consumer)."""
+    if not len(vals):
+        return np.zeros((0, 0))
     return np.asarray([np.asarray(v, dtype=np.float64) for v in vals])
 
 
@@ -71,13 +80,24 @@ def _norms(X: np.ndarray, what: str) -> np.ndarray:
     return n
 
 
+def _valid_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, v) projection with NULL-id / NULL-vector rows excluded — a
+    NULL has no identity or direction, and the NumPy kernels would crash
+    stacking it (review find). Dropping dirty rows from the candidate
+    set is the deterministic analog of the old expression plans' NULL
+    cosines, which could never win a top-k slot."""
+    return df.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+
+
 def _collect_vectors(df: DataFrame, id_col: str, vec_col: str):
     """Driver-side (ids, matrix) of a bounded frame — the serving query
-    batch / eval benchmark / centroid set, all index-artifact-sized."""
-    rows = df.select(F.col(id_col), _as_double(vec_col)).collect()
+    batch / eval benchmark / centroid set, all index-artifact-sized.
+    NULL-id/vector rows are excluded (see :func:`_valid_vectors`)."""
+    rows = _valid_vectors(df, id_col, vec_col).collect()
     ids = [r[0] for r in rows]
-    M = _mat([r[1] for r in rows]) if rows else np.zeros((0, 0))
-    return ids, M
+    return ids, _mat([r[1] for r in rows])
 
 
 def _batch_topk(score: np.ndarray, mask: np.ndarray, k: int,
@@ -100,6 +120,60 @@ def _sorted_batch(pdf: pd.DataFrame):
     ids = pdf["id"].to_numpy()
     order = np.argsort(ids, kind="stable")
     return ids[order], _mat(pdf["v"].to_numpy()[order])
+
+
+def _emit_topk(
+    ids: np.ndarray,
+    score: np.ndarray,
+    qids: list,
+    k: int,
+    mask_fn=None,
+    descending: bool = True,
+    score_name: str = "cosine",
+    extra_name: str | None = None,
+    extra_fn=None,
+) -> pd.DataFrame | None:
+    """Shared per-batch emit block of every fused ANN kernel (review
+    find: four near-identical copies drifted apart one contract fix at a
+    time): for each query j, the top-k candidate rows of ``score[:, j]``
+    under (score, id asc) within ``mask_fn(j)``, self-matches excluded.
+    ``extra_fn(j, sel)`` appends a per-row column (e.g. the probe cell).
+    Returns one pandas frame, or None when no candidate survives."""
+    qs, ns, cs, ex = [], [], [], []
+    for j, qid in enumerate(qids):
+        mask = ids != qid
+        if mask_fn is not None:
+            mask &= mask_fn(j)
+        sel = _batch_topk(score[:, j], mask, k, descending)
+        if sel.size:
+            qs.append(np.repeat(np.asarray([qid]), sel.size))
+            ns.append(ids[sel])
+            cs.append(score[sel, j])
+            if extra_fn is not None:
+                ex.append(extra_fn(j, sel))
+    if not qs:
+        return None
+    out: dict = {"query_id": np.concatenate(qs)}
+    if extra_name is not None:
+        out[extra_name] = np.concatenate(ex)
+    out["neighbor_id"] = np.concatenate(ns)
+    out[score_name] = np.concatenate(cs)
+    return pd.DataFrame(out)
+
+
+def _scan_kernel(prep):
+    """mapInPandas wrapper shared by the fused kernels: per non-empty
+    Arrow batch, sort by id and delegate to ``prep(ids, X)``."""
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = prep(*_sorted_batch(pdf))
+            if out is not None:
+                yield out
+
+    return kernel
 
 
 def _empty(spark, schema: str) -> DataFrame:
@@ -137,33 +211,15 @@ def cosine_topk(
         )
     Qn = _norms(Q, "queries")
 
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids, X = _sorted_batch(pdf)
-            nrm = _norms(X, "corpus")
-            cos = np.round((X @ Q.T) / np.outer(nrm, Qn), 6)
-            qs, ns, cs = [], [], []
-            for j, qid in enumerate(qids):
-                sel = _batch_topk(cos[:, j], ids != qid, k, descending=True)
-                if sel.size:
-                    qs.append(np.repeat(np.asarray([qid]), sel.size))
-                    ns.append(ids[sel])
-                    cs.append(cos[sel, j])
-            if not qs:
-                continue
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(qs),
-                    "neighbor_id": np.concatenate(ns),
-                    "cosine": np.concatenate(cs),
-                }
-            )
+    def prep(ids, X):
+        nrm = _norms(X, "corpus")
+        cos = np.round((X @ Q.T) / np.outer(nrm, Qn), 6)
+        return _emit_topk(ids, cos, qids, k)
 
-    scored = corpus.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
-    ).mapInPandas(score, f"query_id {id_ddl}, neighbor_id {id_ddl}, cosine double")
+    scored = _valid_vectors(corpus, id_col, vec_col).mapInPandas(
+        _scan_kernel(prep),
+        f"query_id {id_ddl}, neighbor_id {id_ddl}, cosine double",
+    )
     from exness_data_preprocess_spark.operators.skew import (
         topk_per_group_bounded,
     )
@@ -287,21 +343,25 @@ def train_ivf_centroids_spherical(
     corpus snapshot and persist the result like any index artifact; the
     registry caches it per fixture fingerprint.
     """
+    # NULL-id/vector rows are excluded up front: a NULL id hashes to
+    # NULL, which sorts FIRST ascending and would deterministically win
+    # init slots ahead of every real row (the sample_k_per_group find)
+    clean = _valid_vectors(corpus, id_col, vec_col)
     init_rows = (
-        corpus.select(
+        clean.select(
             F.md5(
-                F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))
+                F.concat(F.lit(seed + "|"), F.col("id").cast("string"))
             ).alias("_h"),
-            _as_double(vec_col).alias("v"),
+            "v",
         )
         .orderBy("_h")
         .limit(n_cells)
         .collect()
     )
     C = _mat([r["v"] for r in init_rows])
-    side = corpus.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
-    ).persist()
+    if not len(C):  # empty corpus: no centroids to train
+        return []
+    side = clean.persist()
     try:
         for _ in range(iters):
             Cn = _norms(C, "centroids")
@@ -359,9 +419,10 @@ def _centroid_matrix(
         )
     else:
         rows = (
-            corpus.orderBy(id_col)
+            _valid_vectors(corpus, id_col, vec_col)
+            .orderBy("id")
             .limit(n_cells)
-            .select(_as_double(vec_col).alias("v"))
+            .select("v")
             .collect()
         )
         C = _mat([r[0] for r in rows])
@@ -474,7 +535,7 @@ def ivf_topk(
     C, Cn = _centroid_matrix(corpus, n_cells, centroids, vec_col, id_col)
     qids, Q = _collect_vectors(queries, id_col, vec_col)
     id_ddl = corpus.schema[id_col].dataType.simpleString()
-    if not qids:
+    if not qids or not len(C):  # empty query batch or empty corpus
         return _empty(
             corpus.sparkSession,
             f"query_id {id_ddl}, cell_id int, neighbor_id {id_ddl}, "
@@ -483,38 +544,19 @@ def ivf_topk(
     Qn = _norms(Q, "queries")
     qcell = _np_assign(Q, Qn, C, Cn)
 
-    def search(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids, X = _sorted_batch(pdf)
-            nrm = _norms(X, "corpus")
-            cells = _np_assign(X, nrm, C, Cn)
-            cos = np.round((X @ Q.T) / np.outer(nrm, Qn), 6)
-            qs, gs, ns, cs = [], [], [], []
-            for j, qid in enumerate(qids):
-                mask = (cells == qcell[j]) & (ids != qid)
-                sel = _batch_topk(cos[:, j], mask, k, descending=True)
-                if sel.size:
-                    qs.append(np.repeat(np.asarray([qid]), sel.size))
-                    gs.append(np.full(sel.size, qcell[j], dtype="int32"))
-                    ns.append(ids[sel])
-                    cs.append(cos[sel, j])
-            if not qs:
-                continue
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(qs),
-                    "cell_id": np.concatenate(gs),
-                    "neighbor_id": np.concatenate(ns),
-                    "cosine": np.concatenate(cs),
-                }
-            )
+    def prep(ids, X):
+        nrm = _norms(X, "corpus")
+        cells = _np_assign(X, nrm, C, Cn)
+        cos = np.round((X @ Q.T) / np.outer(nrm, Qn), 6)
+        return _emit_topk(
+            ids, cos, qids, k,
+            mask_fn=lambda j: cells == qcell[j],
+            extra_name="cell_id",
+            extra_fn=lambda j, sel: np.full(sel.size, qcell[j], dtype="int32"),
+        )
 
-    scored = corpus.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
-    ).mapInPandas(
-        search,
+    scored = _valid_vectors(corpus, id_col, vec_col).mapInPandas(
+        _scan_kernel(prep),
         f"query_id {id_ddl}, cell_id int, neighbor_id {id_ddl}, cosine double",
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -549,7 +591,7 @@ def ivf_topk_multiprobe(
     C, Cn = _centroid_matrix(corpus, n_cells, centroids, vec_col, id_col)
     qids, Q = _collect_vectors(queries, id_col, vec_col)
     id_ddl = corpus.schema[id_col].dataType.simpleString()
-    if not qids:
+    if not qids or not len(C):  # empty query batch or empty corpus
         return _empty(
             corpus.sparkSession,
             f"query_id {id_ddl}, neighbor_id {id_ddl}, cosine double, rank int",
@@ -563,36 +605,18 @@ def ivf_topk_multiprobe(
         for j in range(len(qids))
     ]
 
-    def search(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids, X = _sorted_batch(pdf)
-            nrm = _norms(X, "corpus")
-            cells = _np_assign(X, nrm, C, Cn)
-            cos = np.round((X @ Q.T) / np.outer(nrm, Qn), 6)
-            qs, ns, cs = [], [], []
-            for j, qid in enumerate(qids):
-                mask = np.isin(cells, qprobes[j]) & (ids != qid)
-                sel = _batch_topk(cos[:, j], mask, k, descending=True)
-                if sel.size:
-                    qs.append(np.repeat(np.asarray([qid]), sel.size))
-                    ns.append(ids[sel])
-                    cs.append(cos[sel, j])
-            if not qs:
-                continue
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(qs),
-                    "neighbor_id": np.concatenate(ns),
-                    "cosine": np.concatenate(cs),
-                }
-            )
+    def prep(ids, X):
+        nrm = _norms(X, "corpus")
+        cells = _np_assign(X, nrm, C, Cn)
+        cos = np.round((X @ Q.T) / np.outer(nrm, Qn), 6)
+        return _emit_topk(
+            ids, cos, qids, k,
+            mask_fn=lambda j: np.isin(cells, qprobes[j]),
+        )
 
-    scored = corpus.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
-    ).mapInPandas(
-        search, f"query_id {id_ddl}, neighbor_id {id_ddl}, cosine double"
+    scored = _valid_vectors(corpus, id_col, vec_col).mapInPandas(
+        _scan_kernel(prep),
+        f"query_id {id_ddl}, neighbor_id {id_ddl}, cosine double",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -640,36 +664,17 @@ def lsh_bucketed_neighbors(
     Qn = _norms(Q, "queries")
     qsig = sigs(Q)
 
-    def search(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids, X = _sorted_batch(pdf)
-            nrm = _norms(X, "corpus")
-            sig = sigs(X)
-            cos = np.round((X @ Q.T) / np.outer(nrm, Qn), 6)
-            qs, ns, cs = [], [], []
-            for j, qid in enumerate(qids):
-                mask = (sig == qsig[j]) & (ids != qid)
-                sel = _batch_topk(cos[:, j], mask, k, descending=True)
-                if sel.size:
-                    qs.append(np.repeat(np.asarray([qid]), sel.size))
-                    ns.append(ids[sel])
-                    cs.append(cos[sel, j])
-            if not qs:
-                continue
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(qs),
-                    "neighbor_id": np.concatenate(ns),
-                    "cosine": np.concatenate(cs),
-                }
-            )
+    def prep(ids, X):
+        nrm = _norms(X, "corpus")
+        sig = sigs(X)
+        cos = np.round((X @ Q.T) / np.outer(nrm, Qn), 6)
+        return _emit_topk(
+            ids, cos, qids, k, mask_fn=lambda j: sig == qsig[j]
+        )
 
-    scored = corpus.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
-    ).mapInPandas(
-        search, f"query_id {id_ddl}, neighbor_id {id_ddl}, cosine double"
+    scored = _valid_vectors(corpus, id_col, vec_col).mapInPandas(
+        _scan_kernel(prep),
+        f"query_id {id_ddl}, neighbor_id {id_ddl}, cosine double",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -746,11 +751,13 @@ def pq_codebooks(
     train_ivf_centroids — the plan shape below does not change.
     """
     rows = (
-        corpus.select(id_col, _as_double(vec_col).alias("v"))
-        .orderBy(id_col)
+        _valid_vectors(corpus, id_col, vec_col)
+        .orderBy("id")
         .limit(k)
         .collect()
     )
+    if not rows:
+        raise ValueError("pq_codebooks: empty corpus, nothing to quantize")
     dim = len(rows[0]["v"])
     d_sub = dim // m
     return [
@@ -810,9 +817,9 @@ def pq_encode(
                 }
             )
 
-    return corpus.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
-    ).mapInPandas(encode, f"{id_col} {id_ddl}, sub int, code int")
+    return _valid_vectors(corpus, id_col, vec_col).mapInPandas(
+        encode, f"{id_col} {id_ddl}, sub int, code int"
+    )
 
 
 def pq_adc_topk(
@@ -855,36 +862,19 @@ def pq_adc_topk(
         D = np.round(((Qs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2), 6)
         lut[:, s, :] = np.rint(D * 1e6)
 
-    def search(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids, X = _sorted_batch(pdf)
-            codes = _pq_encode_batch(X, B)
-            adc = np.zeros((len(qids), len(X)), dtype=np.int64)
-            for s in range(m_subs):
-                adc += lut[:, s, :][:, codes[:, s]]
-            qs, ns, ds = [], [], []
-            for j, qid in enumerate(qids):
-                sel = _batch_topk(adc[j], ids != qid, topk, descending=False)
-                if sel.size:
-                    qs.append(np.repeat(np.asarray([qid]), sel.size))
-                    ns.append(ids[sel])
-                    ds.append(adc[j, sel])
-            if not qs:
-                continue
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(qs),
-                    "neighbor_id": np.concatenate(ns),
-                    "adc_micro": np.concatenate(ds),
-                }
-            )
+    def prep(ids, X):
+        codes = _pq_encode_batch(X, B)
+        adc = np.zeros((len(qids), len(X)), dtype=np.int64)
+        for s in range(m_subs):
+            adc += lut[:, s, :][:, codes[:, s]]
+        return _emit_topk(
+            ids, adc.T, qids, topk,
+            descending=False, score_name="adc_micro",
+        )
 
-    scored = corpus.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
-    ).mapInPandas(
-        search, f"query_id {id_ddl}, neighbor_id {id_ddl}, adc_micro long"
+    scored = _valid_vectors(corpus, id_col, vec_col).mapInPandas(
+        _scan_kernel(prep),
+        f"query_id {id_ddl}, neighbor_id {id_ddl}, adc_micro long",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_micro").asc(), F.col("neighbor_id").asc()
@@ -942,22 +932,28 @@ def semantic_decontaminate(
     use_cells = centroids is not None
     id_ddl = corpus.schema[id_col].dataType.simpleString()
     C = Cn = None
+    # benchmark NULL-vector rows are excluded (no direction to compare);
+    # corpus rows are all KEPT — the output contract is one row per
+    # corpus row, with NULL-vector rows reporting best_cosine NULL /
+    # contaminated 0, exactly as the old expression plan's NULL cosines
+    # did (review find: the kernel previously crashed stacking them)
+    bench_clean = benchmark.filter(F.col(vec_col).isNotNull())
     if use_cells:
         C, Cn = _centroid_matrix(
             corpus, len(centroids), centroids, vec_col, id_col
         )
-        brows = benchmark.select(_as_double(vec_col).alias("v")).collect()
+        brows = bench_clean.select(_as_double(vec_col).alias("v")).collect()
         bkeys = None
         if brows:
             Bm = _mat([r[0] for r in brows])
             bkeys = _np_assign(Bm, _norms(Bm, "benchmark"), C, Cn)
     elif block_col:
-        brows = benchmark.select(
+        brows = bench_clean.select(
             F.col(block_col).alias("k"), _as_double(vec_col).alias("v")
         ).collect()
         bkeys = [r["k"] for r in brows]
     else:
-        brows = benchmark.select(_as_double(vec_col).alias("v")).collect()
+        brows = bench_clean.select(_as_double(vec_col).alias("v")).collect()
         bkeys = [0] * len(brows)
 
     # key -> (B, Bn) benchmark groups; NULL block keys are dropped (SQL
@@ -984,29 +980,31 @@ def semantic_decontaminate(
             m = len(pdf)
             if not m:
                 continue
-            X = _mat(pdf["v"])
-            nrm = _norms(X, "corpus")
-            if use_cells:
-                keys = _np_assign(X, nrm, C, Cn)
-            elif block_col:
-                keys = pdf["k"].to_numpy()
-            else:
-                keys = np.zeros(m, dtype=np.int64)
             best = np.full(m, np.nan)
-            for key, grp in groups.items():
-                if use_cells or not block_col:
-                    rows = np.flatnonzero(keys == key)
+            valid = np.flatnonzero(
+                np.asarray([v is not None for v in pdf["v"]], dtype=bool)
+            )
+            if valid.size and groups:
+                X = _mat(pdf["v"].to_numpy()[valid])
+                nrm = _norms(X, "corpus")
+                if use_cells:
+                    keys = _np_assign(X, nrm, C, Cn)
+                elif block_col:
+                    # numpy elementwise equality handles string/object
+                    # keys in C (review find: a per-row Python
+                    # comprehension per group re-introduced interpreted
+                    # per-element cost in the hot kernel)
+                    keys = pdf["k"].to_numpy()[valid]
                 else:
-                    rows = np.flatnonzero(
-                        np.asarray([kk == key for kk in keys])
+                    keys = np.zeros(valid.size, dtype=np.int64)
+                for key, (Bg, Bgn) in groups.items():
+                    rows = np.flatnonzero(keys == key)
+                    if not rows.size:
+                        continue
+                    cosg = np.round(
+                        (X[rows] @ Bg.T) / np.outer(nrm[rows], Bgn), 6
                     )
-                if not rows.size:
-                    continue
-                Bg, Bgn = grp
-                cosg = np.round(
-                    (X[rows] @ Bg.T) / np.outer(nrm[rows], Bgn), 6
-                )
-                best[rows] = cosg.max(axis=1)
+                    best[valid[rows]] = cosg.max(axis=1)
             cont = ((~np.isnan(best)) & (best >= threshold)).astype("int32")
             yield pd.DataFrame(
                 {

@@ -910,33 +910,28 @@ def _register_extra_queries() -> None:
 # set at sf0.1); rotation widens cumulative external coverage, it does
 # not narrow what is checked.
 _DRIVER_PRIORITY = [
-    # new in round 5 (never driver-sampled)
-    "ohlc_resample_1d", "ohlc_resample_5m", "ohlc_resample_15m",
-    "ohlc_resample_30m", "ngram_novelty", "doc_entropy", "oov_rate",
-    "source_overlap", "dedup_embedding_cosine_ivf_trained",
-    "dedup_embedding_cosine_srp",
-    # round-5-touched paths worth a fresh driver check
-    "dedup_embedding_cosine_ivf", "multimodal_features",
-    "blocklist_filter",
-    # sampled in r3 but not r4 — due a fresh driver check (r4-only
-    # entries were all green in CORRECTNESS_r04.json and stay covered by
-    # the full local sweep)
-    "semantic_decontamination", "streaming_incremental_dedup",
-    "ann_ivf_topk", "ann_ivf_multiprobe", "tick_range_scan",
-    "keyset_pagination", "top_k", "ohlc_1m", "asof_join",
-    "asof_tolerance", "ohlc_resample_1h", "session_labels",
-    "coverage_stats", "distinct_instruments", "gap_months",
-    "minute_bucket_join", "full_outer_diff", "per_day_stats",
-    "pricing_summary", "region_revenue", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_containment", "pivot_lang_source",
-    "temperature_mix_sample", "chunk_documents", "curation_pipeline",
-    "streaming_ohlc_1m", "streaming_gap_sessions", "streaming_dedup",
-    "streaming_attribution_join", "streaming_running_anomaly",
-    "lag_lead_features", "daily_quantiles", "autocorr_lag1",
-    "flag_filters", "vocabulary", "train_val_test_split",
-    "ohlc_resample_4h", "twap_hourly", "realized_volatility",
-    "funnel_daily", "cohort_retention", "fill_minute_gaps",
+    # round-6-touched plans due a fresh driver check: the Arrow/BLAS ANN
+    # kernel swap, the now-hash-green trained-IVF pipeline, the
+    # exact-pair replace write path, and the newly-timed resamples
+    "dedup_embedding_cosine_ivf_trained", "ann_ivf_topk",
+    "ann_ivf_multiprobe", "embedding_cosine_topk", "ann_lsh_bucketed",
+    "pq_encode", "pq_ann_adc", "semantic_decontamination",
+    "semantic_decontamination_ivf", "dedup_embedding_cosine_ivf",
+    "dedup_embedding_cosine_srp", "dedup_embedding_cosine",
     "catalog_tick_scan", "catalog_ohlc_1m", "catalog_ohlc_1h",
+    "ohlc_resample_5m", "ohlc_resample_15m", "ohlc_resample_30m",
+    # not sampled by the r5 driver run (CORRECTNESS_r05 held 50 of 107)
+    # — rotated in so cumulative driver-green coverage keeps widening
+    "train_val_test_split", "ohlc_resample_4h", "twap_hourly",
+    "realized_volatility", "funnel_daily", "cohort_retention",
+    "fill_minute_gaps", "asof_forward", "asof_nearest", "dedup_simhash",
+    "dedup_ngram_jaccard", "bm25_topk", "tfidf_top_terms",
+    "dedup_exact_substring", "contamination_spans", "lm_fluency_score",
+    "lang_id", "text_quality", "doc_fingerprint", "video_frame_sample",
+    "text_clean", "corpus_stats", "distinct_users_skew_safe",
+    "dup_connected_components", "dedup_keep_best", "training_shards",
+    "jsonl_roundtrip", "sample_k_per_group", "cdc_apply",
+    "streaming_cdc_snapshot", "interval_join_events", "decontamination",
 ]
 
 

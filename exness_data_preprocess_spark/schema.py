@@ -88,6 +88,8 @@ EXCHANGE_SESSIONS_SCHEMA = T.StructType(
         T.StructField("open_minute", T.IntegerType(), False),
         T.StructField("close_hour", T.IntegerType(), False),
         T.StructField("close_minute", T.IntegerType(), False),
+        T.StructField("base_close_hour", T.IntegerType(), False),
+        T.StructField("base_close_minute", T.IntegerType(), False),
     ]
 )
 
@@ -201,8 +203,12 @@ COLUMN_COMMENTS: dict[str, dict[str, str]] = {
         "timezone": "IANA timezone of the trading calendar",
         "open_hour": "local opening hour",
         "open_minute": "local opening minute",
-        "close_hour": "local closing hour",
-        "close_minute": "local closing minute",
+        "close_hour": "local closing hour currently in effect "
+                      "(dated amendments honored, e.g. TSE 15:30 "
+                      "since 2024-11-05)",
+        "close_minute": "local closing minute currently in effect",
+        "base_close_hour": "closing hour before any dated amendment",
+        "base_close_minute": "closing minute before any dated amendment",
     },
     "holidays": {
         "date": "holiday date (exchange-local)",

@@ -151,6 +151,11 @@ class ParquetCatalog:
                 "mode='append' (an overwrite already replaces, and an "
                 "un-deduped batch has no conflict keys to resolve)"
             )
+        from exness_data_preprocess_spark.cache import (
+            checkpoint_rdd_id,
+            release_checkpoints,
+        )
+
         out = df.withColumn("year_month", year_month(F.col("timestamp")))
         if dedup:
             out = out.dropDuplicates(["instrument", "timestamp"])
@@ -158,65 +163,74 @@ class ParquetCatalog:
         # decode): checkpoint BEFORE the month-list collect, so the
         # months scan, the anti-join/merge, the write, and the returned
         # count all read the checkpoint (advice find: collecting months
-        # off the raw plan executed the decode a second time).
+        # off the raw plan executed the decode a second time). Every
+        # checkpoint this call creates is released before returning
+        # (review find: a long-lived ingest session leaked one truncated
+        # RDD per write for the session lifetime).
         out = out.localCheckpoint()
-        if dedup and mode == "append" and self.exists(table):
-            touched = [
-                (r["instrument"], r["year_month"])
-                for r in out.select("instrument", "year_month")
-                .distinct()
-                .collect()
-            ]
-            months = sorted({ym for _, ym in touched})
-            insts = sorted({i for i, _ in touched})
-            # prune BOTH partition keys, then restrict to the EXACT
-            # (instrument, year_month) pairs the batch touches: the
-            # coarse isin filters drive partition pruning but their
-            # cross-product also covers untouched combinations — a batch
-            # touching (A,m1)+(B,m2) must not read (or, under replace,
-            # rewrite) (A,m2)/(B,m1) (advice find)
-            pair_key = F.concat_ws(
-                "\x00", F.col("instrument"), F.col("year_month")
-            )
-            touched_keys = [f"{i}\x00{m}" for i, m in touched]
-            existing = (
-                df.sparkSession.read.parquet(self.path(table))
-                .filter(F.col("year_month").isin(months))
-                .filter(F.col("instrument").isin(insts))
-                .filter(pair_key.isin(touched_keys))
-            )
-            if on_conflict == "replace":
-                # Last-write-wins upsert: rewrite the touched partitions
-                # with incoming rows plus the existing rows they do not
-                # supersede (clickhouse_manager.py:159's merge posture).
-                # overwrite_partitions owns the repartition+sort layout
-                # pass — doing it here too paid the shuffle twice
-                # (review find).
-                keep = existing.join(
-                    out.select("instrument", "timestamp"),
+        own = {checkpoint_rdd_id(out)} - {None}
+        try:
+            if dedup and mode == "append" and self.exists(table):
+                touched = [
+                    (r["instrument"], r["year_month"])
+                    for r in out.select("instrument", "year_month")
+                    .distinct()
+                    .collect()
+                ]
+                months = sorted({ym for _, ym in touched})
+                insts = sorted({i for i, _ in touched})
+                # prune BOTH partition keys, then restrict to the EXACT
+                # (instrument, year_month) pairs the batch touches: the
+                # coarse isin filters drive partition pruning but their
+                # cross-product also covers untouched combinations — a batch
+                # touching (A,m1)+(B,m2) must not read (or, under replace,
+                # rewrite) (A,m2)/(B,m1) (advice find)
+                pair_key = F.concat_ws(
+                    "\x00", F.col("instrument"), F.col("year_month")
+                )
+                touched_keys = [f"{i}\x00{m}" for i, m in touched]
+                existing = (
+                    df.sparkSession.read.parquet(self.path(table))
+                    .filter(F.col("year_month").isin(months))
+                    .filter(F.col("instrument").isin(insts))
+                    .filter(pair_key.isin(touched_keys))
+                )
+                if on_conflict == "replace":
+                    # Last-write-wins upsert: rewrite the touched partitions
+                    # with incoming rows plus the existing rows they do not
+                    # supersede (clickhouse_manager.py:159's merge posture).
+                    # overwrite_partitions owns the repartition+sort layout
+                    # pass — doing it here too paid the shuffle twice
+                    # (review find).
+                    keep = existing.join(
+                        out.select("instrument", "timestamp"),
+                        ["instrument", "timestamp"],
+                        "left_anti",
+                    )
+                    merged = out.unionByName(keep).localCheckpoint()
+                    own |= {checkpoint_rdd_id(merged)} - {None}
+                    self.overwrite_partitions(merged, table)
+                    return out.count()
+                out = out.join(
+                    existing.select("instrument", "timestamp"),
                     ["instrument", "timestamp"],
                     "left_anti",
                 )
-                merged = out.unionByName(keep).localCheckpoint()
-                self.overwrite_partitions(merged, table)
-                return out.count()
-            out = out.join(
-                existing.select("instrument", "timestamp"),
-                ["instrument", "timestamp"],
-                "left_anti",
+                # cheap re-materialization: both inputs of the anti-join are
+                # a checkpoint + a 2-column pruned scan, but checkpointing
+                # keeps the write and the count reading identical rows
+                out = out.localCheckpoint()
+                own |= {checkpoint_rdd_id(out)} - {None}
+            (
+                out.repartition("instrument", "year_month")
+                .sortWithinPartitions("timestamp")
+                .write.mode(mode)
+                .partitionBy(*PARTITION_COLS)
+                .parquet(self.path(table))
             )
-            # cheap re-materialization: both inputs of the anti-join are
-            # a checkpoint + a 2-column pruned scan, but checkpointing
-            # keeps the write and the count reading identical rows
-            out = out.localCheckpoint()
-        (
-            out.repartition("instrument", "year_month")
-            .sortWithinPartitions("timestamp")
-            .write.mode(mode)
-            .partitionBy(*PARTITION_COLS)
-            .parquet(self.path(table))
-        )
-        return out.count()
+            return out.count()
+        finally:
+            release_checkpoints(df.sparkSession, own)
 
     def overwrite_partitions(self, df: DataFrame, table: str) -> None:
         """Dynamic partition overwrite — the Spark analog of the

@@ -940,3 +940,50 @@ def test_strip_contaminated_spans_cross_side(spark):
     assert out[2]["covered_tokens"] == 0
     assert out[2]["text_clean"] == "clean doc with no overlap at all"
     assert out[3]["covered_tokens"] == 0
+
+
+def test_ann_kernels_null_rows_excluded_not_crashing(spark):
+    """Review find: NULL ids / NULL embeddings crashed the NumPy kernels
+    where the old expression plans yielded NULL cosines. Contract now:
+    dirty rows are excluded from candidate sets; semantic_decontaminate
+    keeps NULL-vector corpus rows (one output row per corpus row) with
+    best_cosine NULL / contaminated 0."""
+    from exness_data_preprocess_spark.operators.similarity import (
+        ivf_topk,
+        pq_codebooks,
+        pq_encode,
+        semantic_decontaminate,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (None, [0.5, 0.5]),   # NULL id
+        (3, None),            # NULL embedding
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    clean = df.filter("vec_id IS NOT NULL AND embedding IS NOT NULL")
+
+    out = cosine_topk(df, df.filter("vec_id = 0"), k=3).collect()
+    assert {r["neighbor_id"] for r in out} == {1, 2}
+
+    out = ivf_topk(df, df.filter("vec_id = 0"), n_cells=2, k=3).collect()
+    assert all(r["neighbor_id"] in (1, 2) for r in out)
+
+    enc = pq_encode(df, pq_codebooks(clean, m=1, k=2)).collect()
+    assert {r["vec_id"] for r in enc} == {0, 1, 2}
+
+    sem = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(
+            df, df.filter("vec_id = 0"), threshold=0.9, block_col=None
+        ).collect()
+    }
+    assert set(sem) == {0, 1, 2, 3, None}  # every corpus row present
+    assert sem[3]["best_cosine"] is None and sem[3]["contaminated"] == 0
+    assert sem[1]["contaminated"] == 1  # cos(v0, v1) > 0.9
+
+    # empty corpus through the stand-in centroid path: zero rows, no crash
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert ivf_topk(empty, df.filter("vec_id = 0"), n_cells=2, k=3).count() == 0
