@@ -1372,6 +1372,7 @@ def ngram_containment_pairs(
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = ("lang",),
     threshold: float = 0.9,
+    index_df_cap: int | None = None,
 ) -> DataFrame:
     """Directed near-dup pairs by *containment*: C(A→B) = |A∩B| / |A| ≥ t
     with A ≠ B. Catches the asymmetric case Jaccard misses — a short doc
@@ -1394,8 +1395,22 @@ def ngram_containment_pairs(
     high-df tokens (which sit at the END of B's canonical list, where
     ``sz_b − p_b`` is small) grow ~n² once every token's df scales with
     the corpus: measured 67.2 s / alpha 2.23 at natural-30x (output
-    alpha 1.05), restored to linear by this filter. It subsumes the old
-    post-hoc length prune (``sz_b ≥ ⌈t·sz_a⌉`` is implied).
+    alpha 1.05). It subsumes the old post-hoc length prune
+    (``sz_b ≥ ⌈t·sz_a⌉`` is implied).
+
+    Candidate-count asymptotics (round-6 measured diagnosis): on a
+    corpus whose VOCABULARY is bounded while n grows, every token's df
+    grows linearly with n and the exact prefix join is inherently ~n²
+    in candidates (1.21 M → 11.4 M over a 3x step at natural-30x,
+    deterministic, vs 4.5 k true pairs). Real corpora grow vocabulary
+    with size (Heaps' law), keeping the rarest-token prefixes sparse;
+    for the bounded-vocabulary regime, ``index_df_cap`` bounds per-token
+    join fan-out by dropping tokens with df > cap from BOTH join sides
+    (the banned head of the Zipf distribution broadcasts as a tiny
+    anti-join side). RECALL-TRADING and off by default — a true pair is
+    missed only when every shared prefix-qualifying token is high-df;
+    emitted pairs remain exact (verification always runs on the full
+    token sets), so precision is unaffected.
 
     Extends the dedup family the reference's ReplacingMergeTree engine
     dedup (clickhouse_manager.py:159,179) can't express.
@@ -1449,6 +1464,16 @@ def ngram_containment_pairs(
     full = full.crossJoin(F.broadcast(min_sz)).filter(
         (F.col("sz_b") - F.col("p_b")) >= F.ceil(F.lit(t) * F.col("min_sz"))
     )
+    if index_df_cap is not None:
+        # bounded-vocabulary escape hatch (see docstring): the banned
+        # set is the Zipf head — bounded by total_tokens / cap rows —
+        # and anti-joins both sides broadcast, so no candidate can form
+        # through a token seen in more than ``index_df_cap`` docs
+        banned = freq.filter(F.col("df") > index_df_cap).select(
+            *block_cols, "s"
+        )
+        pref = pref.join(F.broadcast(banned), [*block_cols, "s"], "left_anti")
+        full = full.join(F.broadcast(banned), [*block_cols, "s"], "left_anti")
     pruned = (
         pref.join(full, [*block_cols, "s"])
         .filter(

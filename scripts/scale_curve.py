@@ -327,9 +327,9 @@ def write_md_natural(path: Path, payload: dict, tags: list[str]) -> None:
         "",
         *_query_table_rows(payload, tags),
         "",
-        "Notes (round-5 measurement RECORD — the table above regenerates",
+        "Notes (round-5/6 measurement RECORD — the table above regenerates",
         "with every `--natural` run, but the specific timings/alphas",
-        "quoted below are from the committed round-5 artifacts",
+        "quoted below are from the committed round-5/6 artifacts",
         "`scale_curve_natural.json` / `ivf_cells_compare.json` and",
         "describe the fixes made that round, not necessarily the current",
         "table):",
@@ -341,14 +341,24 @@ def write_md_natural(path: Path, payload: dict, tags: list[str]) -> None:
         "  (and the 10x rung) masked: `dedup_containment` hit alpha 2.23",
         "  (67.2 s) with linear output — candidate pairs through high-df",
         "  tokens, which the asymmetric prefix filter alone does not",
-        "  bound. Fixed in two measured steps: PPJoin's POSITIONAL",
-        "  filter (sz_b − p_b ≥ ⌈t·sz_a⌉ per joining row; every true",
-        "  pair keeps its first-common-token row) → 33.3 s / alpha 1.42;",
-        "  then an index-level prune (B-rows with suffix < ⌈t·min sz⌉",
-        "  can serve no probe and never enter the join — exactly the",
-        "  tail positions where common tokens live) → 17.0 s / alpha",
-        "  0.96, output identical, oracle hash-green at sf0.01+sf0.1,",
-        "  and the saturated-sf0.1 bench IMPROVED 5.06 → ~3.8 s too.",
+        "  bound. Two measured r5 fixes: PPJoin's POSITIONAL filter",
+        "  (sz_b − p_b ≥ ⌈t·sz_a⌉ per joining row; every true pair keeps",
+        "  its first-common-token row) then an index-level min-size",
+        "  prune; the saturated-sf0.1 bench improved 5.06 → ~3.8 s.",
+        "  ROUND-6 RE-DIAGNOSIS of the remaining super-linear label: the",
+        "  candidate-pair count is deterministic and measures 1.21 M at",
+        "  nat10x → 11.4 M at nat30x (alpha 2.05) against 4.5 k true",
+        "  pairs — r5's quoted 17.0 s / alpha 0.96 was favorable timing",
+        "  variance over this same quadratic candidate set (re-runs",
+        "  measure 25-35 s). The growth is a FIXTURE artifact: the",
+        "  generator's fixed 20k-word vocabulary makes every token's df",
+        "  grow linearly with n, so prefix-join collisions grow ~n²;",
+        "  real corpora grow vocabulary with size (Heaps' law), keeping",
+        "  the rarest-token prefixes sparse. At 100 TB on a bounded",
+        "  vocabulary, the exact prefix join IS quadratic in candidates —",
+        "  the operator's `index_df_cap` knob (recall-trading, off by",
+        "  default so the oracle stays exact) bounds per-token fan-out",
+        "  for that regime.",
         "- `dedup_embedding_cosine_ivf` is the round-5 measure-and-fix",
         "  arc: the interpreted `zip_with`/`aggregate` dot products made",
         "  centroid ASSIGNMENT the scale-killer (n·cells·d lambda evals:",
@@ -372,6 +382,16 @@ def write_md_natural(path: Path, payload: dict, tags: list[str]) -> None:
         "  bucket). Every natural step measures sub-linear",
         "  (0.54/0.72/0.87) with exactly-linear output — near-total",
         "  recall of the constant near-dup rate.",
+        "- `ann_ivf_topk` / `pq_ann_adc` (round-6 addition): the ANN",
+        "  SERVING twins of the r5 dedup-kernel arc — the interpreted",
+        "  zip_with/aggregate kernels were rewritten as the same",
+        "  Arrow/BLAS mapInPandas pattern, fused into ONE zero-shuffle",
+        "  corpus scan (the r5 plans shuffled the whole corpus with",
+        "  vectors on cell_id / (sub, code)), with per-batch per-query",
+        "  bounded top-k so ≤ k rows per (query, Arrow batch) leave an",
+        "  executor. Output here is k·|queries| — CONSTANT in n — so",
+        "  the pass bar is alpha ≈ 1 (the corpus scan), not output",
+        "  growth.",
         "- Fixed vs corpus-grown cell count (`ivf_cells_compare.json`,",
         "  scripts/ivf_cells_compare.py): with the BLAS kernels, 16",
         "  fixed cells measure alpha 0.74 vs grown 0.91 up to 60k",

@@ -987,3 +987,49 @@ def test_ann_kernels_null_rows_excluded_not_crashing(spark):
     # empty corpus through the stand-in centroid path: zero rows, no crash
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert ivf_topk(empty, df.filter("vec_id = 0"), n_cells=2, k=3).count() == 0
+
+
+def test_containment_index_df_cap_trades_recall_never_precision(spark):
+    """index_df_cap (bounded-vocabulary escape hatch): capped output is
+    a SUBSET of the exact output with identical containment values, and
+    a generous cap changes nothing."""
+    from exness_data_preprocess_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    rows = [
+        # rare-token near-dups: survive any reasonable cap
+        (1, "alpha beta gamma delta epsilon zeta", "en"),
+        (2, "alpha beta gamma delta epsilon eta", "en"),
+        # pair whose only shared tokens are corpus-wide stopwords:
+        # a tight cap drops it (the documented recall trade)
+        (3, "the of and to in a", "en"),
+        (4, "the of and to in an", "en"),
+        # stopword spam to drive those dfs up
+        *[(10 + i, "the of and to in filler%d" % i, "en") for i in range(6)],
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(docs, threshold=0.8).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(
+            docs, threshold=0.8, index_df_cap=4
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    assert all(exact[k] == v for k, v in capped.items())  # values exact
+    assert (1, 2) in capped          # rare-token pair survives the cap
+    assert (3, 4) in exact           # ...and the stopword pair exists...
+    assert (3, 4) not in capped      # ...but is the traded recall
+    # generous cap == exact
+    wide = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_containment_pairs(
+            docs, threshold=0.8, index_df_cap=10_000
+        ).collect()
+    }
+    assert wide == set(exact)
