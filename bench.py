@@ -28,14 +28,20 @@ def _index_build_sec() -> float:
         TRAINED_FIT_SECONDS,
     )
 
-    # only the benchmarked fixture's fit (review find: a blanket sum
-    # also counted the warm-up fixture's fit and any superseded
-    # fingerprints from in-place fixture rewrites)
+    # only the benchmarked fixture's CURRENT fingerprint (review find: a
+    # path-prefix filter still summed superseded fingerprints after an
+    # in-place fixture rewrite, and a blanket sum also counted the
+    # warm-up fixture's fit)
+    try:
+        st = os.stat(f"{SF_DIR}/embeddings.parquet")
+        cur = f"{SF_DIR}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        return 0.0
     return round(
         sum(
             sec
             for (fp, _), sec in TRAINED_FIT_SECONDS.items()
-            if fp.startswith(SF_DIR + "|")
+            if fp == cur
         ),
         4,
     )

@@ -1423,6 +1423,7 @@ def ngram_containment_pairs(
         F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("s"),
     )
     freq = ex.groupBy(*block_cols, "s").agg(F.count("*").alias("df"))
+    keep_o = index_df_cap is not None
     base = (
         ex.join(freq, [*block_cols, "s"])
         .groupBy(*block_cols, "id")
@@ -1436,25 +1437,55 @@ def ngram_containment_pairs(
             "id",
             F.transform("o", lambda x: x["s"]).alias("sh"),
             F.size("o").alias("sz"),
+            # the (df, s) structs ride along ONLY under the cap, so the
+            # df filter applies at explode time — banning via a second
+            # freq scan would re-run the tokenize+groupBy over the whole
+            # corpus (review find)
+            *(["o"] if keep_o else []),
         )
         .persist()
     )
     prefix_len = (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int")
-    pref = base.select(
-        *blocks,
-        F.col("id").alias("id_a"),
-        F.col("sz").alias("sz_a"),
-        F.explode(F.slice("sh", F.lit(1), prefix_len)).alias("s"),
-    )
-    # B side carries each token's POSITION in the canonical order so the
-    # positional filter applies per joining row, before any shuffle-wide
-    # dedup (p_b is 0-based; suffix length from s inclusive = sz_b - p_b)
-    full = base.select(
-        *blocks,
-        F.col("id").alias("id_b"),
-        F.col("sz").alias("sz_b"),
-        F.posexplode("sh").alias("p_b", "s"),
-    )
+    if keep_o:
+        pref = (
+            base.select(
+                *blocks,
+                F.col("id").alias("id_a"),
+                F.col("sz").alias("sz_a"),
+                F.explode(F.slice("o", F.lit(1), prefix_len)).alias("x"),
+            )
+            .filter(F.col("x.df") <= index_df_cap)
+            .select(*blocks, "id_a", "sz_a", F.col("x.s").alias("s"))
+        )
+        # posexplode BEFORE the df filter keeps p_b as the ORIGINAL
+        # canonical position, preserving the positional-filter bound
+        full = (
+            base.select(
+                *blocks,
+                F.col("id").alias("id_b"),
+                F.col("sz").alias("sz_b"),
+                F.posexplode("o").alias("p_b", "x"),
+            )
+            .filter(F.col("x.df") <= index_df_cap)
+            .select(*blocks, "id_b", "sz_b", "p_b", F.col("x.s").alias("s"))
+        )
+    else:
+        pref = base.select(
+            *blocks,
+            F.col("id").alias("id_a"),
+            F.col("sz").alias("sz_a"),
+            F.explode(F.slice("sh", F.lit(1), prefix_len)).alias("s"),
+        )
+        # B side carries each token's POSITION in the canonical order so
+        # the positional filter applies per joining row, before any
+        # shuffle-wide dedup (p_b is 0-based; suffix length from s
+        # inclusive = sz_b - p_b)
+        full = base.select(
+            *blocks,
+            F.col("id").alias("id_b"),
+            F.col("sz").alias("sz_b"),
+            F.posexplode("sh").alias("p_b", "s"),
+        )
     # Index-level prune: no pair with ANY probe can use a B-row whose
     # suffix is shorter than ⌈t·min(sz)⌉, so those rows (the tail of
     # every canonical list — exactly where the high-df tokens live)
@@ -1464,16 +1495,6 @@ def ngram_containment_pairs(
     full = full.crossJoin(F.broadcast(min_sz)).filter(
         (F.col("sz_b") - F.col("p_b")) >= F.ceil(F.lit(t) * F.col("min_sz"))
     )
-    if index_df_cap is not None:
-        # bounded-vocabulary escape hatch (see docstring): the banned
-        # set is the Zipf head — bounded by total_tokens / cap rows —
-        # and anti-joins both sides broadcast, so no candidate can form
-        # through a token seen in more than ``index_df_cap`` docs
-        banned = freq.filter(F.col("df") > index_df_cap).select(
-            *block_cols, "s"
-        )
-        pref = pref.join(F.broadcast(banned), [*block_cols, "s"], "left_anti")
-        full = full.join(F.broadcast(banned), [*block_cols, "s"], "left_anti")
     pruned = (
         pref.join(full, [*block_cols, "s"])
         .filter(

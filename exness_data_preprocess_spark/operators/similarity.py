@@ -180,6 +180,25 @@ def _empty(spark, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def _ranked(scored: DataFrame, score_col: str, k: int,
+            ascending: bool = False) -> DataFrame:
+    """Shared ranking tail of the fused kernels (review find: the window
+    block was still copy-pasted four times after the emit block was
+    deduplicated): rank per query by (score, neighbor_id asc) and keep
+    the top k. Input is already per-batch pruned to ≤ k rows per
+    (query, Arrow batch), so the window state is bounded by cluster
+    parallelism, not corpus size — and Spark applies
+    WindowGroupLimit(Partial) map-side before the lone exchange."""
+    order = (
+        F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    )
+    w = Window.partitionBy("query_id").orderBy(order, F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -414,9 +433,12 @@ def _centroid_matrix(
     bounded "training" collect as before; cell_id = row position + 1 in
     id order, matching every IVF oracle's row_number numbering)."""
     if centroids is not None:
-        C = np.asarray(
-            [[float(x) for x in c] for c in centroids], dtype=np.float64
-        )
+        if not centroids:  # e.g. a trainer run over an empty corpus
+            C = np.zeros((0, 0))
+        else:
+            C = np.asarray(
+                [[float(x) for x in c] for c in centroids], dtype=np.float64
+            )
     else:
         rows = (
             _valid_vectors(corpus, id_col, vec_col)
@@ -450,10 +472,15 @@ def _ivf_centroid_frame(
     expression-path :func:`ivf_assign_cells`."""
     spark = corpus.sparkSession
     if centroids is None:
+        # same NULL-exclusion as the NumPy twin _centroid_matrix — the
+        # two paths share the assignment contract bit-for-bit, so their
+        # stand-in centroid SETS must match on dirty corpora too
+        # (review find)
         rows = (
-            corpus.orderBy(id_col)
+            _valid_vectors(corpus, id_col, vec_col)
+            .orderBy("id")
             .limit(n_cells)
-            .select(_as_double(vec_col).alias("v"))
+            .select("v")
             .collect()
         )
         centroids = [r[0] for r in rows]
@@ -559,13 +586,7 @@ def ivf_topk(
         _scan_kernel(prep),
         f"query_id {id_ddl}, cell_id int, neighbor_id {id_ddl}, cosine double",
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _ranked(scored, "cosine", k)
 
 
 def ivf_topk_multiprobe(
@@ -618,13 +639,7 @@ def ivf_topk_multiprobe(
         _scan_kernel(prep),
         f"query_id {id_ddl}, neighbor_id {id_ddl}, cosine double",
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _ranked(scored, "cosine", k)
 
 
 def lsh_bucketed_neighbors(
@@ -676,13 +691,7 @@ def lsh_bucketed_neighbors(
         _scan_kernel(prep),
         f"query_id {id_ddl}, neighbor_id {id_ddl}, cosine double",
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _ranked(scored, "cosine", k)
 
 
 def quantize_embeddings(
@@ -876,12 +885,8 @@ def pq_adc_topk(
         _scan_kernel(prep),
         f"query_id {id_ddl}, neighbor_id {id_ddl}, adc_micro long",
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_micro").asc(), F.col("neighbor_id").asc()
-    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
+        _ranked(scored, "adc_micro", topk, ascending=True)
         .select(
             "query_id",
             "neighbor_id",
