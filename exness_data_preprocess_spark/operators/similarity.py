@@ -239,25 +239,13 @@ def cosine_topk(
         _scan_kernel(prep),
         f"query_id {id_ddl}, neighbor_id {id_ddl}, cosine double",
     )
-    from exness_data_preprocess_spark.operators.skew import (
-        topk_per_group_bounded,
-    )
-
-    bounded = topk_per_group_bounded(
-        scored.select(
-            "query_id", (-F.col("cosine")).alias("_negcos"), "neighbor_id"
-        ),
-        ("query_id",),
-        ("_negcos", "neighbor_id"),
-        k,
-    ).withColumn("cosine", -F.col("_negcos"))  # negation round-trips exactly
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        bounded.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    # The round-5 plan routed through the salted bounded top-k because
+    # its window input was the full scored corpus; the kernel's
+    # per-batch prune already bounds the window to ≤ k rows per
+    # (query, batch), so the plain ranked tail (with its map-side
+    # WindowGroupLimit) is now the cheaper, equivalent merge.
+    return _ranked(scored, "cosine", k).select(
+        "query_id", "neighbor_id", "cosine", "rank"
     )
 
 
