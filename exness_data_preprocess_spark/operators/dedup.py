@@ -1015,32 +1015,69 @@ def embedding_cosine_pairs(
         return _cell_blocked_pairs_np(
             df, centroids, vec_col, id_col, threshold
         )
+    # Round-6: the label-blocked and gated-full paths run the same
+    # Arrow/BLAS applyInPandas kernel as the cell-blocked path — the
+    # interpreted zip_with/aggregate self-join paid n_pairs·d lambda
+    # evals (the measured ~100x pattern) and held a persist the caller
+    # had to clean up. One X@X.T per group, round-6 before the
+    # threshold (the oracle contract), no persist, vectors shuffle once.
+    import numpy as np
+    import pandas as pd
+
+    from exness_data_preprocess_spark.operators.similarity import _norms
+
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    # NULL id/vector rows can never form a pair (the old plan's NULL
+    # keys/cosines failed every filter); excluded before stacking
+    clean = df.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    # Cast + norm once; both sides of the self-join read the cached frame.
-    base = df.select(
-        *( [F.col(block_col)] if block_col else [] ),
-        F.col(id_col).alias("id"),
-        v.alias("v"),
-        norm.alias("nrm"),
-    ).persist()
-    on = [block_col] if block_col else []
-    a = base.select(
-        *on, F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
-    )
-    b = base.select(
-        *on, F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b")
-    )
-    joined = a.join(b, on) if on else a.crossJoin(b)
-    dot = F.aggregate(
-        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    cos = dot / (F.col("n_a") * F.col("n_b"))
-    return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
-        .select(*on, "id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    if block_col:
+        blk_ddl = df.schema[block_col].dataType.simpleString()
+        side = clean.filter(F.col(block_col).isNotNull()).select(
+            F.col(block_col).alias("blk"),
+            F.col(id_col).alias("id"),
+            v.alias("v"),
+        )
+        out_schema = (
+            f"{block_col} {blk_ddl}, id_a {id_ddl}, id_b {id_ddl}, "
+            "cosine double"
+        )
+    else:
+        # gated tiny-frame exact path: one group on one task is the
+        # point (allow_full_compare documents the bound)
+        side = clean.select(
+            F.lit(0).alias("blk"), F.col(id_col).alias("id"), v.alias("v")
+        )
+        out_schema = f"id_a {id_ddl}, id_b {id_ddl}, cosine double"
+
+    def pairs_of_block(key, pdf):
+        cols = ([block_col] if block_col else []) + [
+            "id_a", "id_b", "cosine"
+        ]
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({c: [] for c in cols})
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        X = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+        )[order]
+        nrm = _norms(X, "corpus")
+        G = np.round((X @ X.T) / np.outer(nrm, nrm), 6)
+        iu, ju = np.triu_indices(m, k=1)
+        keep = G[iu, ju] >= threshold
+        out = {}
+        if block_col:
+            out[block_col] = [key[0]] * int(keep.sum())
+        out["id_a"] = ids[iu[keep]]
+        out["id_b"] = ids[ju[keep]]
+        out["cosine"] = G[iu, ju][keep]
+        return pd.DataFrame(out)
+
+    return side.groupBy("blk").applyInPandas(pairs_of_block, out_schema)
 
 
 def _cell_blocked_pairs_np(

@@ -156,6 +156,7 @@ def test_session_enrichment_broadcasts_and_stays_codegen(spark, tick_dfs):
 PYTHON_OK = {
     "multimodal_features",
     "video_frame_sample",
+    "dedup_embedding_cosine",  # label-blocked X@X.T per group (round 6)
     "dedup_embedding_cosine_ivf",
     "dedup_embedding_cosine_ivf_trained",
     "dedup_embedding_cosine_srp",  # BLAS signature matmul per batch
