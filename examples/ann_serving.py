@@ -5,7 +5,7 @@ composed the way a serving stack uses it:
 1. Train the coarse quantizer ONCE (``train_ivf_centroids_spherical`` —
    deterministic spherical k-means; the centroids are a persistable
    index artifact, here just held in memory) and build PQ codebooks.
-2. Serve a query batch three ways and compare recall against the exact
+2. Serve a query batch four ways and compare recall against the exact
    brute-force baseline:
    - IVF nprobe=1 (cheapest), IVF multi-probe (the recall knob),
    - LSH sign-bucketed,

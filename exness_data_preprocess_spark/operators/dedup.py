@@ -1024,8 +1024,6 @@ def embedding_cosine_pairs(
     import numpy as np
     import pandas as pd
 
-    from exness_data_preprocess_spark.operators.similarity import _norms
-
     id_ddl = df.schema[id_col].dataType.simpleString()
     # NULL id/vector rows can never form a pair (the old plan's NULL
     # keys/cosines failed every filter); excluded before stacking
@@ -1056,28 +1054,75 @@ def embedding_cosine_pairs(
         cols = ([block_col] if block_col else []) + [
             "id_a", "id_b", "cosine"
         ]
-        m = len(pdf)
-        if m < 2:
+        rows = _group_pair_rows(pdf, threshold)
+        if rows is None:
             return pd.DataFrame({c: [] for c in cols})
-        ids = pdf["id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        X = np.asarray(
-            [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
-        )[order]
-        nrm = _norms(X, "corpus")
-        G = np.round((X @ X.T) / np.outer(nrm, nrm), 6)
-        iu, ju = np.triu_indices(m, k=1)
-        keep = G[iu, ju] >= threshold
         out = {}
         if block_col:
-            out[block_col] = [key[0]] * int(keep.sum())
-        out["id_a"] = ids[iu[keep]]
-        out["id_b"] = ids[ju[keep]]
-        out["cosine"] = G[iu, ju][keep]
+            out[block_col] = [key[0]] * len(rows[0])
+        out["id_a"], out["id_b"], out["cosine"] = rows
         return pd.DataFrame(out)
 
     return side.groupBy("blk").applyInPandas(pairs_of_block, out_schema)
+
+
+def _group_pair_rows(pdf, threshold: float, chunk_elems: int = 1 << 22):
+    """Shared within-group cosine-pair kernel of the label-, cell-, and
+    SRP-bucket-blocked miners (review find: three near-verbatim copies
+    had already drifted).
+
+    Contract: stable-sort rows by id (numeric and string alike); DROP
+    zero-norm rows — a zero vector has no direction, the old expression
+    plans' NULL cosines simply failed the threshold, and one padding
+    vector must not abort a corpus-scale job (review find: the blanket
+    raise did); round-6 cosines BEFORE the threshold; strict
+    ``id_a != id_b`` so duplicate id values cannot emit degenerate
+    self-pairs (review find: the upper triangle alone only guarantees
+    ``id_a <= id_b`` after the sort, while every oracle joins on strict
+    '<'). The gram matrix computes in row chunks of ~``chunk_elems``
+    doubles — peak memory O(chunk·m) instead of O(m²) on a hot group
+    (review find) with every multiply still in BLAS.
+
+    Returns (id_a, id_b, cosine) numpy arrays, or None when no pair
+    survives.
+    """
+    import numpy as np
+
+    m = len(pdf)
+    if m < 2:
+        return None
+    ids = pdf["id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    X = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in pdf["v"].to_numpy()[order]]
+    )
+    nrm = np.linalg.norm(X, axis=1)
+    ok = nrm > 0
+    if not ok.all():
+        ids, X, nrm = ids[ok], X[ok], nrm[ok]
+        m = len(ids)
+        if m < 2:
+            return None
+    chunk = max(1, int(chunk_elems) // m)
+    outs = []
+    for i0 in range(0, m, chunk):
+        i1 = min(i0 + chunk, m)
+        G = np.round((X[i0:i1] @ X.T) / np.outer(nrm[i0:i1], nrm), 6)
+        rows, cols = np.nonzero(G >= threshold)
+        g = rows + i0
+        keep = (cols > g) & (ids[cols] != ids[g])
+        if keep.any():
+            outs.append(
+                (ids[g[keep]], ids[cols[keep]], G[rows[keep], cols[keep]])
+            )
+    if not outs:
+        return None
+    return (
+        np.concatenate([o[0] for o in outs]),
+        np.concatenate([o[1] for o in outs]),
+        np.concatenate([o[2] for o in outs]),
+    )
 
 
 def _cell_blocked_pairs_np(
@@ -1128,10 +1173,18 @@ def _cell_blocked_pairs_np(
             X = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
             )
-            # zero-norm guard (review find): silently dividing gives
-            # NaN cosines that poison the argmax cell assignment where
-            # the expression path produced null — fail loudly instead
-            nrm = _norms(X, "corpus")
+            # zero-norm guard (review finds, two rounds): silently
+            # dividing gives NaN cosines that poison the argmax cell
+            # assignment — but one padding vector must not abort a
+            # corpus-scale job either, so directionless rows are
+            # EXCLUDED from assignment (the old expression path's NULL
+            # cosines excluded them from every pair anyway)
+            nrm = np.linalg.norm(X, axis=1)
+            ok = nrm > 0
+            if not ok.all():
+                X, nrm = X[ok], nrm[ok]
+                if not len(X):
+                    continue
             cos = np.round(
                 (X @ C.T) / np.outer(nrm, Cn), 6
             )
@@ -1141,8 +1194,8 @@ def _cell_blocked_pairs_np(
             yield pd.DataFrame(
                 {
                     "cell_id": cell.astype("int32"),
-                    "id": pdf["id"],
-                    "v": pdf["v"],
+                    "id": pdf["id"][ok],
+                    "v": pdf["v"][ok],
                 }
             )
 
@@ -1155,27 +1208,17 @@ def _cell_blocked_pairs_np(
     )
 
     def pairs_of_cell(key, pdf):
-        m = len(pdf)
-        if m < 2:
+        rows = _group_pair_rows(pdf, threshold)
+        if rows is None:
             return pd.DataFrame(
                 {"cell_id": [], "id_a": [], "id_b": [], "cosine": []}
             )
-        ids = pdf["id"].to_numpy()
-        order = np.argsort(ids)  # works for numeric and string ids alike
-        ids = ids[order]
-        X = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
-        )[order]
-        nrm = _norms(X, "corpus")
-        G = np.round((X @ X.T) / np.outer(nrm, nrm), 6)
-        iu, ju = np.triu_indices(m, k=1)
-        keep = G[iu, ju] >= threshold
         return pd.DataFrame(
             {
-                "cell_id": np.full(int(keep.sum()), key[0], dtype="int32"),
-                "id_a": ids[iu[keep]],
-                "id_b": ids[ju[keep]],
-                "cosine": G[iu, ju][keep],
+                "cell_id": np.full(len(rows[0]), key[0], dtype="int32"),
+                "id_a": rows[0],
+                "id_b": rows[1],
+                "cosine": rows[2],
             }
         )
 
@@ -1235,10 +1278,7 @@ def srp_banded_pairs(
     import numpy as np
     import pandas as pd
 
-    from exness_data_preprocess_spark.operators.similarity import (
-        _norms,
-        hyperplanes,
-    )
+    from exness_data_preprocess_spark.operators.similarity import hyperplanes
 
     if bands < 1:
         raise ValueError("bands and planes_per_band must be positive")
@@ -1310,25 +1350,13 @@ def srp_banded_pairs(
     # band that finds the same pair computes the identical round-6
     # cosine, so keep-any is deterministic.
     def bucket_pairs(key, pdf):
-        m = len(pdf)
-        if m < 2 or (max_bucket_size is not None and m > max_bucket_size):
+        if max_bucket_size is not None and len(pdf) > max_bucket_size:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        ids = pdf["id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        X = np.asarray(
-            [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
-        )[order]
-        nrm = _norms(X, "corpus")
-        G = np.round((X @ X.T) / np.outer(nrm, nrm), 6)
-        iu, ju = np.triu_indices(m, k=1)
-        keep = G[iu, ju] >= threshold
+        rows = _group_pair_rows(pdf, threshold)
+        if rows is None:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         return pd.DataFrame(
-            {
-                "id_a": ids[iu[keep]],
-                "id_b": ids[ju[keep]],
-                "cosine": G[iu, ju][keep],
-            }
+            {"id_a": rows[0], "id_b": rows[1], "cosine": rows[2]}
         )
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))

@@ -27,14 +27,16 @@ ranking decision, ties to the lowest id / cell / code. BLAS-vs-fold
 association differences are ~1e-13, far below the 5e-7 rounding step,
 so the DuckDB oracles reproduce every decision bit-for-bit.
 
-Zero-norm vectors have no cosine direction; kernels raise rather than
-silently NaN-poison an argmax (validated precondition — embeddings are
-unit-normalized upstream). NULL-id / NULL-vector rows are excluded from
-candidate sets up front (:func:`_valid_vectors`) — the deterministic
-analog of the old expression plans' NULL cosines; only
-:func:`semantic_decontaminate` keeps NULL-vector corpus rows, reporting
-them uncontaminated with a NULL best cosine (its contract is one output
-row per corpus row).
+Dirty-data contract: NULL-id / NULL-vector rows are excluded from
+candidate sets up front (:func:`_valid_vectors`) and zero-norm CORPUS
+rows are masked out per batch (:func:`_safe_norms`) — both are the
+deterministic analog of the old expression plans' NULL cosines, which
+could never win a top-k slot, and neither aborts a corpus-scale job.
+Driver-held ARTIFACTS (query batches, centroids, benchmarks) still
+validate loudly (:func:`_norms`): a zero-norm index artifact is a bug,
+not data. Only :func:`semantic_decontaminate` keeps NULL/zero-norm
+corpus rows in its OUTPUT (uncontaminated, NULL best cosine) — its
+contract is one row per corpus row.
 """
 
 from __future__ import annotations
@@ -73,11 +75,26 @@ def _mat(vals) -> np.ndarray:
 def _norms(X: np.ndarray, what: str) -> np.ndarray:
     """Row L2 norms, validating the non-zero-norm precondition (a zero
     vector has no cosine direction; silently dividing yields NaN cosines
-    that poison argmax cell/neighbor decisions — fail loudly instead)."""
+    that poison argmax cell/neighbor decisions — fail loudly instead).
+    For driver-held ARTIFACTS (queries, centroids, benchmarks): a bad
+    index artifact deserves a loud error. Corpus-side kernels use
+    :func:`_safe_norms` instead — one padding vector must not abort a
+    serving job (review find)."""
     n = np.linalg.norm(X, axis=1)
     if n.size and not n.all():
         raise ValueError(f"zero-norm vector in {what}: cosine undefined")
     return n
+
+
+def _safe_norms(X: np.ndarray):
+    """(mask, safe_norms) for corpus-side rows: zero-norm rows are
+    masked OUT of the candidate set — the deterministic analog of the
+    old expression plans' NULL cosines, which could never win a top-k
+    slot — and their norm is replaced by 1.0 so the batch matmul stays
+    division-warning-free (the masked cosines are never read)."""
+    n = np.linalg.norm(X, axis=1)
+    ok = n > 0
+    return ok, np.where(ok, n, 1.0)
 
 
 def _valid_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -216,9 +233,11 @@ def cosine_topk(
     bounded by construction) and ride into a ``mapInPandas`` closure;
     the corpus streams through one Arrow-batched ``X @ Q.T`` matmul per
     batch — no shuffle of the corpus, no join. Each batch emits at most
-    k rows per query (see ``_batch_topk``); the global merge runs over
-    ≤ k·n_batches rows per query through the salted bounded top-k, so
-    no corpus-sized state ever concentrates on one reducer.
+    k rows per query (see ``_batch_topk``); the global merge is the
+    shared ranked tail over ≤ k·n_batches rows per query — bounded by
+    cluster parallelism, with a map-side WindowGroupLimit ahead of the
+    lone exchange, so no corpus-sized state ever concentrates on one
+    reducer.
     """
     qids, Q = _collect_vectors(queries, id_col, vec_col)
     id_ddl = corpus.schema[id_col].dataType.simpleString()
@@ -231,9 +250,9 @@ def cosine_topk(
     Qn = _norms(Q, "queries")
 
     def prep(ids, X):
-        nrm = _norms(X, "corpus")
+        ok, nrm = _safe_norms(X)
         cos = np.round((X @ Q.T) / np.outer(nrm, Qn), 6)
-        return _emit_topk(ids, cos, qids, k)
+        return _emit_topk(ids, cos, qids, k, mask_fn=lambda j: ok)
 
     scored = _valid_vectors(corpus, id_col, vec_col).mapInPandas(
         _scan_kernel(prep),
@@ -378,7 +397,11 @@ def train_ivf_centroids_spherical(
                     if not len(pdf):
                         continue
                     X = _mat(pdf["v"])
-                    cells = _np_assign(X, _norms(X, "corpus"), C, Cn)
+                    ok, nrm = _safe_norms(X)
+                    X, nrm = X[ok], nrm[ok]
+                    if not len(X):
+                        continue
+                    cells = _np_assign(X, nrm, C, Cn)
                     out = [
                         (
                             int(cell),
@@ -560,12 +583,12 @@ def ivf_topk(
     qcell = _np_assign(Q, Qn, C, Cn)
 
     def prep(ids, X):
-        nrm = _norms(X, "corpus")
+        ok, nrm = _safe_norms(X)
         cells = _np_assign(X, nrm, C, Cn)
         cos = np.round((X @ Q.T) / np.outer(nrm, Qn), 6)
         return _emit_topk(
             ids, cos, qids, k,
-            mask_fn=lambda j: cells == qcell[j],
+            mask_fn=lambda j: ok & (cells == qcell[j]),
             extra_name="cell_id",
             extra_fn=lambda j, sel: np.full(sel.size, qcell[j], dtype="int32"),
         )
@@ -615,12 +638,12 @@ def ivf_topk_multiprobe(
     ]
 
     def prep(ids, X):
-        nrm = _norms(X, "corpus")
+        ok, nrm = _safe_norms(X)
         cells = _np_assign(X, nrm, C, Cn)
         cos = np.round((X @ Q.T) / np.outer(nrm, Qn), 6)
         return _emit_topk(
             ids, cos, qids, k,
-            mask_fn=lambda j: np.isin(cells, qprobes[j]),
+            mask_fn=lambda j: ok & np.isin(cells, qprobes[j]),
         )
 
     scored = _valid_vectors(corpus, id_col, vec_col).mapInPandas(
@@ -668,11 +691,11 @@ def lsh_bucketed_neighbors(
     qsig = sigs(Q)
 
     def prep(ids, X):
-        nrm = _norms(X, "corpus")
+        ok, nrm = _safe_norms(X)
         sig = sigs(X)
         cos = np.round((X @ Q.T) / np.outer(nrm, Qn), 6)
         return _emit_topk(
-            ids, cos, qids, k, mask_fn=lambda j: sig == qsig[j]
+            ids, cos, qids, k, mask_fn=lambda j: ok & (sig == qsig[j])
         )
 
     scored = _valid_vectors(corpus, id_col, vec_col).mapInPandas(
@@ -979,7 +1002,9 @@ def semantic_decontaminate(
             )
             if valid.size and groups:
                 X = _mat(pdf["v"].to_numpy()[valid])
-                nrm = _norms(X, "corpus")
+                ok, nrm = _safe_norms(X)
+                valid = valid[ok]
+                X, nrm = X[ok], nrm[ok]
                 if use_cells:
                     keys = _np_assign(X, nrm, C, Cn)
                 elif block_col:

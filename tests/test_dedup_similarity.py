@@ -1033,3 +1033,62 @@ def test_containment_index_df_cap_trades_recall_never_precision(spark):
         ).collect()
     }
     assert wide == set(exact)
+
+
+def test_pair_miners_duplicate_ids_and_zero_norm_rows(spark):
+    """Review find (reproduced live): duplicate id values must not emit
+    degenerate id_a == id_b pairs (every oracle joins on strict '<'),
+    and a zero-norm padding vector is excluded from pairing instead of
+    aborting the job — across the label-, cell-, and SRP-blocked
+    miners, which now share one group-pair kernel."""
+    from exness_data_preprocess_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        srp_banded_pairs,
+    )
+
+    rows = [
+        (7, [1.0, 0.0], "a"),
+        (7, [1.0, 0.1], "a"),      # duplicate id, near-identical vector
+        (8, [0.99, 0.05], "a"),
+        (9, [0.0, 0.0], "a"),      # zero-norm padding row
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+
+    lbl = embedding_cosine_pairs(emb, block_col="label", threshold=0.3).collect()
+    cell = embedding_cosine_pairs(
+        emb, block_col=None, threshold=0.3, centroids=[[1.0, 0.0]]
+    ).collect()
+    srp = srp_banded_pairs(
+        emb, dim=2, bands=2, planes_per_band=4, threshold=0.3
+    ).collect()
+    for name, out in (("label", lbl), ("cell", cell), ("srp", srp)):
+        assert all(r["id_a"] != r["id_b"] for r in out), name
+        assert all(9 not in (r["id_a"], r["id_b"]) for r in out), name
+    # the real cross-id pair survives in the exact paths
+    assert {(r["id_a"], r["id_b"]) for r in lbl} == {(7, 8)}
+    assert {(r["id_a"], r["id_b"]) for r in cell} == {(7, 8)}
+
+
+def test_serving_kernels_skip_zero_norm_corpus_rows(spark):
+    """Corpus-side zero-norm rows are masked out of ANN candidates (not
+    a crash); artifact-side zero-norm queries still raise loudly."""
+    import pytest as _pytest
+
+    from exness_data_preprocess_spark.operators.similarity import ivf_topk
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),  # zero-norm corpus row
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(emb, emb.filter("vec_id = 0"), k=3).collect()
+    assert {r["neighbor_id"] for r in out} == {1}
+    out = ivf_topk(
+        emb, emb.filter("vec_id = 0"), k=3, centroids=[[1.0, 0.0]]
+    ).collect()
+    assert {r["neighbor_id"] for r in out} == {1}
+    with _pytest.raises(Exception, match="zero-norm"):
+        cosine_topk(emb, emb.filter("vec_id = 2"), k=3).collect()
