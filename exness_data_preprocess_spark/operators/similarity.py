@@ -801,6 +801,116 @@ def _pq_encode_batch(X: np.ndarray, B: np.ndarray) -> np.ndarray:
     return codes
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "pq-init-42",
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace Lloyd k-means PQ training (Jégou et
+    al., TPAMI'11) — the trained twin of the :func:`pq_codebooks`
+    stand-in, built so every step is reproducible in ANSI SQL (the same
+    design as :func:`train_ivf_centroids_spherical`; pyspark.ml's
+    k-means|| init cannot be oracle-verified).
+
+    Contract (mirrored by the registry's unrolled-CTE DuckDB oracle):
+
+    - init: the ``k`` rows with the smallest ``md5(seed|id)`` — a
+      seeded uniform sample — numbered 0..k-1 in hash order; every
+      subspace starts from the SAME ``k`` rows' subvectors;
+    - each Lloyd iteration assigns every (vector, subspace) to the
+      argmin round-6 squared-L2 code (ties to the lowest code — the
+      exact :func:`_pq_encode_batch` contract ADC search uses), then
+      recomputes each (subspace, code) centroid as the per-component
+      member mean rounded to 6 dp; empty codes carry the previous
+      centroid forward;
+    - exactly ``iters`` iterations — no data-dependent convergence
+      test, so both engines run the identical computation.
+
+    Scale shape: the codebook (m·k·d/m doubles) lives on the driver;
+    per iteration one zero-shuffle ``mapInPandas`` pass emits ≤ m·k
+    per-batch partial (count, sum-subvector) rows, combined
+    driver-side. The projected corpus is persisted once across the
+    iteration loop and released on exit. Train once per corpus
+    snapshot and persist like any index artifact; the registry caches
+    it per fixture fingerprint.
+    """
+    clean = _valid_vectors(corpus, id_col, vec_col)
+    init_rows = (
+        clean.select(
+            F.md5(
+                F.concat(F.lit(seed + "|"), F.col("id").cast("string"))
+            ).alias("_h"),
+            "v",
+        )
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    if not init_rows:
+        raise ValueError("train_pq_codebooks: empty corpus, nothing to train")
+    dim = len(init_rows[0]["v"])
+    if dim % m:
+        raise ValueError(
+            f"train_pq_codebooks: dim {dim} not divisible by m={m}"
+        )
+    d_sub = dim // m
+    B = np.asarray(
+        [
+            [list(r["v"][s * d_sub:(s + 1) * d_sub]) for r in init_rows]
+            for s in range(m)
+        ],
+        dtype=np.float64,
+    )
+    m_subs = B.shape[0]
+    side = clean.persist()
+    try:
+        for _ in range(iters):
+
+            def partials(batches, B=B):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = _mat(pdf["v"])
+                    codes = _pq_encode_batch(X, B)
+                    out = []
+                    for s in range(m_subs):
+                        Xs = X[:, s * d_sub:(s + 1) * d_sub]
+                        for c in np.unique(codes[:, s]):
+                            msk = codes[:, s] == c
+                            out.append(
+                                (
+                                    int(s),
+                                    int(c),
+                                    int(msk.sum()),
+                                    Xs[msk].sum(axis=0).tolist(),
+                                )
+                            )
+                    yield pd.DataFrame(
+                        out, columns=["sub", "code", "n", "s"]
+                    )
+
+            agg = side.mapInPandas(
+                partials, "sub int, code int, n long, s array<double>"
+            ).collect()
+            counts: dict[tuple[int, int], int] = {}
+            sums: dict[tuple[int, int], np.ndarray] = {}
+            for r in agg:
+                sc = (r["sub"], r["code"])
+                counts[sc] = counts.get(sc, 0) + r["n"]
+                sums[sc] = sums.get(sc, 0) + np.asarray(r["s"])
+            newB = B.copy()
+            for (s, c), n in counts.items():
+                newB[s][c] = np.round(sums[(s, c)] / n, 6)
+            B = newB
+        return [[list(map(float, code)) for code in sub] for sub in B]
+    finally:
+        side.unpersist()
+
+
 def pq_encode(
     corpus: DataFrame,
     books: list[list[list[float]]],

@@ -915,7 +915,8 @@ _DRIVER_PRIORITY = [
     # exact-pair replace write path, and the newly-timed resamples
     "dedup_embedding_cosine_ivf_trained", "ann_ivf_topk",
     "ann_ivf_multiprobe", "embedding_cosine_topk", "ann_lsh_bucketed",
-    "pq_encode", "pq_ann_adc", "semantic_decontamination",
+    "pq_encode", "pq_ann_adc", "pq_ann_adc_trained",
+    "semantic_decontamination",
     "semantic_decontamination_ivf", "dedup_embedding_cosine_ivf",
     "dedup_embedding_cosine_srp", "dedup_embedding_cosine",
     "catalog_tick_scan", "catalog_ohlc_1m", "catalog_ohlc_1h",

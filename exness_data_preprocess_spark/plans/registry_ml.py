@@ -542,9 +542,11 @@ def q_dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRAINED_ITERS = 5
 _TRAINED_SEED = "ivf-init-42"
 _TRAINED_CENT_CACHE: dict[tuple[str, int], list[list[float]]] = {}
-#: wall-clock of each (fixture, n_cells) training fit, recorded so bench
-#: can report the index-build cost separately from the per-query cost
-TRAINED_FIT_SECONDS: dict[tuple[str, int], float] = {}
+#: wall-clock of each (fixture, index-params) training fit, recorded so
+#: bench can report the index-build cost separately from the per-query
+#: cost — keyed (fixture fingerprint, n_cells) for IVF and (fingerprint,
+#: ("pq", m, k)) for trained-PQ codebooks
+TRAINED_FIT_SECONDS: dict[tuple[str, object], float] = {}
 
 
 def _trained_centroids(
