@@ -846,6 +846,19 @@ FROM events
 # ---------------------------------------------------------------------------
 _PQ_M, _PQ_K, _PQ_DSUB = 4, 16, 16  # 64-dim → 4 subspaces × 16 dims, 16 codes
 
+
+def _pq_sq_dist(vec: str, cb: str) -> str:
+    """Round-6 squared-L2 between ``vec``'s subspace ``cb.sub`` slice and
+    codebook row ``cb.cvec`` — the fold every PQ oracle decision (encode
+    argmin, ADC LUT, trained Lloyd assignment) uses; single-sourced so
+    the stand-in and trained oracles cannot diverge."""
+    return (
+        f"round(list_sum(list_transform(generate_series(1, {_PQ_DSUB}), "
+        f"i -> ({vec}[{cb}.sub * {_PQ_DSUB} + i] - {cb}.cvec[i]) "
+        f"* ({vec}[{cb}.sub * {_PQ_DSUB} + i] - {cb}.cvec[i]))), 6)"
+    )
+
+
 _PQ_CB_SQL = f"""
 e AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
@@ -861,11 +874,7 @@ e AS (
     SELECT e.vec_id, cb.sub, cb.code,
            row_number() OVER (
              PARTITION BY e.vec_id, cb.sub
-             ORDER BY round(list_sum(list_transform(
-               generate_series(1, {_PQ_DSUB}),
-               i -> (e.v[cb.sub * {_PQ_DSUB} + i] - cb.cvec[i])
-                    * (e.v[cb.sub * {_PQ_DSUB} + i] - cb.cvec[i])
-             )), 6), cb.code
+             ORDER BY {_pq_sq_dist('e.v', 'cb')}, cb.code
            ) AS rn
     FROM e CROSS JOIN cb
   ) WHERE rn = 1
@@ -902,11 +911,7 @@ def q_pq_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PQ_ADC = f"""
 WITH {_PQ_CB_SQL}, lut AS (
   SELECT q.vec_id AS query_id, cb.sub, cb.code,
-         CAST(round(list_sum(list_transform(
-           generate_series(1, {_PQ_DSUB}),
-           i -> (q.v[cb.sub * {_PQ_DSUB} + i] - cb.cvec[i])
-                * (q.v[cb.sub * {_PQ_DSUB} + i] - cb.cvec[i])
-         )), 6) AS DECIMAL(28,12)) AS pd
+         CAST({_pq_sq_dist('q.v', 'cb')} AS DECIMAL(28,12)) AS pd
   FROM e q CROSS JOIN cb
   WHERE q.vec_id < 10
 ), cand AS (
@@ -929,42 +934,36 @@ SELECT query_id, neighbor_id, adc::DOUBLE AS adc_dist, rank FROM (
 #: so the NumPy trainer and the unrolled-CTE oracle run the identical
 #: computation (the trained-IVF design, applied per subspace)
 _PQ_TRAINED_ITERS, _PQ_TRAINED_SEED = 3, "pq-init-42"
-_TRAINED_PQ_CACHE: dict[str, list[list[list[float]]]] = {}
+_TRAINED_PQ_CACHE: dict[tuple, list[list[list[float]]]] = {}
 
 
 def _trained_pq_books(
     spark: SparkSession, sf_dir: str
 ) -> list[list[list[float]]]:
     """Trained PQ codebooks, fit ONCE per fixture fingerprint and cached
-    — codebooks are an index artifact that lives with the index, not a
-    per-query cost (the ``_trained_centroids`` idiom; the fit lands in
-    ``registry_ml.TRAINED_FIT_SECONDS`` so bench reports it as
-    ``index_build_sec``, separately from the query timing)."""
-    import os
-    import time
-
+    via ``registry_ml.fit_fingerprint_cached`` — codebooks are an index
+    artifact that lives with the index, not a per-query cost; the fit
+    lands in ``TRAINED_FIT_SECONDS`` so bench reports it as
+    ``index_build_sec``, separately from the query timing."""
+    from exness_data_preprocess_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
     from exness_data_preprocess_spark.plans.registry_ml import (
-        TRAINED_FIT_SECONDS,
+        fit_fingerprint_cached,
     )
 
-    st = os.stat(f"{sf_dir}/embeddings.parquet")
-    key = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
-    if key not in _TRAINED_PQ_CACHE:
-        from exness_data_preprocess_spark.operators.similarity import (
-            train_pq_codebooks,
-        )
-
-        t0 = time.time()
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        _TRAINED_PQ_CACHE[key] = train_pq_codebooks(
-            emb,
+    return fit_fingerprint_cached(
+        sf_dir,
+        ("pq", _PQ_M, _PQ_K),
+        _TRAINED_PQ_CACHE,
+        lambda: train_pq_codebooks(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
             m=_PQ_M,
             k=_PQ_K,
             iters=_PQ_TRAINED_ITERS,
             seed=_PQ_TRAINED_SEED,
-        )
-        TRAINED_FIT_SECONDS[(key, ("pq", _PQ_M, _PQ_K))] = time.time() - t0
-    return _TRAINED_PQ_CACHE[key]
+        ),
+    )
 
 
 def q_pq_ann_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -982,16 +981,6 @@ def q_pq_ann_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10),
         _trained_pq_books(spark, sf_dir),
         topk=5,
-    )
-
-
-def _pq_sq_dist(vec: str, cb: str) -> str:
-    """Round-6 squared-L2 between ``vec``'s subspace ``cb.sub`` slice and
-    codebook row ``cb.cvec`` — the fold every PQ oracle decision uses."""
-    return (
-        f"round(list_sum(list_transform(generate_series(1, {_PQ_DSUB}), "
-        f"i -> ({vec}[{cb}.sub * {_PQ_DSUB} + i] - {cb}.cvec[i]) "
-        f"* ({vec}[{cb}.sub * {_PQ_DSUB} + i] - {cb}.cvec[i]))), 6)"
     )
 
 
