@@ -4,12 +4,15 @@ composed the way a serving stack uses it:
 
 1. Train the coarse quantizer ONCE (``train_ivf_centroids_spherical`` —
    deterministic spherical k-means; the centroids are a persistable
-   index artifact, here just held in memory) and build PQ codebooks.
-2. Serve a query batch four ways and compare recall against the exact
+   index artifact, here just held in memory) and build PQ codebooks —
+   both the lowest-id stand-in and the trained per-subspace Lloyd
+   k-means (``train_pq_codebooks``).
+2. Serve a query batch five ways and compare recall against the exact
    brute-force baseline:
    - IVF nprobe=1 (cheapest), IVF multi-probe (the recall knob),
    - LSH sign-bucketed,
-   - PQ asymmetric-distance top-k over the compressed codes.
+   - PQ asymmetric-distance top-k over the compressed codes, with
+     stand-in and trained codebooks.
    Every path is ONE zero-shuffle scan of the corpus: the query batch,
    centroids, hyperplanes, and codebooks ride into the kernel closure,
    and at most k candidate rows per (query, Arrow batch) leave an
@@ -44,6 +47,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None):
         quantize_embeddings,
         semantic_decontaminate,
         train_ivf_centroids_spherical,
+        train_pq_codebooks,
     )
 
     spark = spark or get_spark("ann-serving")
@@ -54,6 +58,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None):
     # -- index build (once per corpus snapshot; persist like any artifact)
     centroids = train_ivf_centroids_spherical(corpus, n_cells=16, iters=5)
     books = pq_codebooks(corpus, m=4, k=16)
+    trained_books = train_pq_codebooks(corpus, m=4, k=16, iters=3)
     print(f"index: {len(centroids)} IVF cells, "
           f"{len(books)}x{len(books[0])} PQ codebooks over {dim}-d vectors")
 
@@ -69,6 +74,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None):
         ("lsh 8-bit", lsh_bucketed_neighbors(
             corpus, queries, dim=dim, n_planes=8, k=5)),
         ("pq adc", pq_adc_topk(corpus, queries, books, topk=5)),
+        # trained per-subspace Lloyd codebooks: lower quantization MSE;
+        # on tiny corpora recall can trail the data-point stand-in
+        # (cluster means collapse nearby vectors to one code)
+        ("pq adc trained", pq_adc_topk(corpus, queries, trained_books, topk=5)),
     ]:
         got = pairs(df)
         rec = len(exact & got) / len(exact) if exact else 1.0
