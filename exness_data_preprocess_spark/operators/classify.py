@@ -1,0 +1,193 @@
+"""In-plan trained text classifier (hashed-feature multinomial Naive Bayes).
+
+The production pattern behind CCNet / DCLM-style corpus curation is a
+cheap linear classifier over hashed token features (fastText-shaped)
+scoring every document — for language, domain, or quality routing. This
+module expresses the whole train-then-score loop as ONE declarative plan:
+
+* features are hashed token buckets (md5-derived, ``functions/hashing.py``),
+  so the feature space is fixed at ``n_buckets`` regardless of vocabulary
+  — the weight table is bounded and broadcastable;
+* training is the multinomial-NB closed form (per-class bucket counts +
+  Dirichlet/Laplace smoothing) — pure aggregation, no iterative fit, which
+  is what makes it derivable inside a SQL oracle as well;
+* scoring quantizes every log-weight to DECIMAL(20,6) before the order-free
+  exact sum (the repo-wide cross-engine contract: engine ``ln`` may differ
+  by 1 ulp, DECIMAL addition may not), so the argmax tie-break
+  ``(score DESC, class ASC)`` is a total order both engines agree on.
+
+Scale shape: token->bucket aggregation is map-side partial; the weight
+grid is ``n_classes x n_buckets`` rows (KBs) and broadcasts; per-doc
+scoring joins doc bucket-counts to the grid on ``bucket`` (expansion
+factor = n_classes, bounded and documented) and reduces per (doc, class).
+No corpus self-join, no global window — the argmax window partitions by
+doc_id (uniform key).
+
+Reference parity: the reference has no trained classifier (its curation
+is rule-based flags); this is a scale-path addition in the spirit of its
+quality gates, trained on the corpus itself so no external artifact is
+required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.functions.hashing import md5_h32
+from exness_data_preprocess_spark.operators.dedup import tokens_col
+
+NB_BUCKETS = 1024
+NB_ALPHA = 1.0
+
+
+def nb_train_score(
+    df: DataFrame,
+    class_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = NB_BUCKETS,
+    alpha: float = NB_ALPHA,
+) -> DataFrame:
+    """Train multinomial NB on ``(text, class)`` and score every doc.
+
+    Output: ``doc_id, pred_class, score, is_correct`` — the posterior
+    log-score (DECIMAL-exact sum, surfaced as DOUBLE) of the argmax
+    class and whether it matches the training label (the in-corpus
+    accuracy audit; on held-out data you'd drop ``is_correct``).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(class_col).alias("cls"),
+        F.explode(
+            F.filter(tokens_col(F.col(text_col)), lambda t: t != "")
+        ).alias("tok"),
+    ).withColumn("bucket", F.pmod(md5_h32(F.col("tok")), F.lit(n_buckets)))
+
+    # training counts: per-(class, bucket) token occurrences + class totals
+    cb = toks.groupBy("cls", "bucket").agg(F.count("*").alias("c"))
+    ct = cb.groupBy("cls").agg(F.sum("c").alias("t"))
+
+    # dense weight grid over classes x observed buckets (unseen pairs get
+    # the smoothed floor); the smoothing denominator uses the FIXED
+    # n_buckets so absent buckets need no row at all
+    classes = cb.select("cls").distinct()
+    buckets = cb.select("bucket").distinct()
+    grid = (
+        classes.crossJoin(buckets)
+        .join(cb, ["cls", "bucket"], "left")
+        .join(ct, "cls")
+        .select(
+            "cls",
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("t") + F.lit(alpha * n_buckets))
+                ),
+                6,
+            )
+            .cast("decimal(20,6)")
+            .alias("w"),
+        )
+    )
+
+    # class log-priors from document counts
+    docs_per_cls = df.groupBy(F.col(class_col).alias("cls")).agg(
+        F.count("*").alias("nd")
+    )
+    n_docs = df.count()
+    prior = docs_per_cls.select(
+        "cls",
+        F.round(F.log(F.col("nd") / F.lit(float(n_docs))), 6)
+        .cast("decimal(20,6)")
+        .alias("lp"),
+    )
+
+    # per-doc bucket multiplicities, scored against every class
+    feat = toks.groupBy("doc", "cls", "bucket").agg(F.count("*").alias("m"))
+    doc_feat = feat.select(
+        "doc", F.col("cls").alias("true_cls"), "bucket", "m"
+    )
+    scored = (
+        doc_feat.join(F.broadcast(grid), "bucket")
+        .groupBy("doc", "true_cls", "cls")
+        .agg(F.sum(F.col("m") * F.col("w")).alias("like"))
+        .join(F.broadcast(prior), "cls")
+        .withColumn("s", F.col("like") + F.col("lp"))
+    )
+    w_arg = Window.partitionBy("doc").orderBy(
+        F.col("s").desc(), F.col("cls").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_arg))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("cls").alias("pred_class"),
+            F.col("s").cast("double").alias("score"),
+            (F.col("cls") == F.col("true_cls")).cast("int").alias("is_correct"),
+        )
+    )
+
+
+def nb_oracle_sql(
+    toks_sql: str,
+    class_col: str,
+    n_buckets: int = NB_BUCKETS,
+    alpha: float = NB_ALPHA,
+) -> str:
+    """DuckDB rendering of :func:`nb_train_score` over the documents
+    table — re-derives the training counts, smoothed weights, priors and
+    the DECIMAL-exact argmax from the same hash family.
+
+    ``toks_sql`` is the DuckDB expression for the token array of ``text``.
+    """
+    from exness_data_preprocess_spark.functions.hashing import md5_h32_sql
+
+    h = md5_h32_sql("tok")
+    return f"""
+WITH tk AS (
+  SELECT doc_id AS doc, {class_col} AS cls,
+         ({h}) % {n_buckets} AS bucket
+  FROM (
+    SELECT doc_id, {class_col}, unnest(list_filter({toks_sql}, t -> t <> '')) AS tok
+    FROM documents
+  )
+),
+cb AS (SELECT cls, bucket, count(*) AS c FROM tk GROUP BY 1, 2),
+ct AS (SELECT cls, sum(c) AS t FROM cb GROUP BY 1),
+grid AS (
+  SELECT cl.cls, b.bucket,
+         CAST(round(ln((coalesce(cb.c, 0) + {alpha!r})
+                       / (ct.t + {float(alpha * n_buckets)!r})), 6)
+              AS DECIMAL(20,6)) AS w
+  FROM (SELECT DISTINCT cls FROM cb) cl
+  CROSS JOIN (SELECT DISTINCT bucket FROM cb) b
+  LEFT JOIN cb ON cb.cls = cl.cls AND cb.bucket = b.bucket
+  JOIN ct ON ct.cls = cl.cls
+),
+prior AS (
+  SELECT {class_col} AS cls,
+         CAST(round(ln(count(*)::DOUBLE
+                       / (SELECT count(*) FROM documents)), 6)
+              AS DECIMAL(20,6)) AS lp
+  FROM documents GROUP BY 1
+),
+feat AS (
+  SELECT doc, cls AS true_cls, bucket, count(*) AS m
+  FROM tk GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT f.doc, f.true_cls, g.cls,
+         sum(f.m * g.w) + any_value(p.lp) AS s
+  FROM feat f
+  JOIN grid g USING (bucket)
+  JOIN prior p ON p.cls = g.cls
+  GROUP BY 1, 2, 3
+)
+SELECT doc AS doc_id, cls AS pred_class, s::DOUBLE AS score,
+       (cls = true_cls)::INT AS is_correct
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc ORDER BY s DESC, cls) = 1
+"""

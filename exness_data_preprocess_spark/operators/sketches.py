@@ -1,0 +1,260 @@
+"""Deterministic cardinality / frequency sketches.
+
+At 100 TB, exact DISTINCT and exact per-token counts are the queries that
+hurt: both shuffle the full key universe. The production answers are
+sketches — bounded-state, mergeable summaries computed map-side. Spark
+ships HyperLogLog (``approx_count_distinct``) but its register layout is
+engine-private, so an external oracle cannot reproduce it bit-for-bit.
+These two sketches are chosen because they are *deterministic in the hash
+family* (functions/hashing.py's md5-derived universal hashes, reproducible
+in ANSI SQL), so the DuckDB oracle re-derives the full sketch and the
+estimates hash-match exactly:
+
+* **KMV (k-minimum-values)** — distinct-count estimate from the k-th
+  smallest hash of the distinct values (Bar-Yossef et al., 2002;
+  Beyer et al., SIGMOD 2007  D-hat = (k-1)/R_k). State per group = k
+  64-bit values, merge = union-then-keep-k-smallest. The bounded top-k
+  aggregation reuses the skew-proof salted shape (operators/skew.py), so
+  a hot group never serializes onto one reducer.
+* **Count-min (CM) sketch** — frequency over-estimates from a d x w
+  counter grid (Cormode & Muthukrishnan, 2005  est = min_j C[j][h_j(x)]).
+  State = d*w counters regardless of corpus size; merge = cell-wise sum;
+  the probe-side join is a broadcast of the counter grid.
+
+Reference parity: the reference engine exposes only exact
+count()/uniqExact-style aggregates (clickhouse_query_engine.py coverage
+queries); these sketches are the scale-path additions a training-data
+pipeline needs when exact is unaffordable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.functions.hashing import (
+    MERSENNE_P,
+    md5_h32,
+    md5_h60,
+    minhash_coeffs,
+)
+from exness_data_preprocess_spark.operators.skew import topk_per_group_bounded
+
+# KMV: estimate D-hat = (k-1) / (h_k / 2^60) once >= k distinct values
+# were seen; below k the sketch holds every distinct hash and the count
+# is exact. 2^60 = the md5_h60 hash-space size.
+KMV_K = 64
+_H60_SPACE = float(1 << 60)
+
+# Count-min geometry: 4 rows x 512 buckets. Coefficients are drawn from
+# the same frozen universal-hash family as minhash, OFFSET past the 16
+# minhash permutations so the two sketches never share a hash function.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_COEFFS = minhash_coeffs(16 + CMS_DEPTH)[16:]
+
+
+def kmv_distinct_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate, with the exact count kept
+    alongside as the accuracy audit (at production scale the exact branch
+    is the one you drop).
+
+    Output: ``group_col, n_exact, kth_h60, est_distinct, rel_err``.
+
+    Scale shape: one distinct on (group, hash) — the same shuffle any
+    exact distinct pays — then the k smallest hashes per group via the
+    salted bounded top-k (constant state per reducer, no per-group sort).
+    The estimate itself never touches more than k values per group; in a
+    streaming/mergeable deployment the distinct pass collapses into the
+    sketch update and the exact column disappears.
+    """
+    dh = df.select(
+        F.col(group_col), md5_h60(F.col(value_col)).alias("h")
+    ).distinct()
+    exact = dh.groupBy(group_col).agg(F.count("*").alias("n_exact"))
+    smallest = topk_per_group_bounded(dh, (group_col,), ("h",), k)
+    kth = smallest.groupBy(group_col).agg(
+        F.max("h").alias("kth_h60"), F.count("*").alias("_n_in")
+    )
+    est = F.when(
+        F.col("_n_in") == k,
+        F.round(
+            F.lit(float(k - 1))
+            / (F.col("kth_h60").cast("double") / F.lit(_H60_SPACE)),
+            6,
+        ),
+    ).otherwise(F.col("n_exact").cast("double"))
+    return (
+        exact.join(kth, group_col)
+        .withColumn("est_distinct", est)
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("n_exact"))
+                / F.col("n_exact"),
+                6,
+            ),
+        )
+        .select(group_col, "n_exact", "kth_h60", "est_distinct", "rel_err")
+    )
+
+
+def kmv_oracle_sql(
+    source_cte: str, group_col: str, value_expr: str, k: int = KMV_K
+) -> str:
+    """DuckDB rendering of :func:`kmv_distinct_sketch` (same estimator,
+    same hash, rank-k via window instead of the salted aggregate)."""
+    from exness_data_preprocess_spark.functions.hashing import md5_h60_sql
+
+    h = md5_h60_sql(value_expr)
+    return f"""
+WITH src AS ({source_cte}),
+d AS (SELECT DISTINCT {group_col}, {h} AS h FROM src),
+r AS (
+  SELECT {group_col}, h,
+         row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn,
+         count(*)    OVER (PARTITION BY {group_col}) AS n_exact
+  FROM d
+), pick AS (
+  SELECT {group_col}, n_exact, h AS kth_h60,
+         CASE WHEN n_exact >= {k}
+              THEN round({float(k - 1)} / (h::DOUBLE / {_H60_SPACE!r}), 6)
+              ELSE n_exact::DOUBLE END AS est_distinct
+  FROM r WHERE rn = least({k}, n_exact)
+)
+SELECT {group_col}, n_exact, kth_h60, est_distinct,
+       round(abs(est_distinct - n_exact) / n_exact, 6) AS rel_err
+FROM pick
+"""
+
+
+def _cms_bucket(h32: F.Column, j: int) -> F.Column:
+    a, b = CMS_COEFFS[j]
+    return ((h32 * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)) % F.lit(
+        CMS_WIDTH
+    )
+
+
+def cms_counters(df: DataFrame, value_col: str) -> DataFrame:
+    """The d x w counter grid: ``(row_j, bucket, cnt)``.
+
+    One explode (x depth) + one groupBy on a uniform (j, bucket) key —
+    fully partial-aggregable, output bounded at d*w rows no matter the
+    corpus size. This is the mergeable artifact a 1000-executor job
+    reduces to almost for free.
+    """
+    h = md5_h32(F.col(value_col)).alias("h32")
+    rows = df.select(h).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_j"),
+                        _cms_bucket(F.col("h32"), j).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell")
+    )
+    return rows.groupBy("cell.row_j", "cell.bucket").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def cms_estimate(
+    df: DataFrame, value_col: str, probes: list[str]
+) -> DataFrame:
+    """Count-min point estimates for ``probes`` vs the exact counts.
+
+    Output: ``probe, est_count, exact_count, overcount`` (CM never
+    under-counts: overcount >= 0 always; the exact column is the audit
+    you drop at scale). The counter grid (d*w rows) broadcasts to the
+    probe side; the exact count is one filtered aggregate.
+    """
+    counters = cms_counters(df, value_col)
+    probe_df = (
+        df.sparkSession.createDataFrame(
+            [(p,) for p in probes], ["probe"]
+        )
+        .withColumn("h32", md5_h32(F.col("probe")))
+        .select(
+            "probe",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("row_j"),
+                            _cms_bucket(F.col("h32"), j).alias("bucket"),
+                        )
+                        for j in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("cell"),
+        )
+        .select("probe", "cell.row_j", "cell.bucket")
+    )
+    est = (
+        probe_df.join(F.broadcast(counters), ["row_j", "bucket"], "left")
+        .groupBy("probe")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+    exact = (
+        df.filter(F.col(value_col).isin(probes))
+        .groupBy(F.col(value_col).alias("probe"))
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return (
+        est.join(exact, "probe", "left")
+        .withColumn("exact_count", F.coalesce("exact_count", F.lit(0)))
+        .withColumn("overcount", F.col("est_count") - F.col("exact_count"))
+        .select("probe", "est_count", "exact_count", "overcount")
+    )
+
+
+def cms_oracle_sql(source_cte: str, value_expr: str, probes: list[str]) -> str:
+    """DuckDB rendering of :func:`cms_estimate` — re-derives the counter
+    grid with the same (a, b) coefficients inlined."""
+    from exness_data_preprocess_spark.functions.hashing import md5_h32_sql
+
+    h = md5_h32_sql(value_expr)
+    hp = md5_h32_sql("probe")
+    cells = " UNION ALL ".join(
+        f"SELECT {j} AS row_j, (({h} * {a} + {b}) % {MERSENNE_P})"
+        f" % {CMS_WIDTH} AS bucket FROM src"
+        for j, (a, b) in enumerate(CMS_COEFFS)
+    )
+    probe_rows = ", ".join(f"('{p}')" for p in probes)
+    probe_cells = " UNION ALL ".join(
+        f"SELECT probe, {j} AS row_j, (({hp} * {a} + {b}) % {MERSENNE_P})"
+        f" % {CMS_WIDTH} AS bucket FROM probes"
+        for j, (a, b) in enumerate(CMS_COEFFS)
+    )
+    probe_list = ", ".join(f"'{p}'" for p in probes)
+    return f"""
+WITH src AS ({source_cte}),
+counters AS (
+  SELECT row_j, bucket, count(*) AS cnt FROM ({cells}) GROUP BY 1, 2
+),
+probes AS (SELECT * FROM (VALUES {probe_rows}) AS t(probe)),
+pc AS ({probe_cells}),
+est AS (
+  SELECT pc.probe, min(coalesce(c.cnt, 0)) AS est_count
+  FROM pc LEFT JOIN counters c USING (row_j, bucket)
+  GROUP BY 1
+),
+exact AS (
+  SELECT {value_expr} AS probe, count(*) AS exact_count FROM src
+  WHERE {value_expr} IN ({probe_list})
+  GROUP BY 1
+)
+SELECT est.probe, est.est_count,
+       coalesce(exact.exact_count, 0) AS exact_count,
+       est.est_count - coalesce(exact.exact_count, 0) AS overcount
+FROM est LEFT JOIN exact USING (probe)
+"""

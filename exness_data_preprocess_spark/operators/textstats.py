@@ -1010,3 +1010,75 @@ def source_overlap(
         .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("shared_grams"))
     )
+
+
+def collocation_pmi(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` collocations (adjacent token pairs) by pointwise mutual
+    information — the corpus-statistics classic (Church & Hanks, 1990)
+    behind phrase mining and tokenizer-merge analysis.
+
+    PMI(w1, w2) = ln( P(w1,w2) / (P(w1)·P(w2)) ) with bigram probability
+    over transitions (N2) and unigram probabilities over tokens (N1);
+    pairs below ``min_count`` transitions are pruned before scoring (the
+    standard sparse-count guard). Output is totally ordered by
+    ``(pmi DESC, w1, w2)`` — PMI is rounded to 6dp first, so the
+    cross-engine ordering is exact.
+
+    Determinism: PMI is ONE ln of a ratio of exact integer counts; both
+    engines evaluate the identical double expression, so the rounded
+    value matches bit-for-bit (no sum-order exposure at all).
+
+    Scale shape: the transition extraction is the bigram-LM pass
+    (map-side explode, groupBy on the uniform (w1, w2) key); unigram
+    counts join back on w1/w2 (vocabulary-sized sides, AQE-broadcast);
+    N1/N2 are 1-row broadcast scalars. The final top-k is a LIMIT over
+    the pruned pair table — bounded output, no global window.
+    """
+    toks = df.select(tokens_col(F.col(text_col)).alias("tk"))
+    trans = toks.filter(F.size("tk") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 2),
+                lambda i: F.struct(
+                    F.col("tk")[i].alias("w1"), F.col("tk")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    n1 = uni.agg(F.sum("c1").cast("double").alias("n1"))
+    bi = (
+        trans.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .filter(F.col("c2") >= min_count)
+    )
+    n2 = trans.agg(F.count("*").cast("double").alias("n2"))
+    return (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1b")), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c2") * F.col("n1") * F.col("n1"))
+                    / (F.col("n2") * F.col("c1a") * F.col("c1b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )

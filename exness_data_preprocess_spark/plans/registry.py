@@ -891,7 +891,13 @@ def _register_extra_queries() -> None:
         build_pipeline_queries,
     )
 
+    from exness_data_preprocess_spark.plans.registry_sketch import (
+        build_sketch_queries,
+    )
+
     for name, (fn, oracle, desc) in build_ml_queries().items():
+        QUERIES[name] = QuerySpec(fn, oracle, desc)
+    for name, (fn, oracle, desc) in build_sketch_queries().items():
         QUERIES[name] = QuerySpec(fn, oracle, desc)
     for name, (fn, oracle, desc, *rest) in build_pipeline_queries().items():
         QUERIES[name] = QuerySpec(fn, oracle, desc, *rest)
@@ -910,6 +916,9 @@ def _register_extra_queries() -> None:
 # set at sf0.1); rotation widens cumulative external coverage, it does
 # not narrow what is checked.
 _DRIVER_PRIORITY = [
+    # round-6 additions: the sketch/classifier family
+    "kmv_distinct_sketch", "cms_heavy_hitters",
+    "quality_classifier_nb", "collocation_pmi",
     # round-6-touched plans due a fresh driver check: the Arrow/BLAS ANN
     # kernel swap, the now-hash-green trained-IVF pipeline, the
     # exact-pair replace write path, and the newly-timed resamples

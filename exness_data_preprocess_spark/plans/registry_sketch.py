@@ -1,0 +1,147 @@
+"""Oracle-checked queries for the sketch / statistical-analysis family:
+deterministic cardinality & frequency sketches, in-plan trained NB
+classification, and collocation mining.
+
+These extend the corpus-analytics surface with the summaries a 100 TB
+pipeline computes INSTEAD of exact aggregates (KMV distinct, count-min
+frequencies) plus two corpus-statistics classics (NB domain/language
+routing, PMI collocations). Every oracle re-derives the full artifact —
+sketch counters, NB training counts, smoothed weights — from the same
+md5 hash family the Spark plans use, so estimates hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.operators.classify import (
+    nb_oracle_sql,
+    nb_train_score,
+)
+from exness_data_preprocess_spark.operators.dedup import tokens_col
+from exness_data_preprocess_spark.operators.sketches import (
+    cms_estimate,
+    cms_oracle_sql,
+    kmv_distinct_sketch,
+    kmv_oracle_sql,
+)
+from exness_data_preprocess_spark.plans.registry_ml import _TOKS, _docs_spread
+
+# the one token-stream CTE every sketch oracle shares: (source, tok) with
+# empty tokens dropped — the SQL rendering of tokens_col + filter
+_TOK_STREAM = (
+    "SELECT source, tok FROM (SELECT source, "
+    f"unnest(list_filter({_TOKS}, t -> t <> '')) AS tok FROM documents)"
+)
+
+CMS_PROBES = [
+    "spark", "hash", "merge", "window", "table", "value", "scan",
+    "zz_absent_probe",
+]
+
+
+def _tok_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_spread(spark, sf_dir)
+    return docs.select(
+        "source",
+        F.explode(
+            F.filter(tokens_col(F.col("text")), lambda t: t != "")
+        ).alias("tok"),
+    )
+
+
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token estimate via the KMV sketch, exact count
+    kept alongside as the audit (operators/sketches.py docstring for the
+    estimator and the scale argument)."""
+    return kmv_distinct_sketch(
+        _tok_stream(spark, sf_dir), "source", "tok"
+    ).orderBy("source")
+
+
+ORACLE_KMV = (
+    kmv_oracle_sql(_TOK_STREAM, "source", "tok") + "ORDER BY source"
+)
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point estimates for a fixed probe set (incl. one absent
+    token) vs exact counts — overcount is the collision audit."""
+    return cms_estimate(
+        _tok_stream(spark, sf_dir), "tok", CMS_PROBES
+    ).orderBy("probe")
+
+
+ORACLE_CMS = cms_oracle_sql(_TOK_STREAM, "tok", CMS_PROBES) + "ORDER BY probe"
+
+
+def q_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature multinomial NB trained in-plan to predict ``lang``
+    from text, scoring every doc (operators/classify.py for the
+    train-then-score plan and the DECIMAL-exact argmax contract)."""
+    docs = _docs_spread(spark, sf_dir)
+    return nb_train_score(docs, "lang").orderBy("doc_id")
+
+
+ORACLE_NB = nb_oracle_sql(_TOKS, "lang") + "ORDER BY doc_id"
+
+
+def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-pair collocations by PMI (min pair count 5)."""
+    from exness_data_preprocess_spark.operators.textstats import (
+        collocation_pmi,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    return collocation_pmi(docs, min_count=5, k=20)
+
+
+ORACLE_PMI = f"""
+WITH t AS (
+  SELECT {_TOKS} AS tk FROM documents
+), tr AS (
+  SELECT tk[u.i] AS w1, tk[u.i + 1] AS w2
+  FROM t, unnest(range(1, len(tk))) AS u(i)
+  WHERE len(tk) >= 2
+), uni AS (
+  SELECT w AS tok, count(*) AS c1
+  FROM (SELECT unnest(tk) AS w FROM t) GROUP BY 1
+), n1 AS (SELECT sum(c1)::DOUBLE AS n1 FROM uni),
+n2 AS (SELECT count(*)::DOUBLE AS n2 FROM tr),
+bi AS (
+  SELECT w1, w2, count(*) AS c2 FROM tr GROUP BY 1, 2
+  HAVING count(*) >= 5
+)
+SELECT bi.w1, bi.w2, bi.c2 AS pair_count,
+       round(ln((bi.c2 * n1.n1 * n1.n1)
+                / (n2.n2 * ua.c1 * ub.c1)), 6) AS pmi
+FROM bi
+JOIN uni ua ON ua.tok = bi.w1
+JOIN uni ub ON ub.tok = bi.w2
+CROSS JOIN n1 CROSS JOIN n2
+ORDER BY pmi DESC, w1, w2
+LIMIT 20
+"""
+
+
+def build_sketch_queries() -> dict:
+    """name → (spark_fn, oracle_sql, description)."""
+    return {
+        "kmv_distinct_sketch": (
+            q_kmv_distinct_sketch, ORACLE_KMV,
+            "KMV distinct-count sketch per source (mergeable, "
+            "skew-proof bounded top-k; exact-audited)"),
+        "cms_heavy_hitters": (
+            q_cms_heavy_hitters, ORACLE_CMS,
+            "count-min frequency estimates vs exact "
+            "(d x w counters, broadcast grid)"),
+        "quality_classifier_nb": (
+            q_quality_classifier_nb, ORACLE_NB,
+            "hashed-feature multinomial NB lang classifier, "
+            "trained in-plan (oracle re-derives the training)"),
+        "collocation_pmi": (
+            q_collocation_pmi, ORACLE_PMI,
+            "top-k adjacent-pair collocations by PMI "
+            "(Church & Hanks phrase mining)"),
+    }

@@ -1,0 +1,252 @@
+"""Sketches (KMV / count-min), in-plan NB classifier, PMI collocations.
+
+Ground-truth checks on handcrafted corpora (the registry oracles prove
+cross-engine hash parity; these prove the MATH: estimator formulas, CM
+over-count bound, NB argmax semantics, PMI ordering) plus the sketch
+properties that matter at scale — KMV mergeability, CM monotonicity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+# ---------------------------------------------------------------------------
+def test_kmv_exact_branch_below_k(spark):
+    """< k distinct values → the sketch holds everything, estimate is
+    exact and rel_err is 0."""
+    from exness_data_preprocess_spark.operators.sketches import (
+        kmv_distinct_sketch,
+    )
+
+    rows = [("g", f"tok{i % 7}") for i in range(50)]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    out = kmv_distinct_sketch(df, "grp", "v", k=16).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_exact"] == 7
+    assert r["est_distinct"] == 7.0
+    assert r["rel_err"] == 0.0
+
+
+def test_kmv_estimator_formula_and_accuracy(spark):
+    """>= k distinct → est = (k-1)/(h_k/2^60), reproduced from the python
+    md5 twin; with k=64 over 2000 distinct values the estimate lands
+    within the ~3/sqrt(k) (≈37%) envelope — generous, deterministic."""
+    from exness_data_preprocess_spark.operators.sketches import (
+        kmv_distinct_sketch,
+    )
+
+    n, k = 2000, 64
+    df = spark.createDataFrame(
+        [("g", f"val-{i}") for i in range(n)], "grp string, v string"
+    )
+    r = kmv_distinct_sketch(df, "grp", "v", k=k).collect()[0]
+    hs = sorted(_h60(f"val-{i}") for i in range(n))
+    kth = hs[k - 1]
+    assert r["kth_h60"] == kth
+    expect = round((k - 1) / (kth / float(1 << 60)), 6)
+    assert r["est_distinct"] == expect
+    assert abs(r["est_distinct"] - n) / n < 3 / math.sqrt(k)
+
+
+def test_kmv_merge_property(spark):
+    """KMV is mergeable: the k smallest of (k-smallest(A) ∪ k-smallest(B))
+    equal the k smallest of A ∪ B — so a partitioned/streaming rollup
+    reproduces the single-pass sketch exactly."""
+    k = 8
+    a = [f"a{i}" for i in range(40)]
+    b = [f"b{i}" for i in range(40)] + a[:10]  # overlap
+    top = lambda vals: sorted({_h60(v) for v in vals})[:k]
+    merged = sorted(set(top(a)) | set(top(b)))[:k]
+    assert merged == top(a + b)
+
+
+def test_kmv_skew_shape_has_no_global_window(spark):
+    """The sketch's bounded top-k must not put a per-group sort window in
+    the plan (the skew-proof contract of operators/skew.py)."""
+    from exness_data_preprocess_spark.operators.sketches import (
+        kmv_distinct_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(100)], "grp string, v string"
+    )
+    plan = kmv_distinct_sketch(df, "grp", "v")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+def test_cms_never_undercounts_and_exact_on_sparse(spark):
+    from exness_data_preprocess_spark.operators.sketches import (
+        cms_estimate,
+    )
+
+    rows = (
+        [("hot",)] * 500 + [("warm",)] * 50 + [(f"noise{i}",) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "v string")
+    out = {
+        r["probe"]: r
+        for r in cms_estimate(df, "v", ["hot", "warm", "missing"]).collect()
+    }
+    # CM bound: est >= exact always
+    for r in out.values():
+        assert r["overcount"] >= 0
+    assert out["hot"]["exact_count"] == 500
+    # d=4 x w=512 over 202 distinct keys: collisions are possible but the
+    # MIN over 4 independent rows keeps the heavy key near-exact
+    assert out["hot"]["est_count"] - 500 <= 50
+    assert out["missing"]["exact_count"] == 0
+
+
+def test_cms_counters_bounded(spark):
+    """Counter grid never exceeds d*w rows regardless of input size."""
+    from exness_data_preprocess_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_counters,
+    )
+
+    df = spark.createDataFrame(
+        [(f"v{i}",) for i in range(3000)], "v string"
+    )
+    grid = cms_counters(df, "v")
+    assert grid.count() <= CMS_DEPTH * CMS_WIDTH
+    # cell-wise total equals depth * n_rows (every row lands in every row_j)
+    total = grid.agg(F.sum("cnt")).collect()[0][0]
+    assert total == CMS_DEPTH * 3000
+
+
+def test_cms_coeffs_disjoint_from_minhash(spark):
+    """CM hash rows must not reuse the 16 minhash permutations (frozen
+    family, offset by construction)."""
+    from exness_data_preprocess_spark.functions.hashing import minhash_coeffs
+    from exness_data_preprocess_spark.operators.sketches import CMS_COEFFS
+
+    assert set(CMS_COEFFS).isdisjoint(set(minhash_coeffs(16)))
+
+
+# ---------------------------------------------------------------------------
+# NB classifier
+# ---------------------------------------------------------------------------
+def test_nb_learns_separable_classes(spark):
+    """Two classes with disjoint vocabulary: NB must classify every doc
+    correctly and the score must be the smoothed log-posterior."""
+    from exness_data_preprocess_spark.operators.classify import (
+        nb_train_score,
+    )
+
+    rows = [(i, "alpha beta gamma", "A") for i in range(10)] + [
+        (i + 10, "delta epsilon zeta", "B") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = nb_train_score(df, "lang").collect()
+    assert len(out) == 20
+    assert all(r["is_correct"] == 1 for r in out)
+    # hand-derive one score: doc 0, class A: 3 tokens, each bucket count
+    # 10 of class-A total 30; prior ln(10/20)
+    w = round(math.log((10 + 1.0) / (30 + 1024.0)), 6)
+    prior = round(math.log(10 / 20), 6)
+    s0 = next(r for r in out if r["doc_id"] == 0)
+    assert s0["pred_class"] == "A"
+    assert s0["score"] == pytest.approx(3 * w + prior, abs=1e-9)
+
+
+def test_nb_tie_breaks_to_lowest_class(spark):
+    """Perfectly symmetric corpus → identical scores for both classes;
+    the argmax must deterministically pick the lexicographically first."""
+    from exness_data_preprocess_spark.operators.classify import (
+        nb_train_score,
+    )
+
+    rows = [(1, "x y", "B"), (2, "x y", "A")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in nb_train_score(df, "lang").collect()}
+    assert out[1]["pred_class"] == "A" and out[2]["pred_class"] == "A"
+    assert out[1]["score"] == out[2]["score"]
+
+
+def test_nb_multiplicity_weights_tokens(spark):
+    """Repeated tokens multiply their bucket weight (multinomial, not
+    bernoulli): a doc with 'a a a' scores 3·w(a|c), not w(a|c)."""
+    from exness_data_preprocess_spark.operators.classify import (
+        nb_train_score,
+    )
+
+    rows = [(1, "a a a", "A"), (2, "b", "B")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in nb_train_score(df, "lang").collect()}
+    w_a = round(math.log((3 + 1.0) / (3 + 1024.0)), 6)
+    prior = round(math.log(1 / 2), 6)
+    assert out[1]["score"] == pytest.approx(3 * w_a + prior, abs=1e-9)
+
+
+def test_nb_fixture_falls_back_to_prior(spark):
+    """On the synthetic fixture every lang draws from the SAME 31-token
+    vocabulary (label ⟂ text), so the Bayes-optimal answer is the class
+    prior: NB accuracy must land at the majority-class baseline — not
+    below it (which would mean the prior/likelihood arithmetic is off)
+    and not spuriously above it (nothing to learn). The separable-class
+    test above proves the learning path."""
+    from exness_data_preprocess_spark.operators.classify import (
+        nb_train_score,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = nb_train_score(docs, "lang")
+    acc = out.agg(F.avg("is_correct")).collect()[0][0]
+    majority = (
+        docs.groupBy("lang").count().agg(F.max("count")).collect()[0][0]
+        / docs.count()
+    )
+    assert acc == pytest.approx(majority, abs=0.05)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+def test_pmi_ranks_true_collocation_first(spark):
+    """'new york' always adjacent; 'the the' frequent but independent —
+    PMI must rank the true collocation above the frequent pair."""
+    from exness_data_preprocess_spark.operators.textstats import (
+        collocation_pmi,
+    )
+
+    text_a = "new york " * 10  # perfect collocation
+    text_b = "the cat the dog the pig the cow the hen " * 5
+    df = spark.createDataFrame(
+        [(1, text_a.strip()), (2, text_b.strip())], "doc_id long, text string"
+    )
+    out = collocation_pmi(df, min_count=5, k=5).collect()
+    assert out[0]["w1"] == "new" and out[0]["w2"] == "york"
+    # hand-check the PMI value: c2=10, c1(new)=c1(york)=10, N1=70, N2=68
+    n1 = 20 + 50
+    n2 = 19 + 49
+    expect = round(math.log((10 * n1 * n1) / (n2 * 10 * 10)), 6)
+    assert out[0]["pmi"] == pytest.approx(expect, abs=1e-9)
+
+
+def test_pmi_min_count_prunes(spark):
+    from exness_data_preprocess_spark.operators.textstats import (
+        collocation_pmi,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "p q p q p q"), (2, "r s")], "doc_id long, text string"
+    )
+    pairs = {(r["w1"], r["w2"]) for r in collocation_pmi(df, min_count=3, k=10).collect()}
+    assert ("r", "s") not in pairs
+    assert ("p", "q") in pairs
