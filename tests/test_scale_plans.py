@@ -169,6 +169,7 @@ PYTHON_OK = {
     "ann_lsh_bucketed",
     "pq_encode",
     "pq_ann_adc",
+    "pq_ann_adc_trained",  # trained codebooks through the same ADC kernel
     "semantic_decontamination",
     "semantic_decontamination_ivf",
 }
