@@ -104,14 +104,51 @@ def kmv_distinct_sketch(
     )
 
 
+def kmv_estimate_from_state(
+    state: DataFrame, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Estimate from a merged k-smallest state table ``(group, h)`` — the
+    serving half of a streaming/mergeable deployment, where the bounded
+    state is the ONLY thing kept (no exact-count audit columns).
+
+    Output: ``group_col, kth_h60, est_distinct``. Below k state rows the
+    state holds every distinct hash seen, so the "estimate" is exact."""
+    kth = state.groupBy(group_col).agg(
+        F.max("h").alias("kth_h60"), F.count("*").alias("_n_in")
+    )
+    est = F.when(
+        F.col("_n_in") == k,
+        F.round(
+            F.lit(float(k - 1))
+            / (F.col("kth_h60").cast("double") / F.lit(_H60_SPACE)),
+            6,
+        ),
+    ).otherwise(F.col("_n_in").cast("double"))
+    return kth.select(group_col, "kth_h60", est.alias("est_distinct"))
+
+
 def kmv_oracle_sql(
-    source_cte: str, group_col: str, value_expr: str, k: int = KMV_K
+    source_cte: str,
+    group_col: str,
+    value_expr: str,
+    k: int = KMV_K,
+    include_exact: bool = True,
 ) -> str:
     """DuckDB rendering of :func:`kmv_distinct_sketch` (same estimator,
-    same hash, rank-k via window instead of the salted aggregate)."""
+    same hash, rank-k via window instead of the salted aggregate).
+    ``include_exact=False`` renders the state-only projection of
+    :func:`kmv_estimate_from_state` (streaming twin)."""
     from exness_data_preprocess_spark.functions.hashing import md5_h60_sql
 
     h = md5_h60_sql(value_expr)
+    if include_exact:
+        out = (
+            f"SELECT {group_col}, n_exact, kth_h60, est_distinct,\n"
+            "       round(abs(est_distinct - n_exact) / n_exact, 6)"
+            " AS rel_err\nFROM pick"
+        )
+    else:
+        out = f"SELECT {group_col}, kth_h60, est_distinct FROM pick"
     return f"""
 WITH src AS ({source_cte}),
 d AS (SELECT DISTINCT {group_col}, {h} AS h FROM src),
@@ -127,9 +164,7 @@ r AS (
               ELSE n_exact::DOUBLE END AS est_distinct
   FROM r WHERE rn = least({k}, n_exact)
 )
-SELECT {group_col}, n_exact, kth_h60, est_distinct,
-       round(abs(est_distinct - n_exact) / n_exact, 6) AS rel_err
-FROM pick
+{out}
 """
 
 

@@ -897,8 +897,8 @@ def _register_extra_queries() -> None:
 
     for name, (fn, oracle, desc) in build_ml_queries().items():
         QUERIES[name] = QuerySpec(fn, oracle, desc)
-    for name, (fn, oracle, desc) in build_sketch_queries().items():
-        QUERIES[name] = QuerySpec(fn, oracle, desc)
+    for name, (fn, oracle, desc, *rest) in build_sketch_queries().items():
+        QUERIES[name] = QuerySpec(fn, oracle, desc, *rest)
     for name, (fn, oracle, desc, *rest) in build_pipeline_queries().items():
         QUERIES[name] = QuerySpec(fn, oracle, desc, *rest)
     for name, (fn, oracle, desc, *rest) in build_ext_queries().items():
@@ -918,7 +918,7 @@ def _register_extra_queries() -> None:
 _DRIVER_PRIORITY = [
     # round-6 additions: the sketch/classifier family
     "kmv_distinct_sketch", "cms_heavy_hitters",
-    "quality_classifier_nb", "collocation_pmi",
+    "quality_classifier_nb", "collocation_pmi", "streaming_kmv_sketch",
     # round-6-touched plans due a fresh driver check: the Arrow/BLAS ANN
     # kernel swap, the now-hash-green trained-IVF pipeline, the
     # exact-pair replace write path, and the newly-timed resamples

@@ -125,9 +125,69 @@ LIMIT 20
 """
 
 
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the documents table (symlink landing-zone staging,
+    the registry_ext._events_stream idiom — plain types, no ts surgery)."""
+    import os
+    import tempfile
+
+    from exness_data_preprocess_spark.plans.registry_ext import _sf_key
+
+    path = f"{sf_dir}/documents.parquet"
+    stage = os.path.join(
+        tempfile.gettempdir(), f"stream_stage_docs_{_sf_key(sf_dir)}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if os.path.lexists(link):
+        os.remove(link)
+    os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.format("parquet").schema(schema).load(stage)
+
+
+def q_streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``kmv_distinct_sketch``: the token stream drained
+    availableNow through per-micro-batch KMV merge (streaming/
+    sketch_stream.py). Mergeability makes the drained estimate
+    bit-identical to the batch sketch — the oracle is the batch SQL minus
+    the exact-audit columns a bounded-state consumer cannot keep."""
+    from exness_data_preprocess_spark.streaming.sketch_stream import (
+        run_kmv_available_now,
+    )
+
+    docs = _docs_stream(spark, sf_dir)
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(tokens_col(F.col("text")), lambda t: t != "")
+        ).alias("tok"),
+    )
+    return run_kmv_available_now(
+        toks, "source", "tok", query_name=f"kmv_{sf_dir.rsplit('/', 1)[-1]}"
+    ).orderBy("source")
+
+
+ORACLE_STREAMING_KMV = (
+    kmv_oracle_sql(_TOK_STREAM, "source", "tok", include_exact=False)
+    + "ORDER BY source"
+)
+
+
 def build_sketch_queries() -> dict:
-    """name → (spark_fn, oracle_sql, description)."""
+    """name → (spark_fn, oracle_sql, description[, bench, skip_reason])."""
+    from exness_data_preprocess_spark.plans.registry_ext import (
+        SKIP_STREAMING_DRAIN,
+    )
+
     return {
+        "streaming_kmv_sketch": (
+            q_streaming_kmv_sketch, ORACLE_STREAMING_KMV,
+            "Streaming: per-micro-batch KMV merge, bounded state "
+            "(drained estimate ≡ batch sketch)",
+            False,
+            SKIP_STREAMING_DRAIN,
+        ),
         "kmv_distinct_sketch": (
             q_kmv_distinct_sketch, ORACLE_KMV,
             "KMV distinct-count sketch per source (mergeable, "

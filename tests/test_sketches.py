@@ -250,3 +250,44 @@ def test_pmi_min_count_prunes(spark):
     pairs = {(r["w1"], r["w2"]) for r in collocation_pmi(df, min_count=3, k=10).collect()}
     assert ("r", "s") not in pairs
     assert ("p", "q") in pairs
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV (forced multi-batch)
+# ---------------------------------------------------------------------------
+def test_streaming_kmv_multi_batch_equals_batch(spark, tmp_path):
+    """Three forced micro-batches (maxFilesPerTrigger=1) must merge to the
+    SAME estimate as the one-pass batch sketch over the union — the
+    mergeability contract, exercised through the real foreachBatch path."""
+    from exness_data_preprocess_spark.operators.sketches import (
+        kmv_distinct_sketch,
+    )
+    from exness_data_preprocess_spark.streaming.sketch_stream import (
+        run_kmv_available_now,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    rows = [(f"g{i % 3}", f"val-{i}") for i in range(900)]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    for j in range(3):  # 3 files → 3 micro-batches, overlapping values
+        chunk = df.filter((F.col("v").substr(5, 10).cast("long") % 3) <= j)
+        chunk.coalesce(1).write.parquet(str(land / f"chunk{j}"))
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(land) + "/*")
+    )
+    streamed = run_kmv_available_now(
+        stream, "grp", "v", k=16, query_name="kmv_test"
+    )
+    batch = kmv_distinct_sketch(df, "grp", "v", k=16).select(
+        "grp", "kth_h60", "est_distinct"
+    )
+    s = {r["grp"]: r for r in streamed.collect()}
+    b = {r["grp"]: r for r in batch.collect()}
+    assert set(s) == set(b) == {"g0", "g1", "g2"}
+    for g in b:
+        assert s[g]["kth_h60"] == b[g]["kth_h60"]
+        assert s[g]["est_distinct"] == b[g]["est_distinct"]
