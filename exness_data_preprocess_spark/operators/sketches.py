@@ -293,3 +293,128 @@ SELECT est.probe, est.est_count,
        est.est_count - coalesce(exact.exact_count, 0) AS overcount
 FROM est LEFT JOIN exact USING (probe)
 """
+
+
+def kmv_source_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Pairwise distinct-overlap estimates between groups from their KMV
+    sketches — the bounded-state replacement for the exact shared-gram
+    self-join (``textstats.source_overlap``) when the value universe is
+    too large to pair exactly.
+
+    For each group pair (a < b): merge the two k-minimum sketches
+    (union, keep k smallest — a valid KMV sketch of A ∪ B), then the
+    classic estimators (Beyer et al., SIGMOD 2007):
+
+    * ``est_union``   = (k-1) / (h_k / 2^60) over the merged sketch
+      (exact count when the merged sketch holds < k values);
+    * ``est_jaccard`` = |merged ∩ sketch(A) ∩ sketch(B)| / |merged| —
+      the fraction of the union's k-sample present in both sides.
+
+    The integer columns (``n_union_sketch``, ``n_common_sketch``) are
+    the raw sketch statistics — exact, hash-stable audit values.
+
+    Scale shape: one distinct + one salted bounded top-k builds every
+    group's sketch (k values per group); the pairing is a self cross
+    join of the GROUP-LEVEL sketch table — #groups² rows of k-element
+    arrays, constant in the data size. The exact twin pays a shuffle of
+    every distinct (group, value) pair against itself; this pays one
+    sketch build and a driver-sized join.
+    """
+    dh = df.select(
+        F.col(group_col), md5_h60(F.col(value_col)).alias("h")
+    ).distinct()
+    smallest = topk_per_group_bounded(dh, (group_col,), ("h",), k)
+    sk = smallest.groupBy(group_col).agg(
+        F.sort_array(F.collect_list("h")).alias("sk")
+    )
+    a = sk.select(F.col(group_col).alias("src_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col(group_col).alias("src_b"), F.col("sk").alias("sk_b"))
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat("sk_a", "sk_b"))), 1, k
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("src_a") < F.col("src_b"))
+        .withColumn("u", merged)
+        .withColumn("n_union_sketch", F.size("u"))
+        .withColumn(
+            "n_common_sketch",
+            F.size(
+                F.array_intersect(
+                    F.array_intersect(F.col("u"), F.col("sk_a")),
+                    F.col("sk_b"),
+                )
+            ),
+        )
+        .withColumn(
+            "est_union",
+            F.when(
+                F.col("n_union_sketch") == k,
+                F.round(
+                    F.lit(float(k - 1))
+                    / (
+                        F.element_at("u", k).cast("double")
+                        / F.lit(_H60_SPACE)
+                    ),
+                    6,
+                ),
+            ).otherwise(F.col("n_union_sketch").cast("double")),
+        )
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.col("n_common_sketch").cast("double")
+                / F.col("n_union_sketch"),
+                6,
+            ),
+        )
+    )
+    return pairs.select(
+        "src_a", "src_b", "n_union_sketch", "n_common_sketch",
+        "est_union", "est_jaccard",
+    )
+
+
+def kmv_overlap_oracle_sql(
+    source_cte: str, group_col: str, value_expr: str, k: int = KMV_K
+) -> str:
+    """DuckDB rendering of :func:`kmv_source_overlap` — per-group sketch
+    via ranked window, pair algebra via list functions."""
+    from exness_data_preprocess_spark.functions.hashing import md5_h60_sql
+
+    h = md5_h60_sql(value_expr)
+    return f"""
+WITH src AS ({source_cte}),
+d AS (SELECT DISTINCT {group_col} AS g, {h} AS h FROM src),
+r AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+  FROM d
+),
+sk AS (
+  SELECT g, list_sort(list(h)) AS sk FROM r WHERE rn <= {k} GROUP BY g
+),
+pairs AS (
+  SELECT a.g AS src_a, b.g AS src_b, a.sk AS sk_a, b.sk AS sk_b,
+         list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:{k}] AS u
+  FROM sk a, sk b WHERE a.g < b.g
+),
+m AS (
+  SELECT src_a, src_b,
+         len(u) AS n_union_sketch,
+         len(list_intersect(list_intersect(u, sk_a), sk_b))
+           AS n_common_sketch,
+         u[len(u)] AS kth
+  FROM pairs
+)
+SELECT src_a, src_b, n_union_sketch, n_common_sketch,
+       CASE WHEN n_union_sketch = {k}
+            THEN round({float(k - 1)} / (kth::DOUBLE / {_H60_SPACE!r}), 6)
+            ELSE n_union_sketch::DOUBLE END AS est_union,
+       round(n_common_sketch::DOUBLE / n_union_sketch, 6) AS est_jaccard
+FROM m
+"""

@@ -25,6 +25,8 @@ from exness_data_preprocess_spark.operators.sketches import (
     cms_oracle_sql,
     kmv_distinct_sketch,
     kmv_oracle_sql,
+    kmv_overlap_oracle_sql,
+    kmv_source_overlap,
 )
 from exness_data_preprocess_spark.plans.registry_ml import _TOKS, _docs_spread
 
@@ -85,6 +87,21 @@ def q_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_NB = nb_oracle_sql(_TOKS, "lang") + "ORDER BY doc_id"
+
+
+def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-estimated pairwise source overlap — the bounded-state twin
+    of the exact ``source_overlap`` gram join (operators/sketches.py
+    for the merged-sketch estimators and the scale argument)."""
+    return kmv_source_overlap(
+        _tok_stream(spark, sf_dir), "source", "tok"
+    ).orderBy("src_a", "src_b")
+
+
+ORACLE_KMV_OVERLAP = (
+    kmv_overlap_oracle_sql(_TOK_STREAM, "source", "tok")
+    + "ORDER BY src_a, src_b"
+)
 
 
 def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,4 +221,8 @@ def build_sketch_queries() -> dict:
             q_collocation_pmi, ORACLE_PMI,
             "top-k adjacent-pair collocations by PMI "
             "(Church & Hanks phrase mining)"),
+        "kmv_source_overlap": (
+            q_kmv_source_overlap, ORACLE_KMV_OVERLAP,
+            "pairwise source-overlap estimates from merged KMV "
+            "sketches (bounded-state twin of source_overlap)"),
     }

@@ -58,6 +58,11 @@ QUERY_TABLE = {
     "sample_k_per_group": "documents",
     "bm25_topk": "documents",
     "tfidf_top_terms": "documents",
+    # round-6 sketch/classifier family
+    "kmv_distinct_sketch": "documents",
+    "cms_heavy_hitters": "documents",
+    "quality_classifier_nb": "documents",
+    "collocation_pmi": "documents",
     "semantic_decontamination": "embeddings",
     "semantic_decontamination_ivf": "embeddings",
     "dedup_embedding_cosine": "embeddings",
@@ -138,6 +143,11 @@ NATURAL_QUERIES = [
     # trained-codebook serving twin (round-6 addition): same fused scan,
     # codebook artifact fingerprint-cached so rungs time serving alone
     "pq_ann_adc_trained",
+    # sketch + in-plan classifier (round-6): bounded-state aggregation
+    # plans whose pass bar is alpha <= 1 (sketch state is constant;
+    # NB is two tokenize passes + a grid broadcast)
+    "kmv_distinct_sketch",
+    "quality_classifier_nb",
 ]
 WARM_DIR = "/root/testdata/sf0.001"
 

@@ -291,3 +291,51 @@ def test_streaming_kmv_multi_batch_equals_batch(spark, tmp_path):
     for g in b:
         assert s[g]["kth_h60"] == b[g]["kth_h60"]
         assert s[g]["est_distinct"] == b[g]["est_distinct"]
+
+
+# ---------------------------------------------------------------------------
+# KMV pairwise overlap
+# ---------------------------------------------------------------------------
+def test_kmv_overlap_exact_regime_small_sets(spark):
+    """Below k distinct values the sketches are complete sets, so the
+    'estimates' must be the exact union size and exact Jaccard."""
+    from exness_data_preprocess_spark.operators.sketches import (
+        kmv_source_overlap,
+    )
+
+    rows = (
+        [("A", f"c{i}") for i in range(10)]          # A: c0..c9
+        + [("B", f"c{i}") for i in range(5, 20)]     # B: c5..c19
+        + [("C", "zzz")]                             # C: disjoint
+    )
+    df = spark.createDataFrame(rows, "grp string, v string")
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in kmv_source_overlap(df, "grp", "v", k=64).collect()
+    }
+    ab = out[("A", "B")]
+    assert ab["n_union_sketch"] == 20 and ab["n_common_sketch"] == 5
+    assert ab["est_union"] == 20.0
+    assert ab["est_jaccard"] == pytest.approx(5 / 20)
+    ac = out[("A", "C")]
+    assert ac["n_common_sketch"] == 0 and ac["est_jaccard"] == 0.0
+    assert len(out) == 3  # all unordered pairs, a < b
+
+
+def test_kmv_overlap_estimates_track_truth_at_scale(spark):
+    """Above k the estimators must land near the true union/Jaccard
+    (k=64 → ~12% standard error; deterministic fixture, generous gate)."""
+    from exness_data_preprocess_spark.operators.sketches import (
+        kmv_source_overlap,
+    )
+
+    n, overlap = 3000, 1000
+    rows = [("A", f"x{i}") for i in range(n)] + [
+        ("B", f"x{i}") for i in range(n - overlap, 2 * n - overlap)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    r = kmv_source_overlap(df, "grp", "v", k=64).collect()[0]
+    true_union = 2 * n - overlap
+    true_j = overlap / true_union
+    assert abs(r["est_union"] - true_union) / true_union < 0.5
+    assert abs(r["est_jaccard"] - true_j) < 0.15
