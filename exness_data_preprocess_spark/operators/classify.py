@@ -145,14 +145,34 @@ def nb_train_score(
     w_arg = Window.partitionBy("doc").orderBy(
         F.col("s").desc(), F.col("cls").asc()
     )
-    return (
+    winners = (
         scored.withColumn("rn", F.row_number().over(w_arg))
         .filter(F.col("rn") == 1)
+        .select("doc", "cls", "s")
+    )
+
+    # contract: EVERY doc gets a prediction. A doc with zero non-empty
+    # tokens has no feature rows, so its posterior is the bare prior —
+    # NB math, not a fallback hack: fill from the argmax-prior class
+    # (total order (lp DESC, cls) — lp is DECIMAL-exact)
+    best_prior = (
+        prior.orderBy(F.col("lp").desc(), F.col("cls").asc())
+        .limit(1)
+        .select(F.col("cls").alias("bp_cls"), F.col("lp").alias("bp_lp"))
+    )
+    all_docs = df.select(
+        F.col(id_col).alias("doc"), F.col(class_col).alias("true_cls")
+    )
+    return (
+        all_docs.join(winners, "doc", "left")
+        .crossJoin(F.broadcast(best_prior))
         .select(
             F.col("doc").alias(id_col),
-            F.col("cls").alias("pred_class"),
-            F.col("s").cast("double").alias("score"),
-            (F.col("cls") == F.col("true_cls")).cast("int").alias("is_correct"),
+            F.coalesce("cls", "bp_cls").alias("pred_class"),
+            F.coalesce("s", "bp_lp").cast("double").alias("score"),
+            (F.coalesce("cls", "bp_cls") == F.col("true_cls"))
+            .cast("int")
+            .alias("is_correct"),
         )
     )
 
@@ -211,9 +231,20 @@ scored AS (
   JOIN grid g USING (bucket)
   JOIN prior p ON p.cls = g.cls
   GROUP BY 1, 2, 3
+),
+win AS (
+  SELECT doc, cls, s FROM scored
+  QUALIFY row_number() OVER (PARTITION BY doc ORDER BY s DESC, cls) = 1
+),
+bp AS (
+  SELECT cls AS bp_cls, lp AS bp_lp FROM prior
+  ORDER BY lp DESC, cls LIMIT 1
 )
-SELECT doc AS doc_id, cls AS pred_class, s::DOUBLE AS score,
-       (cls = true_cls)::INT AS is_correct
-FROM scored
-QUALIFY row_number() OVER (PARTITION BY doc ORDER BY s DESC, cls) = 1
+SELECT d.doc_id,
+       coalesce(w.cls, bp.bp_cls) AS pred_class,
+       coalesce(w.s, bp.bp_lp)::DOUBLE AS score,
+       (coalesce(w.cls, bp.bp_cls) = d.{class_col})::INT AS is_correct
+FROM documents d
+LEFT JOIN win w ON w.doc = d.doc_id
+CROSS JOIN bp
 """

@@ -33,10 +33,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from exness_data_preprocess_spark.functions.hashing import (
-    MERSENNE_P,
     md5_h32,
     md5_h60,
     minhash_coeffs,
+    perm_hash,
+    perm_hash_sql,
 )
 from exness_data_preprocess_spark.operators.skew import topk_per_group_bounded
 
@@ -52,6 +53,19 @@ _H60_SPACE = float(1 << 60)
 CMS_DEPTH = 4
 CMS_WIDTH = 512
 CMS_COEFFS = minhash_coeffs(16 + CMS_DEPTH)[16:]
+
+
+def kmv_value_hashes(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Distinct (group, h60) pairs with NULL values dropped — the one
+    ingestion path every KMV build (batch, pairwise, streaming) shares,
+    so the NULL policy cannot drift between them."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col), md5_h60(F.col(value_col)).alias("h"))
+        .distinct()
+    )
 
 
 def kmv_distinct_sketch(
@@ -72,10 +86,13 @@ def kmv_distinct_sketch(
     The estimate itself never touches more than k values per group; in a
     streaming/mergeable deployment the distinct pass collapses into the
     sketch update and the exact column disappears.
+
+    NULL values carry no identity and are dropped before hashing (both
+    engines): un-guarded, md5(NULL) = NULL sorts FIRST in Spark's
+    bounded top-k but NULLS LAST in the oracle's ranked window —
+    crowding a genuine k-th hash out of the sketch on one side only.
     """
-    dh = df.select(
-        F.col(group_col), md5_h60(F.col(value_col)).alias("h")
-    ).distinct()
+    dh = kmv_value_hashes(df, group_col, value_col)
     exact = dh.groupBy(group_col).agg(F.count("*").alias("n_exact"))
     smallest = topk_per_group_bounded(dh, (group_col,), ("h",), k)
     kth = smallest.groupBy(group_col).agg(
@@ -141,6 +158,7 @@ def kmv_oracle_sql(
     from exness_data_preprocess_spark.functions.hashing import md5_h60_sql
 
     h = md5_h60_sql(value_expr)
+    null_guard = f"WHERE {value_expr} IS NOT NULL"
     if include_exact:
         out = (
             f"SELECT {group_col}, n_exact, kth_h60, est_distinct,\n"
@@ -151,7 +169,7 @@ def kmv_oracle_sql(
         out = f"SELECT {group_col}, kth_h60, est_distinct FROM pick"
     return f"""
 WITH src AS ({source_cte}),
-d AS (SELECT DISTINCT {group_col}, {h} AS h FROM src),
+d AS (SELECT DISTINCT {group_col}, {h} AS h FROM src {null_guard}),
 r AS (
   SELECT {group_col}, h,
          row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn,
@@ -170,8 +188,23 @@ r AS (
 
 def _cms_bucket(h32: F.Column, j: int) -> F.Column:
     a, b = CMS_COEFFS[j]
-    return ((h32 * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)) % F.lit(
-        CMS_WIDTH
+    return perm_hash(h32, a, b) % F.lit(CMS_WIDTH)
+
+
+def _cms_cells(h32: F.Column) -> F.Column:
+    """The exploded (row_j, bucket) cell stream for one 32-bit hash —
+    shared by the counter build and the probe side so their bucket
+    derivations can never diverge."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("row_j"),
+                    _cms_bucket(h32, j).alias("bucket"),
+                )
+                for j in range(CMS_DEPTH)
+            ]
+        )
     )
 
 
@@ -184,19 +217,7 @@ def cms_counters(df: DataFrame, value_col: str) -> DataFrame:
     reduces to almost for free.
     """
     h = md5_h32(F.col(value_col)).alias("h32")
-    rows = df.select(h).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("row_j"),
-                        _cms_bucket(F.col("h32"), j).alias("bucket"),
-                    )
-                    for j in range(CMS_DEPTH)
-                ]
-            )
-        ).alias("cell")
-    )
+    rows = df.select(h).select(_cms_cells(F.col("h32")).alias("cell"))
     return rows.groupBy("cell.row_j", "cell.bucket").agg(
         F.count("*").alias("cnt")
     )
@@ -218,20 +239,7 @@ def cms_estimate(
             [(p,) for p in probes], ["probe"]
         )
         .withColumn("h32", md5_h32(F.col("probe")))
-        .select(
-            "probe",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("row_j"),
-                            _cms_bucket(F.col("h32"), j).alias("bucket"),
-                        )
-                        for j in range(CMS_DEPTH)
-                    ]
-                )
-            ).alias("cell"),
-        )
+        .select("probe", _cms_cells(F.col("h32")).alias("cell"))
         .select("probe", "cell.row_j", "cell.bucket")
     )
     est = (
@@ -260,17 +268,18 @@ def cms_oracle_sql(source_cte: str, value_expr: str, probes: list[str]) -> str:
     h = md5_h32_sql(value_expr)
     hp = md5_h32_sql("probe")
     cells = " UNION ALL ".join(
-        f"SELECT {j} AS row_j, (({h} * {a} + {b}) % {MERSENNE_P})"
+        f"SELECT {j} AS row_j, {perm_hash_sql(h, a, b)}"
         f" % {CMS_WIDTH} AS bucket FROM src"
         for j, (a, b) in enumerate(CMS_COEFFS)
     )
-    probe_rows = ", ".join(f"('{p}')" for p in probes)
+    esc = [p.replace("'", "''") for p in probes]
+    probe_rows = ", ".join(f"('{p}')" for p in esc)
     probe_cells = " UNION ALL ".join(
-        f"SELECT probe, {j} AS row_j, (({hp} * {a} + {b}) % {MERSENNE_P})"
+        f"SELECT probe, {j} AS row_j, {perm_hash_sql(hp, a, b)}"
         f" % {CMS_WIDTH} AS bucket FROM probes"
         for j, (a, b) in enumerate(CMS_COEFFS)
     )
-    probe_list = ", ".join(f"'{p}'" for p in probes)
+    probe_list = ", ".join(f"'{p}'" for p in esc)
     return f"""
 WITH src AS ({source_cte}),
 counters AS (
@@ -325,9 +334,7 @@ def kmv_source_overlap(
     every distinct (group, value) pair against itself; this pays one
     sketch build and a driver-sized join.
     """
-    dh = df.select(
-        F.col(group_col), md5_h60(F.col(value_col)).alias("h")
-    ).distinct()
+    dh = kmv_value_hashes(df, group_col, value_col)
     smallest = topk_per_group_bounded(dh, (group_col,), ("h",), k)
     sk = smallest.groupBy(group_col).agg(
         F.sort_array(F.collect_list("h")).alias("sk")
@@ -390,7 +397,8 @@ def kmv_overlap_oracle_sql(
     h = md5_h60_sql(value_expr)
     return f"""
 WITH src AS ({source_cte}),
-d AS (SELECT DISTINCT {group_col} AS g, {h} AS h FROM src),
+d AS (SELECT DISTINCT {group_col} AS g, {h} AS h FROM src
+      WHERE {value_expr} IS NOT NULL),
 r AS (
   SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
   FROM d

@@ -1036,8 +1036,11 @@ def collocation_pmi(
     Scale shape: the transition extraction is the bigram-LM pass
     (map-side explode, groupBy on the uniform (w1, w2) key); unigram
     counts join back on w1/w2 (vocabulary-sized sides, AQE-broadcast);
-    N1/N2 are 1-row broadcast scalars. The final top-k is a LIMIT over
-    the pruned pair table — bounded output, no global window.
+    N1/N2 are 1-row broadcast scalars computed from bare ``size(split)``
+    scans — NOT re-aggregations of the exploded frames, which would
+    duplicate the tokenize+explode subtree per branch (the plan-economy
+    rule classify.py documents). The final top-k is a LIMIT over the
+    pruned pair table — bounded output, no global window.
     """
     toks = df.select(tokens_col(F.col(text_col)).alias("tk"))
     trans = toks.filter(F.size("tk") >= 2).select(
@@ -1055,13 +1058,19 @@ def collocation_pmi(
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
     )
-    n1 = uni.agg(F.sum("c1").cast("double").alias("n1"))
+    # scalar totals without an explode: N1 = all tokens, N2 = all
+    # transitions (= size-1 per doc, floored at 0)
+    n1 = toks.agg(F.sum(F.size("tk")).cast("double").alias("n1"))
+    n2 = toks.agg(
+        F.sum(F.greatest(F.size("tk") - 1, F.lit(0)))
+        .cast("double")
+        .alias("n2")
+    )
     bi = (
         trans.groupBy("w1", "w2")
         .agg(F.count("*").alias("c2"))
         .filter(F.col("c2") >= min_count)
     )
-    n2 = trans.agg(F.count("*").cast("double").alias("n2"))
     return (
         bi.join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1a")), "w1")
         .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1b")), "w2")

@@ -23,29 +23,37 @@ from exness_data_preprocess_spark.streaming import (
 )
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events table (ts arrives as parquet NANOS →
-    read as long, truncate to µs exactly like the batch `load`).
-
-    The file stream source lists a *directory*; the test tables are single
-    parquet files, so stage a symlink dir (a no-copy landing zone — in
-    production this is the ingest directory new tick files land in)."""
+def _file_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Streaming scan of one fixture table via symlink landing-zone
+    staging — the file stream source lists a *directory*; the test
+    tables are single parquet files, so stage a symlink dir (a no-copy
+    landing zone — in production this is the ingest directory new files
+    land in). Shared by every streaming twin (events here, documents in
+    registry_sketch) so staging fixes land once."""
     import os
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = f"{sf_dir}/events.parquet"
-    stage = os.path.join(tempfile.gettempdir(), f"stream_stage_{_sf_key(sf_dir)}")
+    path = f"{sf_dir}/{table}.parquet"
+    stage = os.path.join(
+        tempfile.gettempdir(), f"stream_stage_{table}_{_sf_key(sf_dir)}"
+    )
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
+    link = os.path.join(stage, f"{table}.parquet")
     # lexists, not exists: a dangling symlink (fixture moved/regenerated)
     # reports exists()=False but still blocks os.symlink
     if os.path.lexists(link):
         os.remove(link)
     os.symlink(path, link)
     schema = spark.read.parquet(path).schema
-    raw = spark.readStream.format("parquet").schema(schema).load(stage)
-    return normalize_event_ts(raw)
+    return spark.readStream.format("parquet").schema(schema).load(stage)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events scan (ts arrives as parquet NANOS → read as
+    long, truncate to µs exactly like the batch `load`; the conf must be
+    set BEFORE the staging helper probes the schema)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_event_ts(_file_stream(spark, sf_dir, "events"))
 
 
 def _sf_key(sf_dir: str) -> str:

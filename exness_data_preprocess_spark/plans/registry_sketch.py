@@ -143,24 +143,11 @@ LIMIT 20
 
 
 def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the documents table (symlink landing-zone staging,
-    the registry_ext._events_stream idiom — plain types, no ts surgery)."""
-    import os
-    import tempfile
+    """Streaming scan of the documents table (shared symlink staging —
+    plain types, no ts surgery)."""
+    from exness_data_preprocess_spark.plans.registry_ext import _file_stream
 
-    from exness_data_preprocess_spark.plans.registry_ext import _sf_key
-
-    path = f"{sf_dir}/documents.parquet"
-    stage = os.path.join(
-        tempfile.gettempdir(), f"stream_stage_docs_{_sf_key(sf_dir)}"
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents.parquet")
-    if os.path.lexists(link):
-        os.remove(link)
-    os.symlink(path, link)
-    schema = spark.read.parquet(path).schema
-    return spark.readStream.format("parquet").schema(schema).load(stage)
+    return _file_stream(spark, sf_dir, "documents")
 
 
 def q_streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,10 +31,10 @@ from exness_data_preprocess_spark.cache import (
     checkpoint_rdd_id,
     release_checkpoints,
 )
-from exness_data_preprocess_spark.functions.hashing import md5_h60
 from exness_data_preprocess_spark.operators.sketches import (
     KMV_K,
     kmv_estimate_from_state,
+    kmv_value_hashes,
 )
 from exness_data_preprocess_spark.operators.skew import topk_per_group_bounded
 
@@ -56,9 +56,7 @@ def run_kmv_available_now(
 
     def _merge(batch_df: DataFrame, _batch_id: int) -> None:
         bs = topk_per_group_bounded(
-            batch_df.select(
-                F.col(group_col), md5_h60(F.col(value_col)).alias("h")
-            ).distinct(),
+            kmv_value_hashes(batch_df, group_col, value_col),
             (group_col,),
             ("h",),
             k,
@@ -87,9 +85,17 @@ def run_kmv_available_now(
     finally:
         if q.isActive:  # pragma: no cover - only on timeout
             q.stop()
-    if not drained or state["sk"] is None:  # pragma: no cover - timeout
+    if not drained:  # pragma: no cover - only on timeout
         raise TimeoutError(
             f"availableNow KMV drain {query_name!r} did not finish within "
             f"{timeout_seconds}s; partial sketch discarded"
         )
+    if state["sk"] is None:
+        # clean drain with ZERO micro-batches (empty landing dir): the
+        # correct answer is an empty estimate, not a timeout complaint
+        spark = stream_df.sparkSession
+        empty = spark.createDataFrame(
+            [], stream_df.select(group_col).schema
+        ).withColumn("h", F.lit(None).cast("bigint"))
+        return kmv_estimate_from_state(empty, group_col, k)
     return kmv_estimate_from_state(state["sk"], group_col, k)

@@ -339,3 +339,72 @@ def test_kmv_overlap_estimates_track_truth_at_scale(spark):
     true_j = overlap / true_union
     assert abs(r["est_union"] - true_union) / true_union < 0.5
     assert abs(r["est_jaccard"] - true_j) < 0.15
+
+
+# ---------------------------------------------------------------------------
+# Review-pass regressions: NULL values, empty docs, empty streams
+# ---------------------------------------------------------------------------
+def test_kmv_null_values_carry_no_identity(spark):
+    """NULL values must be dropped before hashing (md5(NULL)=NULL sorts
+    first in Spark's top-k but NULLS LAST in the oracle's window): the
+    sketch over data-with-NULLs must equal the sketch over clean data."""
+    from exness_data_preprocess_spark.operators.sketches import (
+        kmv_distinct_sketch,
+        kmv_source_overlap,
+    )
+
+    clean = [("g", f"v{i}") for i in range(100)] + [
+        ("h", f"v{i}") for i in range(50, 150)
+    ]
+    dirty = clean + [("g", None), ("h", None)]
+    k = 16
+    a = kmv_distinct_sketch(
+        spark.createDataFrame(clean, "grp string, v string"), "grp", "v", k=k
+    ).collect()
+    b = kmv_distinct_sketch(
+        spark.createDataFrame(dirty, "grp string, v string"), "grp", "v", k=k
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    oa = kmv_source_overlap(
+        spark.createDataFrame(dirty, "grp string, v string"), "grp", "v", k=k
+    ).collect()[0]
+    assert oa["n_union_sketch"] == k  # NULL never crowds a real hash out
+
+
+def test_nb_tokenless_doc_gets_prior_argmax(spark):
+    """A doc with whitespace-only text has no features: its prediction
+    must be the argmax-prior class with the prior as score — present in
+    the output, not silently dropped."""
+    import math
+
+    from exness_data_preprocess_spark.operators.classify import (
+        nb_train_score,
+    )
+
+    rows = [(1, "a b c", "A"), (2, "a b", "A"), (3, "d e", "B"), (4, " ", "B")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in nb_train_score(df, "lang").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    r4 = out[4]
+    assert r4["pred_class"] == "A"  # prior 2/4 vs 2/4 -> tie -> lexic. first
+    assert r4["score"] == pytest.approx(round(math.log(2 / 4), 6), abs=1e-9)
+    assert r4["is_correct"] == 0
+
+
+def test_streaming_kmv_empty_source_returns_empty(spark, tmp_path):
+    """A clean drain with zero micro-batches (empty landing dir) must
+    return an empty estimate frame, not raise a bogus TimeoutError."""
+    from exness_data_preprocess_spark.streaming.sketch_stream import (
+        run_kmv_available_now,
+    )
+
+    land = tmp_path / "empty_land"
+    land.mkdir()
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("grp string, v string")
+        .load(str(land))
+    )
+    out = run_kmv_available_now(stream, "grp", "v", k=8, query_name="kmv_mt")
+    assert out.columns == ["grp", "kth_h60", "est_distinct"]
+    assert out.count() == 0
