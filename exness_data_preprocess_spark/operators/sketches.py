@@ -426,3 +426,150 @@ SELECT src_a, src_b, n_union_sketch, n_common_sketch,
        round(n_common_sketch::DOUBLE / n_union_sketch, 6) AS est_jaccard
 FROM m
 """
+
+
+# Bloom filter geometry: 32 words x 63 usable bits (bit 63 never set —
+# DuckDB raises on a left shift into the BIGINT sign bit, so both
+# engines stay inside non-negative shift range). 4 hash rows drawn from
+# the frozen universal family, offset past minhash(16) + CMS(4).
+BLOOM_WORDS = 32
+BLOOM_BITS_PER_WORD = 63
+BLOOM_M = BLOOM_WORDS * BLOOM_BITS_PER_WORD
+BLOOM_DEPTH = 4
+BLOOM_COEFFS = minhash_coeffs(16 + CMS_DEPTH + BLOOM_DEPTH)[16 + CMS_DEPTH:]
+
+
+def _bloom_positions(h32: F.Column) -> F.Column:
+    """Exploded (word, mask) positions for one 32-bit hash."""
+    cells = []
+    for a, b in BLOOM_COEFFS:
+        pos = perm_hash(h32, a, b) % F.lit(BLOOM_M)
+        cells.append(
+            F.struct(
+                (pos / F.lit(BLOOM_BITS_PER_WORD))
+                .cast("long")
+                .alias("word"),
+                # 2^bit as the mask: F.shiftleft takes a PYTHON int for
+                # the shift, not a column; pow is exact for bits <= 62
+                F.pow(F.lit(2.0), pos % F.lit(BLOOM_BITS_PER_WORD))
+                .cast("long")
+                .alias("mask"),
+            )
+        )
+    return F.explode(F.array(*cells))
+
+
+def bloom_build(df: DataFrame, value_col: str) -> DataFrame:
+    """The Bloom bitset as a ``(word, bits)`` table — ≤ BLOOM_WORDS rows
+    regardless of corpus size (Bloom 1970; the classic semi-join /
+    scan-pruning sketch: a definitely-absent verdict with zero false
+    negatives from constant state).
+
+    One explode (x depth) + one ``bit_or`` groupBy on the word index —
+    partial-aggregable, mergeable cell-wise (bit_or), broadcastable.
+    """
+    h = md5_h32(F.col(value_col)).alias("h32")
+    return (
+        df.select(h)
+        .select(_bloom_positions(F.col("h32")).alias("cell"))
+        .groupBy(F.col("cell.word").alias("word"))
+        .agg(F.bit_or(F.col("cell.mask")).alias("bits"))
+    )
+
+
+def bloom_membership(
+    df: DataFrame, value_col: str, probes: list[str]
+) -> DataFrame:
+    """Bloom membership verdicts for ``probes`` vs exact membership.
+
+    Output: ``probe, bloom_maybe, exact_present, false_positive`` — the
+    filter's contract in columns: ``bloom_maybe = 0 → exact_present = 0``
+    always (no false negatives); ``false_positive`` marks maybe-but-
+    absent probes (the rate the m/n/k geometry buys). The bitset
+    (≤ 32 rows) broadcasts; at scale the exact column is the audit you
+    drop and the verdict prunes a shuffle/scan before it happens.
+    """
+    bloom = bloom_build(df, value_col)
+    probe_df = (
+        df.sparkSession.createDataFrame([(p,) for p in probes], ["probe"])
+        .withColumn("h32", md5_h32(F.col("probe")))
+        .select("probe", _bloom_positions(F.col("h32")).alias("cell"))
+        .select("probe", "cell.word", "cell.mask")
+    )
+    verdicts = (
+        probe_df.join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "hit",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                != 0
+            ).cast("int"),
+        )
+        .groupBy("probe")
+        .agg(F.min("hit").alias("bloom_maybe"))
+    )
+    exact = (
+        df.filter(F.col(value_col).isin(probes))
+        .select(F.col(value_col).alias("probe"))
+        .distinct()
+        .withColumn("exact_present", F.lit(1))
+    )
+    return (
+        verdicts.join(exact, "probe", "left")
+        .withColumn("exact_present", F.coalesce("exact_present", F.lit(0)))
+        .withColumn(
+            "false_positive",
+            (
+                (F.col("bloom_maybe") == 1) & (F.col("exact_present") == 0)
+            ).cast("int"),
+        )
+        .select("probe", "bloom_maybe", "exact_present", "false_positive")
+    )
+
+
+def bloom_oracle_sql(
+    source_cte: str, value_expr: str, probes: list[str]
+) -> str:
+    """DuckDB rendering of :func:`bloom_membership` — same coefficients,
+    same word/mask decomposition, ``bit_or`` word aggregation."""
+    from exness_data_preprocess_spark.functions.hashing import md5_h32_sql
+
+    h = md5_h32_sql(value_expr)
+    hp = md5_h32_sql("probe")
+
+    def _cells(hash_expr: str, extra: str, src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {extra}({perm_hash_sql(hash_expr, a, b)} % {BLOOM_M})"
+            f" // {BLOOM_BITS_PER_WORD} AS word,"
+            f" (1::BIGINT << (({perm_hash_sql(hash_expr, a, b)} % {BLOOM_M})"
+            f" % {BLOOM_BITS_PER_WORD})::INT) AS mask FROM {src}"
+            for a, b in BLOOM_COEFFS
+        )
+
+    esc = [p.replace("'", "''") for p in probes]
+    probe_rows = ", ".join(f"('{p}')" for p in esc)
+    probe_list = ", ".join(f"'{p}'" for p in esc)
+    return f"""
+WITH src AS ({source_cte}),
+bloom AS (
+  SELECT word, bit_or(mask) AS bits
+  FROM ({_cells(h, "", "src")}) GROUP BY 1
+),
+probes AS (SELECT * FROM (VALUES {probe_rows}) AS t(probe)),
+pc AS ({_cells(hp, "probe, ", "probes")}),
+verdicts AS (
+  SELECT pc.probe,
+         min(((coalesce(b.bits, 0) & pc.mask) <> 0)::INT) AS bloom_maybe
+  FROM pc LEFT JOIN bloom b USING (word)
+  GROUP BY 1
+),
+exact AS (
+  SELECT DISTINCT {value_expr} AS probe, 1 AS exact_present FROM src
+  WHERE {value_expr} IN ({probe_list})
+)
+SELECT v.probe, v.bloom_maybe,
+       coalesce(e.exact_present, 0) AS exact_present,
+       (v.bloom_maybe = 1 AND coalesce(e.exact_present, 0) = 0)::INT
+         AS false_positive
+FROM verdicts v LEFT JOIN exact e USING (probe)
+"""

@@ -1091,3 +1091,80 @@ def collocation_pmi(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    top_r: int = 100,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source Zipf fit: OLS slope of ln(freq) on ln(rank) over the
+    top-``top_r`` tokens — the corpus-health audit (natural text runs
+    slope ≈ -1; templated/boilerplate-heavy or synthetic-vocabulary
+    sources flatten or steepen it, so drift per source is a generator/
+    contamination alarm).
+
+    Output: ``source, n_terms, zipf_slope, r2``.
+
+    Determinism: ln(rank)/ln(freq) quantize to DECIMAL(20,6) per term,
+    the five OLS sums accumulate exactly (order-free), and ONLY the
+    final closed-form arithmetic runs in binary doubles — the identical
+    expression both engines evaluate on identical inputs. Ranks sit on a
+    total order (count DESC, token ASC).
+
+    Scale shape: per-source token counts (uniform shuffle), then the
+    top-``top_r`` per source via the salted bounded top-k; the ranking
+    window runs AFTER the prune, over ≤ top_r rows per source — never a
+    per-group sort of the full vocabulary.
+    """
+    from exness_data_preprocess_spark.operators.skew import (
+        topk_per_group_bounded,
+    )
+
+    counts = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(
+                F.filter(tokens_col(F.col(text_col)), lambda t: t != "")
+            ).alias("tok"),
+        )
+        .groupBy("src", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    top = topk_per_group_bounded(
+        counts.withColumn("negc", -F.col("c")),
+        ("src",),
+        ("negc", "tok"),
+        top_r,
+    )
+    # the bounded top-k carries only (group, order) columns; the count
+    # rides inside the order key as its negation
+    w = Window.partitionBy("src").orderBy(F.col("negc").asc(), F.col("tok").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    xy = ranked.select(
+        "src",
+        F.round(F.log(F.col("rank").cast("double")), 6)
+        .cast("decimal(20,6)")
+        .alias("x"),
+        F.round(F.log((-F.col("negc")).cast("double")), 6)
+        .cast("decimal(20,6)")
+        .alias("y"),
+    )
+    sums = xy.groupBy("src").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        F.col("src").alias("source"),
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(cov / varx, 6).alias("zipf_slope"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )

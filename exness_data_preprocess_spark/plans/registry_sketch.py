@@ -21,6 +21,8 @@ from exness_data_preprocess_spark.operators.classify import (
 )
 from exness_data_preprocess_spark.operators.dedup import tokens_col
 from exness_data_preprocess_spark.operators.sketches import (
+    bloom_membership,
+    bloom_oracle_sql,
     cms_estimate,
     cms_oracle_sql,
     kmv_distinct_sketch,
@@ -87,6 +89,64 @@ def q_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_NB = nb_oracle_sql(_TOKS, "lang") + "ORDER BY doc_id"
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership verdicts for the probe set vs exact
+    membership — the classic semi-join/scan-pruning sketch (no false
+    negatives; false_positive column audits the geometry)."""
+    return bloom_membership(
+        _tok_stream(spark, sf_dir), "tok", CMS_PROBES
+    ).orderBy("probe")
+
+
+ORACLE_BLOOM = bloom_oracle_sql(_TOK_STREAM, "tok", CMS_PROBES) + "ORDER BY probe"
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf slope/R² over the top-100 tokens (corpus-health
+    audit; operators/textstats.py::zipf_fit for the decimal-exact OLS
+    contract and the prune-before-rank shape)."""
+    from exness_data_preprocess_spark.operators.textstats import zipf_fit
+
+    docs = _docs_spread(spark, sf_dir)
+    return zipf_fit(docs).orderBy("source")
+
+
+ORACLE_ZIPF = f"""
+WITH t AS (
+  SELECT source, unnest(list_filter({_TOKS}, t -> t <> '')) AS tok
+  FROM documents
+),
+c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+top AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, tok)
+           AS rank
+  FROM c
+  QUALIFY rank <= 100
+),
+xy AS (
+  SELECT source,
+         CAST(round(ln(rank), 6) AS DECIMAL(20,6)) AS x,
+         CAST(round(ln(c), 6) AS DECIMAL(20,6)) AS y
+  FROM top
+),
+s AS (
+  SELECT source,
+         count(*)::DOUBLE AS n,
+         sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+         sum(x * y)::DOUBLE AS sxy,
+         sum(x * x)::DOUBLE AS sxx, sum(y * y)::DOUBLE AS syy
+  FROM xy GROUP BY 1
+)
+SELECT source, n::BIGINT AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+ORDER BY source
+"""
 
 
 def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,4 +272,12 @@ def build_sketch_queries() -> dict:
             q_kmv_source_overlap, ORACLE_KMV_OVERLAP,
             "pairwise source-overlap estimates from merged KMV "
             "sketches (bounded-state twin of source_overlap)"),
+        "bloom_membership": (
+            q_bloom_membership, ORACLE_BLOOM,
+            "Bloom-filter membership verdicts vs exact "
+            "(semi-join pruning sketch, bit_or word grid)"),
+        "zipf_fit": (
+            q_zipf_fit, ORACLE_ZIPF,
+            "per-source Zipf slope/R2 over top-100 tokens "
+            "(decimal-exact OLS, prune-before-rank)"),
     }

@@ -408,3 +408,82 @@ def test_streaming_kmv_empty_source_returns_empty(spark, tmp_path):
     out = run_kmv_available_now(stream, "grp", "v", k=8, query_name="kmv_mt")
     assert out.columns == ["grp", "kth_h60", "est_distinct"]
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership
+# ---------------------------------------------------------------------------
+def test_bloom_no_false_negatives_and_bounded(spark):
+    from exness_data_preprocess_spark.operators.sketches import (
+        BLOOM_WORDS,
+        bloom_build,
+        bloom_membership,
+    )
+
+    vals = [(f"tok{i}",) for i in range(500)]
+    df = spark.createDataFrame(vals, "v string")
+    probes = ["tok0", "tok499", "tok250", "nope1", "nope2"]
+    out = {r["probe"]: r for r in bloom_membership(df, "v", probes).collect()}
+    # Bloom contract: present => maybe (NO false negatives, ever)
+    for p in ("tok0", "tok499", "tok250"):
+        assert out[p]["bloom_maybe"] == 1 and out[p]["exact_present"] == 1
+        assert out[p]["false_positive"] == 0
+    # absent probes: maybe=0 => exact_present=0 (sound); fp flag consistent
+    for p in ("nope1", "nope2"):
+        assert out[p]["exact_present"] == 0
+        assert out[p]["false_positive"] == out[p]["bloom_maybe"]
+    # bitset stays bounded and sign-bit-free (DuckDB shift-range contract)
+    grid = bloom_build(df, "v").collect()
+    assert len(grid) <= BLOOM_WORDS
+    assert all(r["bits"] > 0 for r in grid)
+
+
+def test_bloom_coeffs_disjoint_from_other_sketches(spark):
+    from exness_data_preprocess_spark.functions.hashing import minhash_coeffs
+    from exness_data_preprocess_spark.operators.sketches import (
+        BLOOM_COEFFS,
+        CMS_COEFFS,
+    )
+
+    assert set(BLOOM_COEFFS).isdisjoint(set(CMS_COEFFS))
+    assert set(BLOOM_COEFFS).isdisjoint(set(minhash_coeffs(16)))
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit
+# ---------------------------------------------------------------------------
+def test_zipf_slope_minus_one_on_exact_power_law(spark):
+    """freq_i = 2520/i for i=1..10 is an EXACT Zipf law: ln(freq) =
+    ln(2520) - ln(rank), so the fitted slope must be -1 (up to the 6dp
+    quantization of the log terms) with r2 ~ 1."""
+    from exness_data_preprocess_spark.operators.textstats import zipf_fit
+
+    rows = []
+    for i in range(1, 11):
+        rows += [(f"w{i:02d} ", )] * (2520 // i)
+    df = spark.createDataFrame(
+        [(1, ("".join(r[0] for r in rows)).strip(), "s1")],
+        "doc_id long, text string, source string",
+    )
+    out = zipf_fit(df, top_r=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_terms"] == 10
+    assert r["zipf_slope"] == pytest.approx(-1.0, abs=1e-4)
+    assert r["r2"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_zipf_top_r_prunes_and_ranks_deterministically(spark):
+    """Vocab below top_r → n_terms = vocab size; rank ties broken by
+    token so the fit is reproducible."""
+    from exness_data_preprocess_spark.operators.textstats import zipf_fit
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c", "s1"), (2, "x x x y y z", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in zipf_fit(df, top_r=100).collect()}
+    assert out["s1"]["n_terms"] == 3 and out["s2"]["n_terms"] == 3
+    # identical count profile -> identical fit
+    assert out["s1"]["zipf_slope"] == out["s2"]["zipf_slope"]
+    assert out["s1"]["zipf_slope"] < 0
