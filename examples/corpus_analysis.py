@@ -79,6 +79,46 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None):
     for r in top_overlap:
         print(f"  {r['src_a']} ~ {r['src_b']}: {r['shared_grams']} shared 3-grams")
 
+    # -- 1b. the sketch family: what the same audits cost at 100 TB ----------
+    # (bounded-state estimates with their exact audit columns alongside)
+    from exness_data_preprocess_spark.operators.sketches import (
+        kmv_distinct_sketch,
+        kmv_source_overlap,
+    )
+    from exness_data_preprocess_spark.operators.textstats import zipf_fit
+
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    sk = kmv_distinct_sketch(toks, "source", "tok").orderBy(
+        F.desc("rel_err")
+    ).first()
+    print(
+        f"KMV distinct tokens, worst source: {sk['source']} "
+        f"exact={sk['n_exact']} est={sk['est_distinct']:.1f} "
+        f"(rel_err={sk['rel_err']:.3f})"
+    )
+    ov = (
+        kmv_source_overlap(toks, "source", "tok")
+        .orderBy(F.desc("est_jaccard"), "src_a", "src_b")
+        .first()
+    )
+    print(
+        f"sketch-estimated closest sources: {ov['src_a']} ~ {ov['src_b']} "
+        f"jaccard~{ov['est_jaccard']:.3f}"
+    )
+    zf = zipf_fit(docs).orderBy("zipf_slope").first()
+    print(
+        f"steepest Zipf source: {zf['source']} slope={zf['zipf_slope']:.3f} "
+        f"r2={zf['r2']:.3f}"
+    )
+
     # -- 2. embedding near-dup pairs, scoped cache ---------------------------
     with CorpusCurator(spark) as cur:
         ivf_pairs = cur.dedup_embeddings(emb, threshold=0.5).count()
