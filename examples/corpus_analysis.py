@@ -85,15 +85,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None):
         kmv_distinct_sketch,
         kmv_source_overlap,
     )
+    from exness_data_preprocess_spark.operators.dedup import tokens_col
     from exness_data_preprocess_spark.operators.textstats import zipf_fit
 
     toks = docs.select(
         "source",
         F.explode(
-            F.filter(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-                lambda t: t != "",
-            )
+            F.filter(tokens_col(F.col("text")), lambda t: t != "")
         ).alias("tok"),
     )
     sk = kmv_distinct_sketch(toks, "source", "tok").orderBy(

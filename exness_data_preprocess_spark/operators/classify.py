@@ -202,13 +202,21 @@ WITH tk AS (
   )
 ),
 cb AS (SELECT cls, bucket, count(*) AS c FROM tk GROUP BY 1, 2),
-ct AS (SELECT cls, sum(c) AS t FROM cb GROUP BY 1),
+-- class universe and token totals from DOCUMENTS, not from the token
+-- counts: a class whose docs are all token-less must still get its
+-- smoothed-floor weights and participate in the argmax (the Spark plan
+-- derives classes/totals from bare document scans)
+ct AS (
+  SELECT {class_col} AS cls,
+         sum(len(list_filter({toks_sql}, t -> t <> ''))) AS t
+  FROM documents GROUP BY 1
+),
 grid AS (
   SELECT cl.cls, b.bucket,
          CAST(round(ln((coalesce(cb.c, 0) + {alpha!r})
                        / (ct.t + {float(alpha * n_buckets)!r})), 6)
               AS DECIMAL(20,6)) AS w
-  FROM (SELECT DISTINCT cls FROM cb) cl
+  FROM (SELECT DISTINCT {class_col} AS cls FROM documents) cl
   CROSS JOIN (SELECT DISTINCT bucket FROM cb) b
   LEFT JOIN cb ON cb.cls = cl.cls AND cb.bucket = b.bucket
   JOIN ct ON ct.cls = cl.cls

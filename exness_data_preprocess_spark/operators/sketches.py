@@ -214,10 +214,16 @@ def cms_counters(df: DataFrame, value_col: str) -> DataFrame:
     One explode (x depth) + one groupBy on a uniform (j, bucket) key —
     fully partial-aggregable, output bounded at d*w rows no matter the
     corpus size. This is the mergeable artifact a 1000-executor job
-    reduces to almost for free.
+    reduces to almost for free. NULL values carry no identity (the
+    kmv_value_hashes policy): unguarded they'd mint junk NULL-bucket
+    counter rows past the d*w bound.
     """
     h = md5_h32(F.col(value_col)).alias("h32")
-    rows = df.select(h).select(_cms_cells(F.col("h32")).alias("cell"))
+    rows = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(h)
+        .select(_cms_cells(F.col("h32")).alias("cell"))
+    )
     return rows.groupBy("cell.row_j", "cell.bucket").agg(
         F.count("*").alias("cnt")
     )
@@ -281,7 +287,8 @@ def cms_oracle_sql(source_cte: str, value_expr: str, probes: list[str]) -> str:
     )
     probe_list = ", ".join(f"'{p}'" for p in esc)
     return f"""
-WITH src AS ({source_cte}),
+WITH src0 AS ({source_cte}),
+src AS (SELECT * FROM src0 WHERE {value_expr} IS NOT NULL),
 counters AS (
   SELECT row_j, bucket, count(*) AS cnt FROM ({cells}) GROUP BY 1, 2
 ),
@@ -467,10 +474,13 @@ def bloom_build(df: DataFrame, value_col: str) -> DataFrame:
 
     One explode (x depth) + one ``bit_or`` groupBy on the word index —
     partial-aggregable, mergeable cell-wise (bit_or), broadcastable.
+    NULL values carry no identity (the kmv_value_hashes policy):
+    unguarded they'd mint a junk NULL word past the BLOOM_WORDS bound.
     """
     h = md5_h32(F.col(value_col)).alias("h32")
     return (
-        df.select(h)
+        df.filter(F.col(value_col).isNotNull())
+        .select(h)
         .select(_bloom_positions(F.col("h32")).alias("cell"))
         .groupBy(F.col("cell.word").alias("word"))
         .agg(F.bit_or(F.col("cell.mask")).alias("bits"))
@@ -550,7 +560,8 @@ def bloom_oracle_sql(
     probe_rows = ", ".join(f"('{p}')" for p in esc)
     probe_list = ", ".join(f"'{p}'" for p in esc)
     return f"""
-WITH src AS ({source_cte}),
+WITH src0 AS ({source_cte}),
+src AS (SELECT * FROM src0 WHERE {value_expr} IS NOT NULL),
 bloom AS (
   SELECT word, bit_or(mask) AS bits
   FROM ({_cells(h, "", "src")}) GROUP BY 1

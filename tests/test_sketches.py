@@ -487,3 +487,45 @@ def test_zipf_top_r_prunes_and_ranks_deterministically(spark):
     # identical count profile -> identical fit
     assert out["s1"]["zipf_slope"] == out["s2"]["zipf_slope"]
     assert out["s1"]["zipf_slope"] < 0
+
+
+def test_cms_and_bloom_drop_null_values(spark):
+    """NULL values carry no identity in ANY sketch (the kmv_value_hashes
+    policy): counter/bitset grids over data-with-NULLs must equal the
+    clean grids — no junk NULL-bucket rows past the geometry bound."""
+    from exness_data_preprocess_spark.operators.sketches import (
+        bloom_build,
+        cms_counters,
+    )
+
+    clean = [(f"t{i}",) for i in range(50)]
+    dirty = clean + [(None,), (None,)]
+    cdf = spark.createDataFrame(clean, "v string")
+    ddf = spark.createDataFrame(dirty, "v string")
+    assert sorted(map(tuple, cms_counters(ddf, "v").collect())) == sorted(
+        map(tuple, cms_counters(cdf, "v").collect())
+    )
+    assert sorted(map(tuple, bloom_build(ddf, "v").collect())) == sorted(
+        map(tuple, bloom_build(cdf, "v").collect())
+    )
+
+
+def test_nb_class_with_only_tokenless_docs_still_scored(spark):
+    """A class whose every doc is token-less must still exist in the
+    class universe (prior + smoothed-floor weights), exactly as the
+    oracle derives it from the documents table."""
+    from exness_data_preprocess_spark.operators.classify import (
+        nb_train_score,
+    )
+
+    rows = [(1, "a b c", "A"), (2, "a c", "A"), (3, " ", "C"), (4, "", "C")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in nb_train_score(df, "lang").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # C has zero training tokens so every C weight is the ln(1/1024)
+    # floor (~-6.93); A's observed weights ln(3/1029), ln(2/1029) are
+    # all higher, so A's own docs stay classified A
+    assert out[1]["pred_class"] == "A" and out[1]["is_correct"] == 1
+    assert out[2]["pred_class"] == "A"
+    # token-less docs score by prior alone: equal priors -> lexic. first
+    assert out[3]["pred_class"] == "A" and out[4]["pred_class"] == "A"
