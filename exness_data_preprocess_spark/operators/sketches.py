@@ -584,3 +584,152 @@ SELECT v.probe, v.bloom_maybe,
          AS false_positive
 FROM verdicts v LEFT JOIN exact e USING (probe)
 """
+
+
+# HyperLogLog geometry: p = 8 bucket bits over the 60-bit hash → m = 256
+# registers of "leading-zero rank" rho in [1, 53] (52 value bits + 1).
+HLL_P = 8
+HLL_M = 1 << HLL_P
+HLL_VALUE_BITS = 60 - HLL_P  # 52
+_HLL_BUCKET_DIV = 1 << HLL_VALUE_BITS
+# Flajolet et al. 2007 bias constant for m >= 128
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# the register sum is kept in integer units of 2^-53 so it is EXACT and
+# order-free on both engines (a double sum of 2^-rho terms would be
+# accumulation-order-sensitive across engines)
+_HLL_UNIT = float(1 << 53)
+
+
+def hll_distinct_sketch(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate — THE production
+    cardinality sketch (Flajolet et al. 2007), here deterministic in the
+    md5 hash family so the oracle re-derives every register. Exact count
+    kept alongside as the audit (drop it at scale).
+
+    Output: ``group_col, n_registers, n_exact, est_hll, rel_err``.
+
+    Register rank: bucket = top p hash bits, rho = 1 + leading zeros of
+    the remaining 52 bits (53 when they are all zero). ``floor(log2(v))``
+    is exact for v < 2^53, so both engines derive identical ranks. The
+    harmonic-mean denominator accumulates as a BIGINT in units of 2^-53
+    (order-free exact); linear counting replaces the raw estimate in the
+    small-range regime (E <= 2.5m with empty registers), per the paper.
+
+    Scale shape vs KMV: NO distinct pre-pass — registers are a plain
+    (group, bucket) max-aggregation over the raw value stream, fully
+    map-side-combining; state is m integers per group, merge is
+    register-wise max. The exact audit column is the only part that
+    pays a distinct shuffle.
+    """
+    h = md5_h60(F.col(value_col))
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col),
+        # INTEGER shift, not h/2^52: a 60-bit hash is not exactly
+        # representable in the double that division would route through
+        F.shiftright(h, HLL_VALUE_BITS).alias("bucket"),
+        (h % F.lit(_HLL_BUCKET_DIV)).alias("v"),
+    )
+    rho = F.when(F.col("v") == 0, F.lit(53)).otherwise(
+        F.lit(HLL_VALUE_BITS)
+        - F.floor(F.log2(F.col("v"))).cast("int")
+    )
+    regs = vals.withColumn("rho", rho).groupBy(group_col, "bucket").agg(
+        F.max("rho").alias("r")
+    )
+    agg = regs.groupBy(group_col).agg(
+        F.count("*").alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("r")).cast("long")).alias(
+            "_s_obs"
+        ),
+    )
+    s_int = (
+        (F.lit(HLL_M) - F.col("n_registers")) * F.lit(1 << 53)
+        + F.col("_s_obs")
+    ).cast("double")
+    e_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) * F.lit(_HLL_UNIT) / s_int
+    zeros = F.lit(HLL_M) - F.col("n_registers")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.round(
+            F.lit(float(HLL_M))
+            * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+            6,
+        ),
+    ).otherwise(F.round(e_raw, 6))
+    exact = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col), F.col(value_col))
+        .distinct()
+        .groupBy(group_col)
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return (
+        agg.join(exact, group_col)
+        .withColumn("est_hll", est)
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("est_hll") - F.col("n_exact")) / F.col("n_exact"),
+                6,
+            ),
+        )
+        .select(group_col, "n_registers", "n_exact", "est_hll", "rel_err")
+    )
+
+
+def hll_oracle_sql(source_cte: str, group_col: str, value_expr: str) -> str:
+    """DuckDB rendering of :func:`hll_distinct_sketch` — identical
+    bucket/rank decomposition, integer-exact register sum, same
+    bias/linear-counting branches with the same inlined constants."""
+    from exness_data_preprocess_spark.functions.hashing import md5_h60_sql
+
+    h = md5_h60_sql(value_expr)
+    return f"""
+WITH src0 AS ({source_cte}),
+src AS (SELECT * FROM src0 WHERE {value_expr} IS NOT NULL),
+b AS (
+  SELECT {group_col},
+         ({h}) // {_HLL_BUCKET_DIV} AS bucket,
+         ({h}) % {_HLL_BUCKET_DIV} AS v
+  FROM src
+),
+regs AS (
+  SELECT {group_col}, bucket,
+         max(CASE WHEN v = 0 THEN 53
+                  ELSE {HLL_VALUE_BITS} - floor(log2(v))::INT END) AS r
+  FROM b GROUP BY 1, 2
+),
+agg AS (
+  SELECT {group_col},
+         count(*) AS n_registers,
+         sum(pow(2.0, 53 - r)::BIGINT) AS s_obs
+  FROM regs GROUP BY 1
+),
+exact AS (
+  SELECT {group_col}, count(DISTINCT {value_expr}) AS n_exact
+  FROM src GROUP BY 1
+),
+est AS (
+  -- fractional literals are DECIMAL in DuckDB (overflow on the unit
+  -- product), DOUBLE in Spark: every constant is cast explicitly
+  SELECT a.{group_col}, a.n_registers, e.n_exact,
+         CASE WHEN (CAST({HLL_ALPHA * HLL_M * HLL_M!r} AS DOUBLE)
+                    * CAST({_HLL_UNIT!r} AS DOUBLE)
+                    / (({HLL_M} - a.n_registers) * {1 << 53}
+                       + a.s_obs)::DOUBLE) <= CAST({2.5 * HLL_M!r} AS DOUBLE)
+                   AND ({HLL_M} - a.n_registers) > 0
+              THEN round(CAST({float(HLL_M)!r} AS DOUBLE)
+                         * ln(CAST({float(HLL_M)!r} AS DOUBLE)
+                              / ({HLL_M} - a.n_registers)::DOUBLE), 6)
+              ELSE round(CAST({HLL_ALPHA * HLL_M * HLL_M!r} AS DOUBLE)
+                         * CAST({_HLL_UNIT!r} AS DOUBLE)
+                         / (({HLL_M} - a.n_registers) * {1 << 53}
+                            + a.s_obs)::DOUBLE, 6) END AS est_hll
+  FROM agg a JOIN exact e USING ({group_col})
+)
+SELECT {group_col}, n_registers, n_exact, est_hll,
+       round(abs(est_hll - n_exact) / n_exact, 6) AS rel_err
+FROM est
+"""

@@ -25,6 +25,8 @@ from exness_data_preprocess_spark.operators.sketches import (
     bloom_oracle_sql,
     cms_estimate,
     cms_oracle_sql,
+    hll_distinct_sketch,
+    hll_oracle_sql,
     kmv_distinct_sketch,
     kmv_oracle_sql,
     kmv_overlap_oracle_sql,
@@ -89,6 +91,21 @@ def q_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_NB = nb_oracle_sql(_TOKS, "lang") + "ORDER BY doc_id"
+
+
+def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HyperLogLog distinct-token estimate (the production
+    cardinality sketch, deterministic in the md5 family — the oracle
+    re-derives every register; operators/sketches.py for the
+    integer-exact register-sum contract)."""
+    return hll_distinct_sketch(
+        _tok_stream(spark, sf_dir), "source", "tok"
+    ).orderBy("source")
+
+
+ORACLE_HLL = (
+    hll_oracle_sql(_TOK_STREAM, "source", "tok") + "ORDER BY source"
+)
 
 
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,6 +289,10 @@ def build_sketch_queries() -> dict:
             q_kmv_source_overlap, ORACLE_KMV_OVERLAP,
             "pairwise source-overlap estimates from merged KMV "
             "sketches (bounded-state twin of source_overlap)"),
+        "hll_distinct_sketch": (
+            q_hll_distinct_sketch, ORACLE_HLL,
+            "HyperLogLog distinct estimates per source "
+            "(deterministic registers, integer-exact harmonic sum)"),
         "bloom_membership": (
             q_bloom_membership, ORACLE_BLOOM,
             "Bloom-filter membership verdicts vs exact "

@@ -63,6 +63,10 @@ QUERY_TABLE = {
     "cms_heavy_hitters": "documents",
     "quality_classifier_nb": "documents",
     "collocation_pmi": "documents",
+    "kmv_source_overlap": "documents",
+    "bloom_membership": "documents",
+    "zipf_fit": "documents",
+    "hll_distinct_sketch": "documents",
     "semantic_decontamination": "embeddings",
     "semantic_decontamination_ivf": "embeddings",
     "dedup_embedding_cosine": "embeddings",

@@ -529,3 +529,84 @@ def test_nb_class_with_only_tokenless_docs_still_scored(spark):
     assert out[2]["pred_class"] == "A"
     # token-less docs score by prior alone: equal priors -> lexic. first
     assert out[3]["pred_class"] == "A" and out[4]["pred_class"] == "A"
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+def _hll_py(values):
+    """Python register twin of hll_distinct_sketch's estimator."""
+    from exness_data_preprocess_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_VALUE_BITS,
+    )
+
+    regs = {}
+    for v in values:
+        h = _h60(v)
+        bucket, rest = h >> HLL_VALUE_BITS, h % (1 << HLL_VALUE_BITS)
+        rho = 53 if rest == 0 else HLL_VALUE_BITS - (rest.bit_length() - 1)
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    s_int = (HLL_M - len(regs)) * (1 << 53) + sum(
+        1 << (53 - r) for r in regs.values()
+    )
+    e_raw = HLL_ALPHA * HLL_M * HLL_M * float(1 << 53) / float(s_int)
+    zeros = HLL_M - len(regs)
+    if e_raw <= 2.5 * HLL_M and zeros > 0:
+        return len(regs), round(HLL_M * math.log(HLL_M / zeros), 6)
+    return len(regs), round(e_raw, 6)
+
+
+def test_hll_matches_python_register_twin_and_tracks_truth(spark):
+    from exness_data_preprocess_spark.operators.sketches import (
+        hll_distinct_sketch,
+    )
+
+    n = 5000
+    vals = [f"item-{i}" for i in range(n)]
+    # duplicates must not move a max-register sketch
+    rows = [("g", v) for v in vals] + [("g", vals[0])] * 50
+    df = spark.createDataFrame(rows, "grp string, v string")
+    r = hll_distinct_sketch(df, "grp", "v").collect()[0]
+    n_regs, est = _hll_py(vals)
+    assert r["n_registers"] == n_regs
+    assert r["est_hll"] == est
+    assert r["n_exact"] == n
+    # m=256 -> ~1.04/sqrt(m) ≈ 6.5% std error; 4-sigma gate
+    assert r["rel_err"] < 0.26
+
+
+def test_hll_linear_counting_small_range(spark):
+    """Far below 2.5m the paper's linear-counting branch must fire:
+    est = m * ln(m / zero_registers), exactly."""
+    import math as _m
+
+    from exness_data_preprocess_spark.operators.sketches import (
+        HLL_M,
+        hll_distinct_sketch,
+    )
+
+    vals = [f"x{i}" for i in range(40)]
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v string")
+    r = hll_distinct_sketch(df, "grp", "v").collect()[0]
+    zeros = HLL_M - r["n_registers"]
+    assert r["est_hll"] == round(HLL_M * _m.log(HLL_M / zeros), 6)
+    # with 40 values, collisions are rare: estimate lands near truth
+    assert abs(r["est_hll"] - 40) < 8
+
+
+def test_hll_null_values_dropped(spark):
+    from exness_data_preprocess_spark.operators.sketches import (
+        hll_distinct_sketch,
+    )
+
+    clean = [("g", f"v{i}") for i in range(200)]
+    dirty = clean + [("g", None)]
+    a = hll_distinct_sketch(
+        spark.createDataFrame(clean, "grp string, v string"), "grp", "v"
+    ).collect()
+    b = hll_distinct_sketch(
+        spark.createDataFrame(dirty, "grp string, v string"), "grp", "v"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
