@@ -611,8 +611,11 @@ def hll_distinct_sketch(
     Output: ``group_col, n_registers, n_exact, est_hll, rel_err``.
 
     Register rank: bucket = top p hash bits, rho = 1 + leading zeros of
-    the remaining 52 bits (53 when they are all zero). ``floor(log2(v))``
-    is exact for v < 2^53, so both engines derive identical ranks. The
+    the remaining 52 bits (53 when they are all zero), derived as
+    ``53 - bit_length(v)`` via the INTEGER ``length(bin(v))`` on both
+    engines — floating ``floor(log2(v))`` is NOT cross-engine exact
+    (Spark's ln(x)/ln(2) vs DuckDB's std::log2 disagree near
+    power-of-two boundaries; measured live at v = 2^52-12). The
     harmonic-mean denominator accumulates as a BIGINT in units of 2^-53
     (order-free exact); linear counting replaces the raw estimate in the
     small-range regime (E <= 2.5m with empty registers), per the paper.
@@ -624,16 +627,19 @@ def hll_distinct_sketch(
     pays a distinct shuffle.
     """
     h = md5_h60(F.col(value_col))
-    vals = df.filter(F.col(value_col).isNotNull()).select(
+    src = df.filter(F.col(value_col).isNotNull())
+    vals = src.select(
         F.col(group_col),
         # INTEGER shift, not h/2^52: a 60-bit hash is not exactly
         # representable in the double that division would route through
         F.shiftright(h, HLL_VALUE_BITS).alias("bucket"),
         (h % F.lit(_HLL_BUCKET_DIV)).alias("v"),
     )
+    # rho = 53 - bit_length(v): bin() renders without leading zeros, so
+    # its string length IS the bit length — integer-exact on both engines
     rho = F.when(F.col("v") == 0, F.lit(53)).otherwise(
-        F.lit(HLL_VALUE_BITS)
-        - F.floor(F.log2(F.col("v"))).cast("int")
+        F.lit(HLL_VALUE_BITS + 1)
+        - F.length(F.bin(F.col("v"))).cast("int")
     )
     regs = vals.withColumn("rho", rho).groupBy(group_col, "bucket").agg(
         F.max("rho").alias("r")
@@ -659,8 +665,7 @@ def hll_distinct_sketch(
         ),
     ).otherwise(F.round(e_raw, 6))
     exact = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(F.col(group_col), F.col(value_col))
+        src.select(F.col(group_col), F.col(value_col))
         .distinct()
         .groupBy(group_col)
         .agg(F.count("*").alias("n_exact"))
@@ -696,9 +701,11 @@ b AS (
   FROM src
 ),
 regs AS (
+  -- rho via INTEGER bit length (length of bin(v)); floating log2 is not
+  -- cross-engine exact near power-of-two boundaries
   SELECT {group_col}, bucket,
          max(CASE WHEN v = 0 THEN 53
-                  ELSE {HLL_VALUE_BITS} - floor(log2(v))::INT END) AS r
+                  ELSE {HLL_VALUE_BITS + 1} - length(bin(v))::INT END) AS r
   FROM b GROUP BY 1, 2
 ),
 agg AS (

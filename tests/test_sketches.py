@@ -610,3 +610,43 @@ def test_hll_null_values_dropped(spark):
         spark.createDataFrame(dirty, "grp string, v string"), "grp", "v"
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_hll_rank_exact_at_power_of_two_boundaries(spark):
+    """rho must come from INTEGER bit length: floating floor(log2(v))
+    diverges between Spark (ln ratio) and DuckDB (std::log2) near
+    power-of-two boundaries — e.g. v = 2^52-12 rounds to 52 vs 51.
+    Pin the Spark expression and the oracle's CASE against the exact
+    Python bit_length twin on adversarial values."""
+    import duckdb
+
+    from exness_data_preprocess_spark.operators.sketches import (
+        HLL_VALUE_BITS,
+    )
+
+    adversarial = [
+        0, 1, 2, 3,
+        (1 << 52) - 12, (1 << 52) - 1, (1 << 52) - 27,
+        (1 << 51) - 5, (1 << 51), (1 << 51) + 1,
+        (1 << 20) - 1, (1 << 20),
+    ]
+    expect = [
+        53 if v == 0 else HLL_VALUE_BITS - (v.bit_length() - 1)
+        for v in adversarial
+    ]
+    sdf = spark.createDataFrame([(v,) for v in adversarial], "v long")
+    rho = F.when(F.col("v") == 0, F.lit(53)).otherwise(
+        F.lit(HLL_VALUE_BITS + 1) - F.length(F.bin(F.col("v"))).cast("int")
+    )
+    got_spark = [r["rho"] for r in sdf.select(rho.alias("rho")).collect()]
+    assert got_spark == expect
+    vals = ", ".join(f"({v}::BIGINT)" for v in adversarial)
+    got_duck = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT CASE WHEN v = 0 THEN 53 ELSE "
+            f"{HLL_VALUE_BITS + 1} - length(bin(v))::INT END "
+            f"FROM (VALUES {vals}) t(v)"
+        ).fetchall()
+    ]
+    assert got_duck == expect
