@@ -740,3 +740,179 @@ SELECT {group_col}, n_registers, n_exact, est_hll,
        round(abs(est_hll - n_exact) / n_exact, 6) AS rel_err
 FROM est
 """
+
+
+# Equi-width histogram geometry for the quantile sketch.
+HIST_BUCKETS = 256
+
+
+def histogram_quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Per-group quantile estimates from a fixed-width histogram — the
+    bounded-state quantile path (cell counts merge by addition, unlike
+    an exact percentile whose state is the whole column). Estimates
+    interpolate linearly inside the covering bucket; the exact
+    interpolated percentile rides alongside as the audit.
+
+    Output: ``group_col, n, est_p<q>, exact_p<q>`` per quantile.
+
+    Determinism: bucket ids, cumulative counts, and the interpolation
+    are integer/identical-double arithmetic — both engines evaluate the
+    same expressions on the same inputs, no accumulation-order exposure.
+    NULL values are dropped (the sketch NULL policy).
+
+    Scale shape: one min/max/count aggregate (broadcast back), one
+    (group, bucket) count — <= HIST_BUCKETS rows per group — and a
+    window over those bounded rows. The histogram is the mergeable
+    artifact; the exact audit column is the only full-state pass.
+    """
+    src = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    )
+    rng = src.groupBy("g").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    b = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.floor(
+                (F.col("v") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * F.lit(float(HIST_BUCKETS))
+            ),
+            F.lit(HIST_BUCKETS - 1),
+        ),
+    ).otherwise(F.lit(0))
+    counts = (
+        src.join(F.broadcast(rng), "g")
+        .withColumn("bucket", b.cast("int"))
+        .groupBy("g", "lo", "hi", "n", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("g")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("cnt").over(w))
+
+    exact_aggs = [
+        F.round(F.expr(f"percentile(v, {q!r})"), 6).alias(
+            f"exact_p{int(q * 100)}"
+        )
+        for q in qs
+    ]
+    exact = src.groupBy("g").agg(*exact_aggs)
+
+    out = rng.select("g", "n")
+    for q in qs:
+        t = F.lit(q) * F.col("n")
+        sel = (
+            cum.filter(F.col("cum") >= F.lit(q) * F.col("n"))
+            .groupBy("g")
+            .agg(
+                F.min(
+                    F.struct("bucket", "cum", "cnt", "lo", "hi", "n")
+                ).alias("s")
+            )
+            .select(
+                "g",
+                F.round(
+                    F.col("s.lo")
+                    + (F.col("s.hi") - F.col("s.lo"))
+                    / F.lit(float(HIST_BUCKETS))
+                    * (
+                        F.col("s.bucket")
+                        + (
+                            F.lit(q) * F.col("s.n")
+                            - (F.col("s.cum") - F.col("s.cnt"))
+                        )
+                        / F.col("s.cnt")
+                    ),
+                    6,
+                ).alias(f"est_p{int(q * 100)}"),
+            )
+        )
+        out = out.join(sel, "g")
+    out = out.join(exact, "g")
+    cols = ["g", "n"]
+    for q in qs:
+        cols += [f"est_p{int(q * 100)}", f"exact_p{int(q * 100)}"]
+    return out.select(*[F.col(c) for c in cols]).withColumnRenamed(
+        "g", group_col
+    )
+
+
+def histogram_quantile_oracle_sql(
+    source_cte: str,
+    group_col: str,
+    value_expr: str,
+    qs: tuple = (0.5, 0.95, 0.99),
+) -> str:
+    """DuckDB rendering of :func:`histogram_quantile_sketch` — identical
+    bucket/interpolation arithmetic (every fractional literal cast to
+    DOUBLE: DuckDB parses them as DECIMAL otherwise)."""
+    sel_ctes, joins, out_cols = [], [], [f"rng.{group_col}", "rng.n"]
+    for q in qs:
+        p = int(q * 100)
+        qd = f"CAST({q!r} AS DOUBLE)"
+        sel_ctes.append(f"""
+sel_{p} AS (
+  SELECT g, round(lo + (hi - lo) / CAST({float(HIST_BUCKETS)!r} AS DOUBLE)
+                  * (bucket + ({qd} * n - (cum - cnt)) / cnt), 6)
+           AS est_p{p}
+  FROM cum
+  WHERE cum >= {qd} * n
+  QUALIFY row_number() OVER (PARTITION BY g ORDER BY bucket) = 1
+)""")
+        joins.append(f"JOIN sel_{p} ON sel_{p}.g = rng.{group_col}")
+        out_cols += [f"sel_{p}.est_p{p}", f"exact.exact_p{p}"]
+    exact_cols = ", ".join(
+        f"round(quantile_cont(v, CAST({q!r} AS DOUBLE)), 6)"
+        f" AS exact_p{int(q * 100)}"
+        for q in qs
+    )
+    return f"""
+WITH src0 AS ({source_cte}),
+src AS (
+  SELECT {group_col} AS g, {value_expr} AS v FROM src0
+  WHERE {value_expr} IS NOT NULL
+),
+rng0 AS (
+  SELECT g, min(v) AS lo, max(v) AS hi, count(*) AS n FROM src GROUP BY 1
+),
+binned AS (
+  SELECT s.g, r.lo, r.hi, r.n,
+         CASE WHEN r.hi > r.lo
+              THEN least(floor((s.v - r.lo) / (r.hi - r.lo)
+                               * CAST({float(HIST_BUCKETS)!r} AS DOUBLE))::INT,
+                         {HIST_BUCKETS - 1})
+              ELSE 0 END AS bucket
+  FROM src s JOIN rng0 r ON r.g = s.g
+),
+counts AS (
+  SELECT g, lo, hi, n, bucket, count(*) AS cnt
+  FROM binned GROUP BY 1, 2, 3, 4, 5
+),
+cum AS (
+  SELECT g, lo, hi, n, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY g ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM counts
+),
+rng AS (SELECT g AS {group_col}, n FROM rng0),
+exact AS (SELECT g, {exact_cols} FROM src GROUP BY 1),
+{",".join(sel_ctes)}
+SELECT {", ".join(out_cols)}
+FROM rng
+{chr(10).join(joins)}
+JOIN exact ON exact.g = rng.{group_col}
+"""

@@ -25,6 +25,8 @@ from exness_data_preprocess_spark.operators.sketches import (
     bloom_oracle_sql,
     cms_estimate,
     cms_oracle_sql,
+    histogram_quantile_oracle_sql,
+    histogram_quantile_sketch,
     hll_distinct_sketch,
     hll_oracle_sql,
     kmv_distinct_sketch,
@@ -105,6 +107,26 @@ def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_HLL = (
     hll_oracle_sql(_TOK_STREAM, "source", "tok") + "ORDER BY source"
+)
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantile estimates from a 256-bucket equi-width
+    histogram, exact interpolated percentiles alongside as the audit
+    (operators/sketches.py for the mergeable-state argument)."""
+    from exness_data_preprocess_spark.plans.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    return histogram_quantile_sketch(ev, "event_type", "value").orderBy(
+        "event_type"
+    )
+
+
+ORACLE_HISTOGRAM_QUANTILES = (
+    histogram_quantile_oracle_sql(
+        "SELECT event_type, value FROM events", "event_type", "value"
+    )
+    + "ORDER BY event_type"
 )
 
 
@@ -289,6 +311,10 @@ def build_sketch_queries() -> dict:
             q_kmv_source_overlap, ORACLE_KMV_OVERLAP,
             "pairwise source-overlap estimates from merged KMV "
             "sketches (bounded-state twin of source_overlap)"),
+        "histogram_quantiles": (
+            q_histogram_quantiles, ORACLE_HISTOGRAM_QUANTILES,
+            "histogram-sketch quantile estimates vs exact percentiles "
+            "(256 equi-width buckets, mergeable state)"),
         "hll_distinct_sketch": (
             q_hll_distinct_sketch, ORACLE_HLL,
             "HyperLogLog distinct estimates per source "

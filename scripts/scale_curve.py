@@ -67,6 +67,7 @@ QUERY_TABLE = {
     "bloom_membership": "documents",
     "zipf_fit": "documents",
     "hll_distinct_sketch": "documents",
+    "histogram_quantiles": "events",
     "semantic_decontamination": "embeddings",
     "semantic_decontamination_ivf": "embeddings",
     "dedup_embedding_cosine": "embeddings",

@@ -650,3 +650,38 @@ def test_hll_rank_exact_at_power_of_two_boundaries(spark):
         ).fetchall()
     ]
     assert got_duck == expect
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch
+# ---------------------------------------------------------------------------
+def test_histogram_quantiles_uniform_data(spark):
+    """On uniform data the equi-width histogram is the exact CDF shape:
+    estimates land within one bucket width of the exact percentile."""
+    from exness_data_preprocess_spark.operators.sketches import (
+        HIST_BUCKETS,
+        histogram_quantile_sketch,
+    )
+
+    n = 10000
+    rows = [("g", float(i)) for i in range(n)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = histogram_quantile_sketch(df, "grp", "v").collect()[0]
+    width = (n - 1) / HIST_BUCKETS
+    assert r["n"] == n
+    for p in (50, 95, 99):
+        assert abs(r[f"est_p{p}"] - r[f"exact_p{p}"]) <= width + 1e-6
+
+
+def test_histogram_quantiles_constant_group_and_nulls(spark):
+    """hi == lo degenerates to the constant itself; NULLs are dropped."""
+    from exness_data_preprocess_spark.operators.sketches import (
+        histogram_quantile_sketch,
+    )
+
+    rows = [("c", 7.5)] * 20 + [("c", None)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = histogram_quantile_sketch(df, "grp", "v").collect()[0]
+    assert r["n"] == 20
+    for p in (50, 95, 99):
+        assert r[f"est_p{p}"] == 7.5 and r[f"exact_p{p}"] == 7.5
