@@ -5,10 +5,10 @@ hurt: both shuffle the full key universe. The production answers are
 sketches — bounded-state, mergeable summaries computed map-side. Spark
 ships HyperLogLog (``approx_count_distinct``) but its register layout is
 engine-private, so an external oracle cannot reproduce it bit-for-bit.
-These two sketches are chosen because they are *deterministic in the hash
+Each sketch here is chosen because it is *deterministic in the hash
 family* (functions/hashing.py's md5-derived universal hashes, reproducible
-in ANSI SQL), so the DuckDB oracle re-derives the full sketch and the
-estimates hash-match exactly:
+in ANSI SQL) or in plain integer/double arithmetic, so the DuckDB oracle
+re-derives the full sketch and the estimates hash-match exactly:
 
 * **KMV (k-minimum-values)** — distinct-count estimate from the k-th
   smallest hash of the distinct values (Bar-Yossef et al., 2002;
@@ -20,6 +20,15 @@ estimates hash-match exactly:
   counter grid (Cormode & Muthukrishnan, 2005  est = min_j C[j][h_j(x)]).
   State = d*w counters regardless of corpus size; merge = cell-wise sum;
   the probe-side join is a broadcast of the counter grid.
+* **HyperLogLog** — the production cardinality sketch (Flajolet et al.
+  2007): m max-rank registers, register-wise-max mergeable, no distinct
+  pre-pass.
+* **Bloom filter** — membership with no false negatives (Bloom 1970):
+  a bit_or word grid, the classic semi-join/scan-pruning artifact.
+* **Equi-width histogram** — quantile estimates from mergeable cell
+  counts, linear interpolation in the covering bucket.
+* **Merged-KMV pairwise overlap** — union/Jaccard estimates between
+  groups from their k-minimum sketches (Beyer et al. 2007).
 
 Reference parity: the reference engine exposes only exact
 count()/uniqExact-style aggregates (clickhouse_query_engine.py coverage
