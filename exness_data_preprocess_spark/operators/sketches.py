@@ -755,6 +755,12 @@ FROM est
 HIST_BUCKETS = 256
 
 
+def _q_label(q: float) -> int:
+    """Integer-percent column label for quantile q — round, don't
+    truncate (int(0.29*100) == 28 via binary representation)."""
+    return int(round(q * 100))
+
+
 def histogram_quantile_sketch(
     df: DataFrame,
     group_col: str,
@@ -775,10 +781,19 @@ def histogram_quantile_sketch(
     NULL values are dropped (the sketch NULL policy).
 
     Scale shape: one min/max/count aggregate (broadcast back), one
-    (group, bucket) count — <= HIST_BUCKETS rows per group — and a
-    window over those bounded rows. The histogram is the mergeable
-    artifact; the exact audit column is the only full-state pass.
+    (group, bucket) count — <= HIST_BUCKETS rows per group — a window
+    over those bounded rows, then ONE covering-bucket aggregation for
+    every requested quantile (min-of-conditional-struct per q, not a
+    filter+join per q) and ONE percentile-array pass for all the audit
+    columns. The histogram is the mergeable artifact; the audit is the
+    single full-state pass.
     """
+    labels = [_q_label(q) for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(
+            f"quantiles {qs} collide at the integer-percent label level "
+            f"({labels}); choose quantiles distinct in round(q*100)"
+        )
     src = df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("g"), F.col(value_col).alias("v")
     )
@@ -813,51 +828,54 @@ def histogram_quantile_sketch(
     )
     cum = counts.withColumn("cum", F.sum("cnt").over(w))
 
-    exact_aggs = [
-        F.round(F.expr(f"percentile(v, {q!r})"), 6).alias(
-            f"exact_p{int(q * 100)}"
-        )
-        for q in qs
-    ]
-    exact = src.groupBy("g").agg(*exact_aggs)
-
-    out = rng.select("g", "n")
-    for q in qs:
-        t = F.lit(q) * F.col("n")
-        sel = (
-            cum.filter(F.col("cum") >= F.lit(q) * F.col("n"))
-            .groupBy("g")
-            .agg(
-                F.min(
-                    F.struct("bucket", "cum", "cnt", "lo", "hi", "n")
-                ).alias("s")
-            )
-            .select(
-                "g",
-                F.round(
-                    F.col("s.lo")
-                    + (F.col("s.hi") - F.col("s.lo"))
-                    / F.lit(float(HIST_BUCKETS))
-                    * (
-                        F.col("s.bucket")
-                        + (
-                            F.lit(q) * F.col("s.n")
-                            - (F.col("s.cum") - F.col("s.cnt"))
-                        )
-                        / F.col("s.cnt")
-                    ),
-                    6,
-                ).alias(f"est_p{int(q * 100)}"),
-            )
-        )
-        out = out.join(sel, "g")
-    out = out.join(exact, "g")
-    cols = ["g", "n"]
-    for q in qs:
-        cols += [f"est_p{int(q * 100)}", f"exact_p{int(q * 100)}"]
-    return out.select(*[F.col(c) for c in cols]).withColumnRenamed(
-        "g", group_col
+    # ONE percentile-array pass for every audit column
+    q_list = ", ".join(f"CAST({q!r} AS DOUBLE)" for q in qs)
+    exact = src.groupBy("g").agg(
+        F.expr(f"percentile(v, array({q_list}))").alias("_pq")
     )
+
+    # ONE aggregation picks every quantile's covering bucket: min of a
+    # conditional struct (bucket leads the ordering; NULLs — rows below
+    # the target mass — are ignored by min; the last bucket always
+    # qualifies, so no pick is ever NULL)
+    pick_aggs = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.lit(q) * F.col("n"),
+                F.struct("bucket", "cum", "cnt", "lo", "hi", "n"),
+            )
+        ).alias(f"_s{lab}")
+        for q, lab in zip(qs, labels)
+    ]
+    picks = cum.groupBy("g").agg(*pick_aggs)
+
+    out = picks.join(exact, "g")
+    cols = [
+        F.col("g").alias(group_col),
+        F.col(f"_s{labels[0]}.n").alias("n"),
+    ]
+    for i, (q, lab) in enumerate(zip(qs, labels)):
+        s = f"_s{lab}"
+        cols.append(
+            F.round(
+                F.col(f"{s}.lo")
+                + (F.col(f"{s}.hi") - F.col(f"{s}.lo"))
+                / F.lit(float(HIST_BUCKETS))
+                * (
+                    F.col(f"{s}.bucket")
+                    + (
+                        F.lit(q) * F.col(f"{s}.n")
+                        - (F.col(f"{s}.cum") - F.col(f"{s}.cnt"))
+                    )
+                    / F.col(f"{s}.cnt")
+                ),
+                6,
+            ).alias(f"est_p{lab}")
+        )
+        cols.append(
+            F.round(F.element_at("_pq", i + 1), 6).alias(f"exact_p{lab}")
+        )
+    return out.select(*cols)
 
 
 def histogram_quantile_oracle_sql(
@@ -871,7 +889,7 @@ def histogram_quantile_oracle_sql(
     DOUBLE: DuckDB parses them as DECIMAL otherwise)."""
     sel_ctes, joins, out_cols = [], [], [f"rng.{group_col}", "rng.n"]
     for q in qs:
-        p = int(q * 100)
+        p = _q_label(q)
         qd = f"CAST({q!r} AS DOUBLE)"
         sel_ctes.append(f"""
 sel_{p} AS (
@@ -886,7 +904,7 @@ sel_{p} AS (
         out_cols += [f"sel_{p}.est_p{p}", f"exact.exact_p{p}"]
     exact_cols = ", ".join(
         f"round(quantile_cont(v, CAST({q!r} AS DOUBLE)), 6)"
-        f" AS exact_p{int(q * 100)}"
+        f" AS exact_p{_q_label(q)}"
         for q in qs
     )
     return f"""

@@ -26,6 +26,15 @@ _SETTINGS = dict(
 _h60 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 _h32 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
+
+def _round6(x: float) -> float:
+    """Spark's round(x, 6): BigDecimal(double) + HALF_UP — python's
+    built-in round() is half-EVEN and diverges on dyadic 6-decimal
+    midpoints (e.g. 2/256 = 0.0078125 -> 0.007813 vs 0.007812)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
 values = st.lists(
     st.tuples(
         st.sampled_from(["g1", "g2"]),
@@ -53,7 +62,7 @@ def test_kmv_equals_python_twin(spark, rows):
         hs = sorted(_h60(v) for v in vals)
         kth = hs[min(k, len(hs)) - 1]
         if len(hs) >= k:
-            est = round((k - 1) / (kth / float(1 << 60)), 6)
+            est = _round6((k - 1) / (kth / float(1 << 60)))
         else:
             est = float(len(hs))
         r = got[g]
@@ -90,9 +99,9 @@ def test_hll_equals_python_twin(spark, rows):
         e_raw = HLL_ALPHA * HLL_M * HLL_M * float(1 << 53) / float(s_int)
         zeros = HLL_M - len(regs)
         if e_raw <= 2.5 * HLL_M and zeros > 0:
-            est = round(HLL_M * math.log(HLL_M / zeros), 6)
+            est = _round6(HLL_M * math.log(HLL_M / zeros))
         else:
-            est = round(e_raw, 6)
+            est = _round6(e_raw)
         r = got[g]
         assert r["n_registers"] == len(regs)
         assert r["est_hll"] == est
@@ -174,12 +183,11 @@ def test_histogram_quantiles_equal_python_twin(spark, vals):
         for b in sorted(counts):
             prev, cum = cum, cum + counts[b]
             if cum >= t:
-                est = round(
+                est = _round6(
                     lo
                     + (hi - lo)
                     / float(HIST_BUCKETS)
-                    * (b + (q * n - prev) / counts[b]),
-                    6,
+                    * (b + (q * n - prev) / counts[b])
                 )
                 break
         assert r[f"est_p{int(q * 100)}"] == est
