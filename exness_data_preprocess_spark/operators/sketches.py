@@ -609,6 +609,63 @@ HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 _HLL_UNIT = float(1 << 53)
 
 
+def hll_registers(
+    src: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """The HLL register table ``(group, bucket, r)`` — <= m rows per
+    group, register-wise-max mergeable. ``src`` must already be
+    NULL-filtered (the sketch NULL policy lives in the callers so batch
+    and streaming share one derivation)."""
+    h = md5_h60(F.col(value_col))
+    vals = src.select(
+        F.col(group_col),
+        # INTEGER shift, not h/2^52: a 60-bit hash is not exactly
+        # representable in the double that division would route through
+        F.shiftright(h, HLL_VALUE_BITS).alias("bucket"),
+        (h % F.lit(_HLL_BUCKET_DIV)).alias("v"),
+    )
+    # rho = 53 - bit_length(v): bin() renders without leading zeros, so
+    # its string length IS the bit length — integer-exact on both engines
+    rho = F.when(F.col("v") == 0, F.lit(53)).otherwise(
+        F.lit(HLL_VALUE_BITS + 1) - F.length(F.bin(F.col("v"))).cast("int")
+    )
+    return vals.withColumn("rho", rho).groupBy(group_col, "bucket").agg(
+        F.max("rho").alias("r")
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_col: str
+) -> DataFrame:
+    """Estimate from a (merged) register table — the serving half shared
+    by the batch sketch and the streaming twin.
+
+    Output: ``group_col, n_registers, est_hll``."""
+    agg = regs.groupBy(group_col).agg(
+        F.count("*").alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("r")).cast("long")).alias(
+            "_s_obs"
+        ),
+    )
+    s_int = (
+        (F.lit(HLL_M) - F.col("n_registers")) * F.lit(1 << 53)
+        + F.col("_s_obs")
+    ).cast("double")
+    e_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) * F.lit(_HLL_UNIT) / s_int
+    zeros = F.lit(HLL_M) - F.col("n_registers")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.round(
+            F.lit(float(HLL_M))
+            * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+            6,
+        ),
+    ).otherwise(F.round(e_raw, 6))
+    return agg.select(
+        group_col, "n_registers", est.alias("est_hll")
+    )
+
+
 def hll_distinct_sketch(
     df: DataFrame, group_col: str, value_col: str
 ) -> DataFrame:
@@ -635,44 +692,8 @@ def hll_distinct_sketch(
     register-wise max. The exact audit column is the only part that
     pays a distinct shuffle.
     """
-    h = md5_h60(F.col(value_col))
     src = df.filter(F.col(value_col).isNotNull())
-    vals = src.select(
-        F.col(group_col),
-        # INTEGER shift, not h/2^52: a 60-bit hash is not exactly
-        # representable in the double that division would route through
-        F.shiftright(h, HLL_VALUE_BITS).alias("bucket"),
-        (h % F.lit(_HLL_BUCKET_DIV)).alias("v"),
-    )
-    # rho = 53 - bit_length(v): bin() renders without leading zeros, so
-    # its string length IS the bit length — integer-exact on both engines
-    rho = F.when(F.col("v") == 0, F.lit(53)).otherwise(
-        F.lit(HLL_VALUE_BITS + 1)
-        - F.length(F.bin(F.col("v"))).cast("int")
-    )
-    regs = vals.withColumn("rho", rho).groupBy(group_col, "bucket").agg(
-        F.max("rho").alias("r")
-    )
-    agg = regs.groupBy(group_col).agg(
-        F.count("*").alias("n_registers"),
-        F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("r")).cast("long")).alias(
-            "_s_obs"
-        ),
-    )
-    s_int = (
-        (F.lit(HLL_M) - F.col("n_registers")) * F.lit(1 << 53)
-        + F.col("_s_obs")
-    ).cast("double")
-    e_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) * F.lit(_HLL_UNIT) / s_int
-    zeros = F.lit(HLL_M) - F.col("n_registers")
-    est = F.when(
-        (e_raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
-        F.round(
-            F.lit(float(HLL_M))
-            * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
-            6,
-        ),
-    ).otherwise(F.round(e_raw, 6))
+    regs = hll_registers(src, group_col, value_col)
     exact = (
         src.select(F.col(group_col), F.col(value_col))
         .distinct()
@@ -680,8 +701,8 @@ def hll_distinct_sketch(
         .agg(F.count("*").alias("n_exact"))
     )
     return (
-        agg.join(exact, group_col)
-        .withColumn("est_hll", est)
+        hll_estimate_from_registers(regs, group_col)
+        .join(exact, group_col)
         .withColumn(
             "rel_err",
             F.round(
@@ -693,13 +714,28 @@ def hll_distinct_sketch(
     )
 
 
-def hll_oracle_sql(source_cte: str, group_col: str, value_expr: str) -> str:
+def hll_oracle_sql(
+    source_cte: str,
+    group_col: str,
+    value_expr: str,
+    include_exact: bool = True,
+) -> str:
     """DuckDB rendering of :func:`hll_distinct_sketch` — identical
     bucket/rank decomposition, integer-exact register sum, same
-    bias/linear-counting branches with the same inlined constants."""
+    bias/linear-counting branches with the same inlined constants.
+    ``include_exact=False`` renders the register-only projection of
+    :func:`hll_estimate_from_registers` (streaming twin)."""
     from exness_data_preprocess_spark.functions.hashing import md5_h60_sql
 
     h = md5_h60_sql(value_expr)
+    if include_exact:
+        final = (
+            f"SELECT {group_col}, n_registers, n_exact, est_hll,\n"
+            "       round(abs(est_hll - n_exact) / n_exact, 6) AS rel_err\n"
+            "FROM est"
+        )
+    else:
+        final = f"SELECT {group_col}, n_registers, est_hll FROM est"
     return f"""
 WITH src0 AS ({source_cte}),
 src AS (SELECT * FROM src0 WHERE {value_expr} IS NOT NULL),
@@ -745,9 +781,7 @@ est AS (
                             + a.s_obs)::DOUBLE, 6) END AS est_hll
   FROM agg a JOIN exact e USING ({group_col})
 )
-SELECT {group_col}, n_registers, n_exact, est_hll,
-       round(abs(est_hll - n_exact) / n_exact, 6) AS rel_err
-FROM est
+{final}
 """
 
 

@@ -920,7 +920,7 @@ _DRIVER_PRIORITY = [
     "kmv_distinct_sketch", "cms_heavy_hitters",
     "quality_classifier_nb", "collocation_pmi", "streaming_kmv_sketch",
     "kmv_source_overlap", "bloom_membership", "zipf_fit",
-    "hll_distinct_sketch", "histogram_quantiles",
+    "hll_distinct_sketch", "histogram_quantiles", "streaming_hll_sketch",
     # round-6-touched plans due a fresh driver check: the Arrow/BLAS ANN
     # kernel swap, the now-hash-green trained-IVF pipeline, the
     # exact-pair replace write path, and the newly-timed resamples

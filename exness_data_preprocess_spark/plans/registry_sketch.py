@@ -277,6 +277,33 @@ ORACLE_STREAMING_KMV = (
 )
 
 
+def q_streaming_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``hll_distinct_sketch``: per-micro-batch
+    register-wise-max merge (streaming/sketch_stream.py) — the drained
+    estimate is bit-identical to the batch sketch; the oracle is the
+    batch SQL minus the exact-audit columns."""
+    from exness_data_preprocess_spark.streaming.sketch_stream import (
+        run_hll_available_now,
+    )
+
+    docs = _docs_stream(spark, sf_dir)
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(tokens_col(F.col("text")), lambda t: t != "")
+        ).alias("tok"),
+    )
+    return run_hll_available_now(
+        toks, "source", "tok", query_name=f"hll_{sf_dir.rsplit('/', 1)[-1]}"
+    ).orderBy("source")
+
+
+ORACLE_STREAMING_HLL = (
+    hll_oracle_sql(_TOK_STREAM, "source", "tok", include_exact=False)
+    + "ORDER BY source"
+)
+
+
 def build_sketch_queries() -> dict:
     """name → (spark_fn, oracle_sql, description[, bench, skip_reason])."""
     from exness_data_preprocess_spark.plans.registry_ext import (
@@ -287,6 +314,13 @@ def build_sketch_queries() -> dict:
         "streaming_kmv_sketch": (
             q_streaming_kmv_sketch, ORACLE_STREAMING_KMV,
             "Streaming: per-micro-batch KMV merge, bounded state "
+            "(drained estimate ≡ batch sketch)",
+            False,
+            SKIP_STREAMING_DRAIN,
+        ),
+        "streaming_hll_sketch": (
+            q_streaming_hll_sketch, ORACLE_STREAMING_HLL,
+            "Streaming: per-micro-batch HLL register-wise-max merge "
             "(drained estimate ≡ batch sketch)",
             False,
             SKIP_STREAMING_DRAIN,

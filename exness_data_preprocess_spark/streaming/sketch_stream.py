@@ -38,7 +38,7 @@ from exness_data_preprocess_spark.operators.sketches import (
 )
 from exness_data_preprocess_spark.operators.skew import topk_per_group_bounded
 
-__all__ = ["run_kmv_available_now"]
+__all__ = ["run_kmv_available_now", "run_hll_available_now"]
 
 
 def run_kmv_available_now(
@@ -99,3 +99,72 @@ def run_kmv_available_now(
         ).withColumn("h", F.lit(None).cast("bigint"))
         return kmv_estimate_from_state(empty, group_col, k)
     return kmv_estimate_from_state(state["sk"], group_col, k)
+
+
+def run_hll_available_now(
+    stream_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    query_name: str = "hll_sketch",
+    timeout_seconds: float = 300.0,
+) -> DataFrame:
+    """Drain the available backlog through per-batch HLL register merge
+    and return the final per-group estimate (batch DataFrame:
+    ``group_col, n_registers, est_hll``).
+
+    Even simpler than the KMV merge: registers combine by register-wise
+    MAX (no prune step, no distinct), so state is <= m rows per group
+    forever and the drained estimate is bit-identical to the one-pass
+    batch sketch.
+    """
+    from exness_data_preprocess_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    state: dict = {"regs": None, "ckpt": None}
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        br = hll_registers(
+            batch_df.filter(F.col(value_col).isNotNull()),
+            group_col,
+            value_col,
+        )
+        if state["regs"] is not None:
+            br = (
+                state["regs"]
+                .unionByName(br)
+                .groupBy(group_col, "bucket")
+                .agg(F.max("r").alias("r"))
+            )
+        merged = br.localCheckpoint()
+        prev = state["ckpt"]
+        state["regs"], state["ckpt"] = merged, checkpoint_rdd_id(merged)
+        if prev is not None:
+            release_checkpoints(merged.sparkSession, {prev})
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        drained = q.awaitTermination(timeout_seconds)
+    finally:
+        if q.isActive:  # pragma: no cover - only on timeout
+            q.stop()
+    if not drained:  # pragma: no cover - only on timeout
+        raise TimeoutError(
+            f"availableNow HLL drain {query_name!r} did not finish within "
+            f"{timeout_seconds}s; partial sketch discarded"
+        )
+    if state["regs"] is None:
+        spark = stream_df.sparkSession
+        empty = (
+            spark.createDataFrame([], stream_df.select(group_col).schema)
+            .withColumn("bucket", F.lit(None).cast("bigint"))
+            .withColumn("r", F.lit(None).cast("int"))
+        )
+        return hll_estimate_from_registers(empty, group_col)
+    return hll_estimate_from_registers(state["regs"], group_col)

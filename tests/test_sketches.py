@@ -685,3 +685,44 @@ def test_histogram_quantiles_constant_group_and_nulls(spark):
     assert r["n"] == 20
     for p in (50, 95, 99):
         assert r[f"est_p{p}"] == 7.5 and r[f"exact_p{p}"] == 7.5
+
+
+def test_streaming_hll_multi_batch_equals_batch(spark, tmp_path):
+    """Three forced micro-batches must merge (register-wise max) to the
+    SAME estimate as the one-pass batch sketch over the union."""
+    from exness_data_preprocess_spark.operators.sketches import (
+        hll_distinct_sketch,
+    )
+    from exness_data_preprocess_spark.streaming.sketch_stream import (
+        run_hll_available_now,
+    )
+
+    land = tmp_path / "hll_land"
+    land.mkdir()
+    rows = [(f"g{i % 2}", f"val-{i}") for i in range(600)]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    for j in range(3):  # overlapping thirds -> duplicate values across batches
+        chunk = df.filter((F.col("v").substr(5, 10).cast("long") % 3) <= j)
+        chunk.coalesce(1).write.parquet(str(land / f"chunk{j}"))
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(land) + "/*")
+    )
+    streamed = {
+        r["grp"]: r
+        for r in run_hll_available_now(
+            stream, "grp", "v", query_name="hll_test"
+        ).collect()
+    }
+    batch = {
+        r["grp"]: r
+        for r in hll_distinct_sketch(df, "grp", "v")
+        .select("grp", "n_registers", "est_hll")
+        .collect()
+    }
+    assert set(streamed) == set(batch) == {"g0", "g1"}
+    for g in batch:
+        assert streamed[g]["n_registers"] == batch[g]["n_registers"]
+        assert streamed[g]["est_hll"] == batch[g]["est_hll"]
