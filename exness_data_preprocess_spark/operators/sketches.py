@@ -729,12 +729,22 @@ def hll_oracle_sql(
 
     h = md5_h60_sql(value_expr)
     if include_exact:
+        exact_cte = f"""exact AS (
+  SELECT {group_col}, count(DISTINCT {value_expr}) AS n_exact
+  FROM src GROUP BY 1
+),
+"""
+        exact_col = "e.n_exact,"
+        exact_join = f"JOIN exact e USING ({group_col})"
         final = (
             f"SELECT {group_col}, n_registers, n_exact, est_hll,\n"
             "       round(abs(est_hll - n_exact) / n_exact, 6) AS rel_err\n"
             "FROM est"
         )
     else:
+        # register-only projection: the exact-audit PASS is dropped too,
+        # not just its columns (the streaming twin's whole point)
+        exact_cte, exact_col, exact_join = "", "", ""
         final = f"SELECT {group_col}, n_registers, est_hll FROM est"
     return f"""
 WITH src0 AS ({source_cte}),
@@ -759,14 +769,10 @@ agg AS (
          sum(pow(2.0, 53 - r)::BIGINT) AS s_obs
   FROM regs GROUP BY 1
 ),
-exact AS (
-  SELECT {group_col}, count(DISTINCT {value_expr}) AS n_exact
-  FROM src GROUP BY 1
-),
-est AS (
+{exact_cte}est AS (
   -- fractional literals are DECIMAL in DuckDB (overflow on the unit
   -- product), DOUBLE in Spark: every constant is cast explicitly
-  SELECT a.{group_col}, a.n_registers, e.n_exact,
+  SELECT a.{group_col}, a.n_registers, {exact_col}
          CASE WHEN (CAST({HLL_ALPHA * HLL_M * HLL_M!r} AS DOUBLE)
                     * CAST({_HLL_UNIT!r} AS DOUBLE)
                     / (({HLL_M} - a.n_registers) * {1 << 53}
@@ -779,7 +785,7 @@ est AS (
                          * CAST({_HLL_UNIT!r} AS DOUBLE)
                          / (({HLL_M} - a.n_registers) * {1 << 53}
                             + a.s_obs)::DOUBLE, 6) END AS est_hll
-  FROM agg a JOIN exact e USING ({group_col})
+  FROM agg a {exact_join}
 )
 {final}
 """
@@ -822,6 +828,8 @@ def histogram_quantile_sketch(
     columns. The histogram is the mergeable artifact; the audit is the
     single full-state pass.
     """
+    if not qs:
+        raise ValueError("qs must name at least one quantile")
     labels = [_q_label(q) for q in qs]
     if len(set(labels)) != len(labels):
         raise ValueError(

@@ -249,6 +249,19 @@ def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _file_stream(spark, sf_dir, "documents")
 
 
+def _tok_stream_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming rendering of :func:`_tok_stream` — one derivation
+    shared by every streaming sketch twin so the token policy cannot
+    drift from the batch path / `_TOK_STREAM` oracle CTE."""
+    docs = _docs_stream(spark, sf_dir)
+    return docs.select(
+        "source",
+        F.explode(
+            F.filter(tokens_col(F.col("text")), lambda t: t != "")
+        ).alias("tok"),
+    )
+
+
 def q_streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``kmv_distinct_sketch``: the token stream drained
     availableNow through per-micro-batch KMV merge (streaming/
@@ -259,13 +272,7 @@ def q_streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_kmv_available_now,
     )
 
-    docs = _docs_stream(spark, sf_dir)
-    toks = docs.select(
-        "source",
-        F.explode(
-            F.filter(tokens_col(F.col("text")), lambda t: t != "")
-        ).alias("tok"),
-    )
+    toks = _tok_stream_streaming(spark, sf_dir)
     return run_kmv_available_now(
         toks, "source", "tok", query_name=f"kmv_{sf_dir.rsplit('/', 1)[-1]}"
     ).orderBy("source")
@@ -286,13 +293,7 @@ def q_streaming_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_hll_available_now,
     )
 
-    docs = _docs_stream(spark, sf_dir)
-    toks = docs.select(
-        "source",
-        F.explode(
-            F.filter(tokens_col(F.col("text")), lambda t: t != "")
-        ).alias("tok"),
-    )
+    toks = _tok_stream_streaming(spark, sf_dir)
     return run_hll_available_now(
         toks, "source", "tok", query_name=f"hll_{sf_dir.rsplit('/', 1)[-1]}"
     ).orderBy("source")

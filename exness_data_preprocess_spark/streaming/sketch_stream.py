@@ -1,5 +1,5 @@
-"""Streaming KMV cardinality sketch: bounded-state distinct tracking over
-a document stream, micro-batch by micro-batch.
+"""Streaming cardinality sketches (KMV and HLL): bounded-state distinct
+tracking over a document stream, micro-batch by micro-batch.
 
 The mergeability the batch operator documents (union-then-keep-k-smallest,
 tests/test_sketches.py::test_kmv_merge_property) is exactly what makes a
@@ -8,7 +8,9 @@ k-smallest distinct hashes per group, merges into the carried state, and
 re-prunes — state is <= k rows per group FOREVER, no matter how much
 stream has flowed. This is the production steady-state for "how many
 distinct tokens/users/keys have we seen per partition" where an exact
-distinct would hold the whole key universe in the state store.
+distinct would hold the whole key universe in the state store. The HLL
+twin (run_hll_available_now) is simpler still: registers combine by
+register-wise MAX — no prune, no distinct — with state <= m rows/group.
 
 The drained estimate is bit-identical to the batch sketch over the same
 rows (merge property is exact, not approximate-in-composition), which is

@@ -190,4 +190,4 @@ def test_histogram_quantiles_equal_python_twin(spark, vals):
                     * (b + (q * n - prev) / counts[b])
                 )
                 break
-        assert r[f"est_p{int(q * 100)}"] == est
+        assert r[f"est_p{int(round(q * 100))}"] == est

@@ -270,8 +270,14 @@ def test_streaming_kmv_multi_batch_equals_batch(spark, tmp_path):
     land.mkdir()
     rows = [(f"g{i % 3}", f"val-{i}") for i in range(900)]
     df = spark.createDataFrame(rows, "grp string, v string")
-    for j in range(3):  # 3 files → 3 micro-batches, overlapping values
-        chunk = df.filter((F.col("v").substr(5, 10).cast("long") % 3) <= j)
+    # DISJOINT thirds plus a small shared overlap: a drop-old merge bug
+    # (keep only the latest batch) and a drop-new bug both change the
+    # result — a superset final chunk would mask the former
+    for j in range(3):
+        chunk = df.filter(
+            ((F.col("v").substr(5, 10).cast("long") % 3) == j)
+            | (F.col("v").substr(5, 10).cast("long") < 10)
+        )
         chunk.coalesce(1).write.parquet(str(land / f"chunk{j}"))
     stream = (
         spark.readStream.format("parquet")
@@ -701,8 +707,12 @@ def test_streaming_hll_multi_batch_equals_batch(spark, tmp_path):
     land.mkdir()
     rows = [(f"g{i % 2}", f"val-{i}") for i in range(600)]
     df = spark.createDataFrame(rows, "grp string, v string")
-    for j in range(3):  # overlapping thirds -> duplicate values across batches
-        chunk = df.filter((F.col("v").substr(5, 10).cast("long") % 3) <= j)
+    # disjoint thirds + shared overlap (see the KMV twin's rationale)
+    for j in range(3):
+        chunk = df.filter(
+            ((F.col("v").substr(5, 10).cast("long") % 3) == j)
+            | (F.col("v").substr(5, 10).cast("long") < 10)
+        )
         chunk.coalesce(1).write.parquet(str(land / f"chunk{j}"))
     stream = (
         spark.readStream.format("parquet")
