@@ -153,6 +153,7 @@ NATURAL_QUERIES = [
     # NB is two tokenize passes + a grid broadcast)
     "kmv_distinct_sketch",
     "quality_classifier_nb",
+    "hll_distinct_sketch",
 ]
 WARM_DIR = "/root/testdata/sf0.001"
 
