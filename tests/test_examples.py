@@ -59,3 +59,13 @@ def test_corpus_analysis_example_runs(spark, capsys):
     assert "mean unigram entropy" in out
     assert "near-dup pairs >= 0.5" in out
     assert "RESULT: PASSED" in out  # validate_against_source end-to-end
+
+
+@pytest.mark.smoke
+def test_sketch_monitoring_example_runs(spark, tmp_path, capsys):
+    from examples.sketch_monitoring import main
+
+    main(spark=spark, base_dir=tmp_path / "sketchmon")
+    out = capsys.readouterr().out
+    assert "streamed == batch for all" in out and "True" in out
+    assert "done" in out
