@@ -45,10 +45,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, base_dir=None):
     land = Path(base_dir or tempfile.mkdtemp()) / "landing"
     land.mkdir(parents=True, exist_ok=True)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # 1. stage three shards (disjoint thirds of the corpus)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    # 1. stage three shards (disjoint thirds of the corpus); coalesce
+    # NULL ids into shard 0 so NO row is ever dropped at staging (a lost
+    # row would show up as a false mergeability mismatch below)
+    shard = F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(3))
     for j in range(3):
-        docs.filter(F.pmod("doc_id", F.lit(3)) == j).coalesce(1).write.mode(
+        docs.filter(shard == j).coalesce(1).write.mode(
             "overwrite"
         ).parquet(str(land / f"shard{j}"))
 
@@ -93,8 +96,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, base_dir=None):
     mismatches = sum(
         1
         for s in b_kmv
-        if s_kmv[s] != b_kmv[s]["est_distinct"]
-        or s_hll[s] != b_hll[s]["est_hll"]
+        if s_kmv.get(s) != b_kmv[s]["est_distinct"]
+        or s_hll.get(s) != b_hll[s]["est_hll"]
     )
     print(
         f"streamed == batch for all {len(b_kmv)} sources: "
@@ -106,10 +109,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, base_dir=None):
     for s in sorted(b_kmv)[:5]:
         print(
             f"  {s:>6}  {b_kmv[s]['n_exact']:>5}  "
-            f"{s_kmv[s]:>7.1f}  {s_hll[s]:>7.1f}"
+            f"{s_kmv.get(s, float('nan')):>7.1f}  "
+            f"{s_hll.get(s, float('nan')):>7.1f}"
         )
     print("done")
 
+    docs.unpersist()
     if owns_spark:
         spark.stop()
 
