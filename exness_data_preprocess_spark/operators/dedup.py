@@ -1438,6 +1438,7 @@ def ngram_containment_pairs(
     block_cols: tuple[str, ...] = ("lang",),
     threshold: float = 0.9,
     index_df_cap: int | None = None,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Directed near-dup pairs by *containment*: C(A→B) = |A∩B| / |A| ≥ t
     with A ≠ B. Catches the asymmetric case Jaccard misses — a short doc
@@ -1572,6 +1573,12 @@ def ngram_containment_pairs(
         .select(*block_cols, "id_a", "id_b", "sz_a")
         .dropDuplicates(["id_a", "id_b"])
     )
+    if candidates_only:
+        # Instrumentation tap for scale measurement (scripts/scale_curve):
+        # the deduped candidate set the verify join would consume, before
+        # any token-set verification. Plan identical to the production
+        # path up to this point.
+        return pruned
     verified = pruned.join(
         base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
         "id_a",

@@ -916,34 +916,32 @@ def _register_extra_queries() -> None:
 # set at sf0.1); rotation widens cumulative external coverage, it does
 # not narrow what is checked.
 _DRIVER_PRIORITY = [
-    # round-6 additions: the sketch/classifier family
-    "kmv_distinct_sketch", "cms_heavy_hitters",
-    "quality_classifier_nb", "collocation_pmi", "streaming_kmv_sketch",
-    "kmv_source_overlap", "bloom_membership", "zipf_fit",
-    "hll_distinct_sketch", "histogram_quantiles", "streaming_hll_sketch",
-    # round-6-touched plans due a fresh driver check: the Arrow/BLAS ANN
-    # kernel swap, the now-hash-green trained-IVF pipeline, the
-    # exact-pair replace write path, and the newly-timed resamples
-    "dedup_embedding_cosine_ivf_trained", "ann_ivf_topk",
-    "ann_ivf_multiprobe", "embedding_cosine_topk", "ann_lsh_bucketed",
-    "pq_encode", "pq_ann_adc", "pq_ann_adc_trained",
-    "semantic_decontamination",
-    "semantic_decontamination_ivf", "dedup_embedding_cosine_ivf",
-    "dedup_embedding_cosine_srp", "dedup_embedding_cosine",
-    "catalog_tick_scan", "catalog_ohlc_1m", "catalog_ohlc_1h",
-    "ohlc_resample_5m", "ohlc_resample_15m", "ohlc_resample_30m",
-    # not sampled by the r5 driver run (CORRECTNESS_r05 held 50 of 107)
-    # — rotated in so cumulative driver-green coverage keeps widening
-    "train_val_test_split", "ohlc_resample_4h", "twap_hourly",
-    "realized_volatility", "funnel_daily", "cohort_retention",
-    "fill_minute_gaps", "asof_forward", "asof_nearest", "dedup_simhash",
-    "dedup_ngram_jaccard", "bm25_topk", "tfidf_top_terms",
-    "dedup_exact_substring", "contamination_spans", "lm_fluency_score",
-    "lang_id", "text_quality", "doc_fingerprint", "video_frame_sample",
-    "text_clean", "corpus_stats", "distinct_users_skew_safe",
-    "dup_connected_components", "dedup_keep_best", "training_shards",
-    "jsonl_roundtrip", "sample_k_per_group", "cdc_apply",
-    "streaming_cdc_snapshot", "interval_join_events", "decontamination",
+    # round-7 (judge r6 task 2): re-certify the r4-era window — the 28
+    # entries whose most recent driver-green row is CORRECTNESS_r04, two
+    # rounds of kernel/registry churn ago
+    "analyze_events", "cdc_apply", "corpus_rollup", "corpus_stats",
+    "decontamination", "dedup_keep_best", "dedup_levenshtein",
+    "distinct_users_skew_safe", "dup_connected_components",
+    "embedding_quantize", "events_window_dedup", "hourly_count_corr",
+    "incremental_dedup", "interval_join_events", "json_extract_stats",
+    "jsonl_roundtrip", "max_drawdown", "quality_percentile_filter",
+    "repetition_quality", "rolling_user_stats", "sample_k_per_group",
+    "sequence_packing", "sessionize_events", "stratified_sample",
+    "streaming_cdc_snapshot", "text_clean", "training_shards",
+    "validate_events",
+    # round-7 additions + touched plans (containment candidate
+    # instrumentation shares the production plan prefix; sketch-index
+    # incremental merge is new)
+    "dedup_containment", "sketch_index_update",
+    # oldest remaining certifications (r5 window) fill the rest of the
+    # driver's 50-sample so every entry stays certified within two rounds
+    "asof_join", "asof_tolerance", "autocorr_lag1", "blocklist_filter",
+    "chunk_documents", "coverage_stats", "curation_pipeline",
+    "daily_quantiles", "dedup_exact", "dedup_minhash_lsh",
+    "distinct_instruments", "doc_entropy", "flag_filters",
+    "full_outer_diff", "gap_months", "keyset_pagination",
+    "lag_lead_features", "minute_bucket_join", "multimodal_features",
+    "ngram_novelty",
 ]
 
 

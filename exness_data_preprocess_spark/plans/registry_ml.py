@@ -209,6 +209,24 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_containment_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Instrumentation twin of :func:`q_dedup_containment`: the deduped
+    candidate-pair set entering the verify join (same params, same plan
+    prefix). Used by scripts/scale_curve.py to attribute runtime growth
+    to candidate growth vs verification/output growth — not a registry
+    entry."""
+    from exness_data_preprocess_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    return ngram_containment_pairs(
+        docs, block_cols=("lang",), threshold=0.9, candidates_only=True
+    )
+
+
 ORACLE_DEDUP_CONTAINMENT = f"""
 WITH d AS (
   SELECT doc_id, lang, list_distinct({_TOKS}) AS sh FROM documents

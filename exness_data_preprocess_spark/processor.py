@@ -537,14 +537,28 @@ class SparkDataProcessor:
         return Path(self.fetcher(inst, variant, year, month, self.landing))
 
     # -- write path (processor.py:285-454) ------------------------------------
-    def insert_ticks(self, df: DataFrame, variant: str) -> int:
+    def insert_ticks(
+        self, df: DataFrame, variant: str, on_conflict: str = "skip"
+    ) -> int:
         """Dedup + partitioned append (clickhouse_manager.py:271-330).
 
-        Returns the number of rows actually STORED (post-dedup,
-        post-idempotency anti-join), computed from the same
-        materialization the write consumed — the incoming plan (often a
-        full ZIP decode) executes once, not once per count (review
-        find).
+        Returns the number of rows from THIS batch now stored, computed
+        from the same materialization the write consumed — the incoming
+        plan (often a full ZIP decode) executes once, not once per count
+        (review find). The count is mode-dependent (advice find — the
+        two conflict postures count different things):
+
+        - ``on_conflict="skip"`` (default, first-write-wins): rows NEWLY
+          written — incoming rows minus intra-batch duplicates minus
+          keys already stored, so an idempotent re-insert returns 0.
+        - ``on_conflict="replace"`` (last-write-wins, the reference's
+          ReplacingMergeTree posture): rows APPLIED — every incoming
+          row after intra-batch dedup counts, whether it landed on a
+          fresh key or superseded a stored row (a full re-insert of a
+          corrected archive returns the archive size, not 0). The
+          physical partition rewrite also carries the touched months'
+          surviving rows; those are not "from this batch" and are not
+          counted.
 
         PARITY DEVIATION (documented in COVERAGE.md): the reference's
         ``clickhouse_manager.insert_ticks`` returns ``len(df)`` — rows
@@ -553,7 +567,9 @@ class SparkDataProcessor:
         time. Spark can, and the stored count is the useful one (an
         idempotent re-insert returns 0, not the batch size). Callers that
         need submitted-count semantics should ``df.count()`` themselves."""
-        n = self.catalog.write_ticks(df, f"{variant}_ticks")
+        n = self.catalog.write_ticks(
+            df, f"{variant}_ticks", on_conflict=on_conflict
+        )
         # Writes extend the tick date range the registered session dims
         # were snapshotted from — invalidate so sql() rebuilds them.
         self.engine.invalidate_views()

@@ -32,6 +32,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("-q", "--queries", nargs="*", default=None)
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="write a per-query result dict (driver CORRECTNESS format) "
+        "to this path — the committable certification artifact",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
@@ -48,6 +54,7 @@ def main() -> int:
     names = args.queries or list(queries)
 
     failures = 0
+    records: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -55,15 +62,22 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures += 1
             print(f"[FAIL] {name}: spark error: {e}")
+            records[name] = {"err": f"spark: {e}"}
             continue
         if name not in oracles:
             print(f"[rows-only] {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            records[name] = {
+                "rows_only": True,
+                "spark_rows": len(sdf),
+                "err": None,
+            }
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures += 1
             print(f"[FAIL] {name}: oracle error: {e}")
+            records[name] = {"err": f"oracle: {e}"}
             continue
 
         s, o = canon(sdf), canon(odf)
@@ -73,6 +87,14 @@ def main() -> int:
         ok = count_ok and schema_ok and hash_ok
         if not ok:
             failures += 1
+        records[name] = {
+            "rows_match": count_ok,
+            "schema_match": schema_ok,
+            "hash_match": hash_ok,
+            "spark_rows": len(s),
+            "oracle_rows": len(o),
+            "err": None,
+        }
         print(
             f"[{'ok' if ok else 'FAIL'}] {name}: rows={len(s)}/{len(o)} "
             f"schema={schema_ok} hash={hash_ok} ({time.time()-t0:.1f}s)"
@@ -90,6 +112,18 @@ def main() -> int:
                     pass
 
     print(json.dumps({"failures": failures, "total": len(names)}))
+    if args.json:
+        Path(args.json).write_text(
+            json.dumps(
+                {
+                    "sf_dir": args.sf,
+                    "failures": failures,
+                    "total": len(names),
+                    "queries": records,
+                },
+                indent=2,
+            )
+        )
     spark.stop()
     return 1 if failures else 0
 

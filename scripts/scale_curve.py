@@ -76,8 +76,11 @@ QUERY_TABLE = {
     "dedup_embedding_cosine_srp": "embeddings",
     "pq_ann_adc": "embeddings",
     "pq_ann_adc_trained": "embeddings",
+    "pq_encode": "embeddings",
     "ann_lsh_bucketed": "embeddings",
     "ann_ivf_topk": "embeddings",
+    "ann_ivf_multiprobe": "embeddings",
+    "embedding_cosine_topk": "embeddings",
     # reference-core + event-pipeline operators over the scaled events table
     "tick_range_scan": "events",
     "ohlc_1m": "events",
@@ -148,6 +151,15 @@ NATURAL_QUERIES = [
     # trained-codebook serving twin (round-6 addition): same fused scan,
     # codebook artifact fingerprint-cached so rungs time serving alone
     "pq_ann_adc_trained",
+    # round-7 (judge r6 task 5): the rest of the serving/trained family —
+    # multiprobe IVF, brute-force top-k baseline, PQ encode, and both
+    # decontamination variants, certifying the BLAS kernels' alphas where
+    # the r5 regression actually lived
+    "ann_ivf_multiprobe",
+    "embedding_cosine_topk",
+    "pq_encode",
+    "semantic_decontamination",
+    "semantic_decontamination_ivf",
     # sketch + in-plan classifier (round-6): bounded-state aggregation
     # plans whose pass bar is alpha <= 1 (sketch state is constant;
     # NB is two tokenize passes + a grid broadcast)
@@ -156,6 +168,17 @@ NATURAL_QUERIES = [
     "hll_distinct_sketch",
 ]
 WARM_DIR = "/root/testdata/sf0.001"
+
+# Untimed per-rung auxiliary counts: queries whose runtime question is
+# "is the CANDIDATE set growing faster than the output?" get a second
+# count over their instrumentation twin (same plan prefix, pre-verify).
+# Keyed by query name -> callable(spark, sf_dir) -> DataFrame.
+def _aux_candidate_fns():
+    from exness_data_preprocess_spark.plans.registry_ml import (
+        q_dedup_containment_candidates,
+    )
+
+    return {"dedup_containment": q_dedup_containment_candidates}
 
 
 def main() -> None:
@@ -191,6 +214,7 @@ def main() -> None:
             for t in ("documents", "embeddings", "events")
         }
 
+    aux_fns = _aux_candidate_fns()
     results: dict[str, dict] = {}
     for name in names:
         spec = QUERIES[name]
@@ -228,29 +252,38 @@ def main() -> None:
             spark.catalog.clearCache()
             out_rows = spec.spark(spark, d).count()
             spark.catalog.clearCache()
-            points.append(
-                {
-                    "tag": tag,
-                    "sec": round(best, 3),
-                    "in_rows": table_rows[tag][QUERY_TABLE[name]],
-                    "out_rows": out_rows,
-                }
-            )
+            point = {
+                "tag": tag,
+                "sec": round(best, 3),
+                "in_rows": table_rows[tag][QUERY_TABLE[name]],
+                "out_rows": out_rows,
+            }
+            if name in aux_fns:
+                point["cand_rows"] = aux_fns[name](spark, d).count()
+                spark.catalog.clearCache()
+            points.append(point)
         steps = []
         for lo, hi in zip(points, points[1:]):
             ratio = hi["in_rows"] / lo["in_rows"]
             alpha = math.log(hi["sec"] / lo["sec"]) / math.log(ratio)
-            steps.append(
-                {
-                    "step": f'{lo["tag"]}->{hi["tag"]}',
-                    "alpha_time": round(alpha, 2),
-                    "alpha_out": round(
-                        math.log(max(hi["out_rows"], 1) / max(lo["out_rows"], 1))
-                        / math.log(ratio),
-                        2,
-                    ),
-                }
-            )
+            step = {
+                "step": f'{lo["tag"]}->{hi["tag"]}',
+                "alpha_time": round(alpha, 2),
+                "alpha_out": round(
+                    math.log(max(hi["out_rows"], 1) / max(lo["out_rows"], 1))
+                    / math.log(ratio),
+                    2,
+                ),
+            }
+            if "cand_rows" in lo and "cand_rows" in hi:
+                step["alpha_cand"] = round(
+                    math.log(
+                        max(hi["cand_rows"], 1) / max(lo["cand_rows"], 1)
+                    )
+                    / math.log(ratio),
+                    2,
+                )
+            steps.append(step)
         results[name] = {
             "table": QUERY_TABLE[name],
             "points": points,
@@ -291,15 +324,24 @@ def _query_table_rows(payload: dict, tags: list[str]) -> list[str]:
     hdr = (
         ["query", "table"]
         + [f"t({t}) s" for t in tags]
-        + ["out(last)", "alpha last-step time", "alpha last-step out", "note"]
+        + [
+            "out(last)",
+            "cand(last)",
+            "alpha last-step time",
+            "alpha last-step out",
+            "alpha cand",
+            "note",
+        ]
     )
     lines = ["| " + " | ".join(hdr) + " |", "|" + "---|" * len(hdr)]
     for name, r in payload["queries"].items():
         times = {p["tag"]: p["sec"] for p in r["points"]}
         last = r["steps"][-1] if r["steps"] else {}
         out_last = r["points"][-1]["out_rows"]
+        cand_last = r["points"][-1].get("cand_rows")
         a_t = last.get("alpha_time", float("nan"))
         a_o = last.get("alpha_out", float("nan"))
+        a_c = last.get("alpha_cand")
         if not last:
             note = "single point — no step"
         elif a_t <= 1.1:
@@ -317,8 +359,10 @@ def _query_table_rows(payload: dict, tags: list[str]) -> list[str]:
                 + [(f"{times[t]:.2f}" if t in times else "—") for t in tags]
                 + [
                     str(out_last),
+                    str(cand_last) if cand_last is not None else "—",
                     f"{a_t:.2f}" if last else "—",
                     f"{a_o:.2f}" if last else "—",
+                    f"{a_c:.2f}" if a_c is not None else "—",
                     note,
                 ]
             )

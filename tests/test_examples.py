@@ -62,6 +62,33 @@ def test_corpus_analysis_example_runs(spark, capsys):
 
 
 @pytest.mark.smoke
+def test_research_analyses_example_runs(spark, capsys):
+    from examples.research_analyses import main
+
+    main(spark=spark, sf="/root/testdata/sf0.01")
+    out = capsys.readouterr().out
+    assert "daily extremes" in out
+    assert "volatility persistence" in out
+    # the Chow test section ran to a verdict (enough months at sf0.01)
+    assert "Chow test @" in out and "regime_shift=" in out
+    assert "research analyses done" in out
+
+
+def test_f_survival_function_reference_values():
+    """The example's scipy-free F sf matches independent numerical
+    integration of the F density (np.trapz over 2e7 points, truncated
+    tail < 1e-7) on pinned (f, d1, d2) points, and the exact
+    F(1,d) = t(d)^2 correspondence hand-derivations."""
+    from examples.research_analyses import _f_sf
+
+    assert abs(_f_sf(4.0, 1, 10) - 0.0733880348) < 1e-7
+    assert abs(_f_sf(1.0, 1, 10) - 0.3408931335) < 1e-7
+    assert abs(_f_sf(10.0, 1, 5) - 0.0250310051) < 1e-7
+    assert _f_sf(0.0, 1, 10) == 1.0
+    assert _f_sf(1e9, 1, 10) < 1e-30
+
+
+@pytest.mark.smoke
 def test_sketch_monitoring_example_runs(spark, tmp_path, capsys):
     from examples.sketch_monitoring import main
 

@@ -339,6 +339,61 @@ def test_zip_prune_paths_unit():
     assert (start.month, nxt) == (12, dt.datetime(2024, 1, 1))
 
 
+def test_zip_datasource_unparsable_name_contract(spark, tmp_path):
+    """Advice find (pinned): an archive whose NAME doesn't encode the
+    instrument must fail loudly without a caller-declared instrument —
+    NULL Instrument rows made pushed-down instrument filters silently
+    drop the archive while unfiltered consumers got null keys — and
+    `.option('instrument', ...)` is the sanctioned fallback."""
+    from exness_data_preprocess_spark.sources.zip_datasource import (
+        register_zip_source,
+    )
+
+    d = tmp_path / "weird"
+    d.mkdir()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("ticks.csv", CSV)
+    (d / "weird-name.zip").write_bytes(buf.getvalue())
+
+    register_zip_source(spark)
+    with pytest.raises(Exception, match="cannot derive instrument"):
+        spark.read.format("exness_zip").option(
+            "glob", f"{d}/*.zip"
+        ).load().collect()
+    rows = (
+        spark.read.format("exness_zip")
+        .option("glob", f"{d}/*.zip")
+        .option("instrument", "EURUSD")
+        .load()
+        .collect()
+    )
+    assert len(rows) == 4
+    assert {r["Instrument"] for r in rows} == {"EURUSD"}
+
+
+def test_facade_insert_on_conflict_replace_counts(spark, zip_dir, tmp_path):
+    """Facade-level return-count contract (advice find, pinned): skip
+    counts rows NEWLY written (idempotent re-insert -> 0); replace counts
+    rows APPLIED (a corrected-archive re-insert returns the deduped batch
+    size, and the store keeps exactly the corrected values)."""
+    proc = SparkDataProcessor(spark, tmp_path / "db")
+    ticks = load_ticks_zip(spark, f"{zip_dir}/*.zip", "EURUSD")
+    assert proc.insert_ticks(ticks, "raw_spread") == 6
+    # corrected archive: same keys, shifted prices
+    corrected = ticks.withColumn("bid", F.col("bid") + F.lit(0.5))
+    # skip: every key exists -> nothing newly written
+    assert proc.insert_ticks(corrected, "raw_spread") == 0
+    # replace: all 6 deduped incoming rows are APPLIED (supersede stored)
+    assert (
+        proc.insert_ticks(corrected, "raw_spread", on_conflict="replace")
+        == 6
+    )
+    stored = proc.engine.ticks_df("raw_spread")
+    assert stored.count() == 6
+    assert stored.filter(F.col("bid") > 1.5).count() == 6
+
+
 def test_zip_datasource_empty_glob_raises(spark, tmp_path):
     from exness_data_preprocess_spark.sources.zip_datasource import (
         register_zip_source,
