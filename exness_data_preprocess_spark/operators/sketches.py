@@ -38,6 +38,9 @@ pipeline needs when exact is unaffordable.
 
 from __future__ import annotations
 
+import re
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -217,23 +220,27 @@ def _cms_cells(h32: F.Column) -> F.Column:
     )
 
 
-def cms_counters(df: DataFrame, value_col: str) -> DataFrame:
-    """The d x w counter grid: ``(row_j, bucket, cnt)``.
+def cms_counters(
+    df: DataFrame, value_col: str, group_col: str | None = None
+) -> DataFrame:
+    """The d x w counter grid: ``(row_j, bucket, cnt)`` — or, with
+    ``group_col``, one grid per group ``(group, row_j, bucket, cnt)``.
 
     One explode (x depth) + one groupBy on a uniform (j, bucket) key —
-    fully partial-aggregable, output bounded at d*w rows no matter the
-    corpus size. This is the mergeable artifact a 1000-executor job
-    reduces to almost for free. NULL values carry no identity (the
-    kmv_value_hashes policy): unguarded they'd mint junk NULL-bucket
-    counter rows past the d*w bound.
+    fully partial-aggregable, output bounded at d*w rows (per group) no
+    matter the corpus size. This is the mergeable artifact a
+    1000-executor job reduces to almost for free. NULL values carry no
+    identity (the kmv_value_hashes policy): unguarded they'd mint junk
+    NULL-bucket counter rows past the d*w bound.
     """
     h = md5_h32(F.col(value_col)).alias("h32")
+    keys = [group_col] if group_col else []
     rows = (
         df.filter(F.col(value_col).isNotNull())
-        .select(h)
-        .select(_cms_cells(F.col("h32")).alias("cell"))
+        .select(*keys, h)
+        .select(*keys, _cms_cells(F.col("h32")).alias("cell"))
     )
-    return rows.groupBy("cell.row_j", "cell.bucket").agg(
+    return rows.groupBy(*keys, "cell.row_j", "cell.bucket").agg(
         F.count("*").alias("cnt")
     )
 
@@ -984,4 +991,205 @@ SELECT {", ".join(out_cols)}
 FROM rng
 {chr(10).join(joins)}
 JOIN exact ON exact.g = rng.{group_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SketchIndex: persisted, incrementally-mergeable per-group sketch state
+# ---------------------------------------------------------------------------
+class SketchIndex(NamedTuple):
+    """The three mergeable sketch-state tables a monitoring pipeline keeps
+    per source/partition, bundled so build/merge/serve stay in lockstep:
+
+    * ``kmv``: ``(group, h)`` — the k smallest distinct 60-bit hashes per
+      group (distinct-count state; merge = union, distinct, re-prune).
+    * ``hll``: ``(group, bucket, r)`` — HLL max-rank registers (merge =
+      register-wise max).
+    * ``cms``: ``(group, row_j, bucket, cnt)`` — per-group count-min
+      counter grids (merge = cell-wise sum).
+
+    Every table is bounded per group (k rows / m registers / d*w cells)
+    no matter how much corpus has flowed — this is the DedupIndex analog
+    for monitoring state: sketches are written when a shard lands and a
+    new batch pays only its own aggregation pass plus a merge over
+    bounded state; the corpus is never re-scanned. Mergeability is exact
+    (not approximate-in-composition): the merged estimate is bit-equal
+    to the one-pass batch sketch over the union, which is what the
+    ``sketch_index_update`` registry oracle checks.
+    """
+
+    kmv: DataFrame
+    hll: DataFrame
+    cms: DataFrame
+
+
+def build_sketch_state(
+    df: DataFrame, group_col: str, value_col: str, k: int = KMV_K
+) -> SketchIndex:
+    """One aggregation pass over a batch → its three bounded state tables.
+
+    Scale shape: the KMV leg pays one distinct + the salted bounded
+    top-k (the only shuffle keyed wider than the group); HLL and CMS are
+    plain map-side-combining aggregates on (group, bucket) keys.
+    """
+    src = df.filter(F.col(value_col).isNotNull())
+    return SketchIndex(
+        kmv=topk_per_group_bounded(
+            kmv_value_hashes(df, group_col, value_col),
+            (group_col,),
+            ("h",),
+            k,
+        ),
+        hll=hll_registers(src, group_col, value_col),
+        cms=cms_counters(df, value_col, group_col=group_col),
+    )
+
+
+def merge_sketch_state(
+    a: SketchIndex, b: SketchIndex, group_col: str, k: int = KMV_K
+) -> SketchIndex:
+    """Exact merge of two state bundles (disjoint or overlapping groups).
+
+    KMV re-distincts before the prune — the same hash can sit in both
+    sides' sketches, and a duplicate row would crowd a genuine k-th
+    value out (the streaming/sketch_stream.py lesson). All three merges
+    read only bounded state; no raw data is touched.
+    """
+    kmv = topk_per_group_bounded(
+        a.kmv.unionByName(b.kmv).distinct(), (group_col,), ("h",), k
+    )
+    hll = (
+        a.hll.unionByName(b.hll)
+        .groupBy(group_col, "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    cms = (
+        a.cms.unionByName(b.cms)
+        .groupBy(group_col, "row_j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return SketchIndex(kmv=kmv, hll=hll, cms=cms)
+
+
+def cms_probe_col(probe: str) -> str:
+    """Deterministic SQL-safe column name for a probe's CM estimate."""
+    return "cms_" + re.sub(r"\W", "_", probe)
+
+
+def sketch_index_estimates(
+    idx: SketchIndex,
+    group_col: str,
+    probes: list[str],
+    k: int = KMV_K,
+) -> DataFrame:
+    """The serving frame over (possibly merged) state: one row per group
+    with the KMV and HLL distinct estimates plus a CM point-frequency
+    column per probe (``cms_<probe>``, 0 for never-seen probes — CM
+    never under-counts).
+
+    Only bounded state is read: the probe grid (d rows x |probes|) is a
+    literal broadcast against the per-group counter grids.
+    """
+    spark = idx.cms.sparkSession
+    kmv_est = kmv_estimate_from_state(idx.kmv, group_col, k)
+    hll_est = hll_estimate_from_registers(idx.hll, group_col)
+    if not probes:  # no CM columns requested — distinct estimates only
+        return kmv_est.join(hll_est, group_col)
+    probe_cells = (
+        spark.createDataFrame([(p,) for p in probes], ["probe"])
+        .withColumn("h32", md5_h32(F.col("probe")))
+        .select("probe", _cms_cells(F.col("h32")).alias("cell"))
+        .select("probe", "cell.row_j", "cell.bucket")
+    )
+    grid = (
+        idx.cms.select(group_col)
+        .distinct()
+        .crossJoin(F.broadcast(probe_cells))
+    )
+    est_long = (
+        grid.join(idx.cms, [group_col, "row_j", "bucket"], "left")
+        .groupBy(group_col, "probe")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est")
+        )
+    )
+    cms_wide = est_long.groupBy(group_col).agg(
+        *[
+            F.max(F.when(F.col("probe") == p, F.col("est")))
+            .cast("long")
+            .alias(cms_probe_col(p))
+            for p in probes
+        ]
+    )
+    return kmv_est.join(hll_est, group_col).join(cms_wide, group_col)
+
+
+def sketch_index_oracle_sql(
+    source_cte: str,
+    group_col: str,
+    value_expr: str,
+    probes: list[str],
+    k: int = KMV_K,
+) -> str:
+    """DuckDB rendering of :func:`sketch_index_estimates` over the FULL
+    source in one pass — because every merge is exact, N-shard
+    incremental state must serve estimates identical to this (the
+    streaming_kmv/hll contract, made durable)."""
+    from exness_data_preprocess_spark.functions.hashing import md5_h32_sql
+
+    kmv_sub = kmv_oracle_sql(
+        source_cte, group_col, value_expr, k, include_exact=False
+    )
+    hll_sub = hll_oracle_sql(
+        source_cte, group_col, value_expr, include_exact=False
+    )
+    h = md5_h32_sql("v")
+    hp = md5_h32_sql("probe")
+    cells = " UNION ALL ".join(
+        f"SELECT g, {j} AS row_j, {perm_hash_sql(h, a, b)}"
+        f" % {CMS_WIDTH} AS bucket FROM src"
+        for j, (a, b) in enumerate(CMS_COEFFS)
+    )
+    esc = [p.replace("'", "''") for p in probes]
+    probe_rows = ", ".join(f"('{p}')" for p in esc)
+    probe_cells = " UNION ALL ".join(
+        f"SELECT probe, {j} AS row_j, {perm_hash_sql(hp, a, b)}"
+        f" % {CMS_WIDTH} AS bucket FROM probes"
+        for j, (a, b) in enumerate(CMS_COEFFS)
+    )
+    pivot_cols = ",\n       ".join(
+        f"max(CASE WHEN probe = '{p_esc}' THEN est END)::BIGINT"
+        f" AS {cms_probe_col(p)}"
+        for p, p_esc in zip(probes, esc)
+    )
+    cms_sub = f"""
+WITH src0 AS ({source_cte}),
+src AS (SELECT {group_col} AS g, {value_expr} AS v FROM src0
+        WHERE {value_expr} IS NOT NULL),
+counters AS (
+  SELECT g, row_j, bucket, count(*) AS cnt FROM ({cells}) GROUP BY 1, 2, 3
+),
+groups AS (SELECT DISTINCT g FROM src),
+probes AS (SELECT * FROM (VALUES {probe_rows}) AS t(probe)),
+pc AS ({probe_cells}),
+est_long AS (
+  SELECT groups.g, pc.probe, min(coalesce(c.cnt, 0)) AS est
+  FROM groups CROSS JOIN pc
+  LEFT JOIN counters c
+    ON c.g = groups.g AND c.row_j = pc.row_j AND c.bucket = pc.bucket
+  GROUP BY 1, 2
+)
+SELECT g AS {group_col},
+       {pivot_cols}
+FROM est_long GROUP BY 1
+"""
+    return f"""
+SELECT kk.{group_col}, kk.kth_h60, kk.est_distinct,
+       hh.n_registers, hh.est_hll,
+       {", ".join("cc." + cms_probe_col(p) for p in probes)}
+FROM ({kmv_sub}) kk
+JOIN ({hll_sub}) hh USING ({group_col})
+JOIN ({cms_sub}) cc USING ({group_col})
 """

@@ -929,10 +929,10 @@ _DRIVER_PRIORITY = [
     "sequence_packing", "sessionize_events", "stratified_sample",
     "streaming_cdc_snapshot", "text_clean", "training_shards",
     "validate_events",
-    # round-7 additions + touched plans (containment candidate
-    # instrumentation shares the production plan prefix; sketch-index
-    # incremental merge is new)
-    "dedup_containment", "sketch_index_update",
+    # round-7 additions + touched plans (containment default is now the
+    # df-capped index with a cap-modeling oracle; the exact opt-in and
+    # the sketch-index incremental merge are new entries)
+    "dedup_containment", "dedup_containment_exact", "sketch_index_update",
     # oldest remaining certifications (r5 window) fill the rest of the
     # driver's 50-sample so every entry stays certified within two rounds
     "asof_join", "asof_tolerance", "autocorr_lag1", "blocklist_filter",
@@ -941,7 +941,6 @@ _DRIVER_PRIORITY = [
     "distinct_instruments", "doc_entropy", "flag_filters",
     "full_outer_diff", "gap_months", "keyset_pagination",
     "lag_lead_features", "minute_bucket_join", "multimodal_features",
-    "ngram_novelty",
 ]
 
 

@@ -199,6 +199,12 @@ WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
 # Asymmetric n-gram containment pairs (directed; lang-blocked)
 # ---------------------------------------------------------------------------
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default (scale-safe) containment pairs: the prefix join runs under
+    the default ``index_df_cap`` — candidate work O(n·cap), measured
+    alpha 1.14 through natural-100x vs the exact plan's 1.73. The oracle
+    below models the capped candidate generation exactly (prefix,
+    positional filter, df cap), NOT the all-pairs semantics — the r5
+    un-modeled-LSH-cap lesson."""
     from exness_data_preprocess_spark.operators.dedup import (
         ngram_containment_pairs,
     )
@@ -206,6 +212,22 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_spread(spark, sf_dir)
     return ngram_containment_pairs(
         docs, block_cols=("lang",), threshold=0.9
+    )
+
+
+def q_dedup_containment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact opt-in (``index_df_cap=None``): full prefix-join recall for
+    bounded-vocabulary corpora, accepting candidate growth that tracks
+    df² (documented in operators/dedup.py). Oracle = the all-pairs
+    definition, which the uncapped prefix+positional plan provably
+    equals."""
+    from exness_data_preprocess_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    return ngram_containment_pairs(
+        docs, block_cols=("lang",), threshold=0.9, index_df_cap=None
     )
 
 
@@ -227,7 +249,28 @@ def q_dedup_containment_candidates(
     )
 
 
-ORACLE_DEDUP_CONTAINMENT = f"""
+def q_dedup_containment_exact_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Candidate tap for the exact (uncapped) opt-in plan."""
+    from exness_data_preprocess_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    return ngram_containment_pairs(
+        docs,
+        block_cols=("lang",),
+        threshold=0.9,
+        index_df_cap=None,
+        candidates_only=True,
+    )
+
+
+# The exact opt-in's oracle: containment is a pure pairwise definition,
+# and the UNCAPPED prefix+positional plan is provably lossless against it
+# (every true pair keeps its first-common-token join row).
+ORACLE_DEDUP_CONTAINMENT_EXACT = f"""
 WITH d AS (
   SELECT doc_id, lang, list_distinct({_TOKS}) AS sh FROM documents
 )
@@ -236,6 +279,55 @@ SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
          AS containment
 FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id <> b.doc_id
 WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6) >= 0.9
+"""
+
+# The DEFAULT entry's oracle models the CAPPED candidate generation
+# token-for-token (canonical (df, token) order, prefix slice, df <= cap
+# on both join sides, PPJoin positional filter), then verifies exactly —
+# the plan's recall contract is part of the checked semantics, not an
+# assumed-subset coincidence (the r5 un-modeled-LSH-bucket-cap lesson).
+# Every float literal is CAST to DOUBLE: DuckDB parses bare 0.9 as
+# DECIMAL, and ceil(0.9 * 10) differs between decimal (9) and double
+# (10) arithmetic — Spark's F.ceil(lit(t) * col) is double.
+_CONTAIN_T = "CAST(0.9 AS DOUBLE)"
+_CONTAIN_CAP = 1000
+ORACLE_DEDUP_CONTAINMENT = f"""
+WITH d0 AS (
+  SELECT doc_id, lang, list_distinct({_TOKS}) AS sh FROM documents
+),
+tok AS (SELECT doc_id, lang, unnest(sh) AS s FROM d0),
+dfreq AS (SELECT lang, s, count(*) AS df FROM tok GROUP BY 1, 2),
+ordd AS (
+  SELECT t.doc_id, t.lang, t.s, f.df,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.s) - 1
+           AS pos,
+         count(*) OVER (PARTITION BY t.doc_id) AS sz
+  FROM tok t JOIN dfreq f ON f.lang = t.lang AND f.s = t.s
+),
+pref AS (
+  SELECT lang, doc_id AS id_a, sz AS sz_a, s
+  FROM ordd
+  WHERE pos < sz - ceil({_CONTAIN_T} * sz) + 1 AND df <= {_CONTAIN_CAP}
+),
+fulls AS (
+  SELECT lang, doc_id AS id_b, sz AS sz_b, pos AS p_b, s
+  FROM ordd WHERE df <= {_CONTAIN_CAP}
+),
+cand AS (
+  SELECT DISTINCT p.lang, p.id_a, f.id_b
+  FROM pref p JOIN fulls f ON f.lang = p.lang AND f.s = p.s
+  WHERE p.id_a <> f.id_b
+    AND (f.sz_b - f.p_b) >= ceil({_CONTAIN_T} * p.sz_a)
+),
+sets AS (SELECT doc_id, sh, len(sh) AS sz FROM d0)
+SELECT c.lang, c.id_a, c.id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE / a.sz, 6)
+         AS containment
+FROM cand c
+JOIN sets a ON a.doc_id = c.id_a
+JOIN sets b ON b.doc_id = c.id_b
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / a.sz, 6)
+      >= {_CONTAIN_T}
 """
 
 
@@ -1416,7 +1508,13 @@ def build_ml_queries() -> dict:
         "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD,
                                 "exact token-set Jaccard pairs, lang-blocked"),
         "dedup_containment": (q_dedup_containment, ORACLE_DEDUP_CONTAINMENT,
-                              "asymmetric containment pairs (PPJoin prefix)"),
+                              "asymmetric containment pairs (PPJoin prefix, "
+                              "default df-capped index — oracle models the "
+                              "capped candidate generation)"),
+        "dedup_containment_exact": (
+            q_dedup_containment_exact, ORACLE_DEDUP_CONTAINMENT_EXACT,
+            "exact-recall containment opt-in (uncapped prefix join; "
+            "candidates track df² — the bounded-vocabulary path)"),
         "bm25_topk": (q_bm25_topk, _bm25_oracle(),
                       "Okapi BM25 top-k retrieval (decimal-exact term sums)"),
         "pivot_lang_source": (q_pivot_lang_source, _pivot_oracle(),

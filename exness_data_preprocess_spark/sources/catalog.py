@@ -45,6 +45,16 @@ DEDUP_INDEX_TABLES = (
 )
 DEDUP_INDEX_PARAMS_FILE = "dedup_index_params.json"
 
+#: managed monitoring-sketch state tables (one per SketchIndex frame) —
+#: per-group KMV/HLL/CMS state persisted next to the data it summarizes,
+#: merged incrementally per ingested shard (never a corpus re-scan)
+SKETCH_INDEX_TABLES = (
+    "sketch_index_kmv",
+    "sketch_index_hll",
+    "sketch_index_cms",
+)
+SKETCH_INDEX_PARAMS_FILE = "sketch_index_params.json"
+
 
 class ParquetCatalog:
     """Filesystem-backed table catalog rooted at ``base_path``.
@@ -336,6 +346,72 @@ class ParquetCatalog:
         self.dedup_index_params()  # raises with guidance when absent
         return DedupIndex(
             *(spark.read.parquet(self.path(t)) for t in DEDUP_INDEX_TABLES)
+        )
+
+    # -- monitoring sketch-state lifecycle (SketchIndex: the DedupIndex
+    #    analog for per-source KMV/HLL/CMS state — bounded per group, so a
+    #    full state rewrite per merge is key-sized work, never data-sized) --
+    def write_sketch_index(self, index, params: dict) -> None:
+        """Persist a :class:`~exness_data_preprocess_spark.operators.
+        sketches.SketchIndex` as three managed tables plus a params
+        sidecar (same done-marker idiom as the dedup index: the marker is
+        removed before any table write and rewritten only after all three
+        succeed, so a crash mid-write leaves the index absent, not
+        silently partial).
+
+        ``params`` carries the sketch family (``group_col``,
+        ``value_col``, ``k``): states from different families merge into
+        garbage, so :meth:`update_sketch_index` enforces them.
+
+        Every frame is EAGERLY materialized (localCheckpoint) before the
+        first overwrite — a merged state derives from reading these very
+        tables, and a lazy plan would otherwise read its own truncated
+        input mid-overwrite.
+        """
+        import json
+
+        from exness_data_preprocess_spark.cache import (
+            checkpoint_rdd_id,
+            release_checkpoints,
+        )
+
+        frames = [f.localCheckpoint() for f in index]
+        own = {checkpoint_rdd_id(f) for f in frames} - {None}
+        spark = frames[0].sparkSession
+        try:
+            pfile = self.base / SKETCH_INDEX_PARAMS_FILE
+            if pfile.exists():
+                pfile.unlink()
+            for table, frame in zip(SKETCH_INDEX_TABLES, frames):
+                frame.write.mode("overwrite").parquet(self.path(table))
+            pfile.write_text(json.dumps(params, sort_keys=True))
+        finally:
+            release_checkpoints(spark, own)
+
+    def has_sketch_index(self) -> bool:
+        return (self.base / SKETCH_INDEX_PARAMS_FILE).exists() and all(
+            self.exists(t) for t in SKETCH_INDEX_TABLES
+        )
+
+    def sketch_index_params(self) -> dict:
+        import json
+
+        pfile = self.base / SKETCH_INDEX_PARAMS_FILE
+        if not pfile.exists():
+            raise FileNotFoundError(
+                f"no sketch index in catalog at {self.base} — build one "
+                "with SparkDataProcessor.build_sketch_index()"
+            )
+        return json.loads(pfile.read_text())
+
+    def read_sketch_index(self, spark: SparkSession):
+        from exness_data_preprocess_spark.operators.sketches import (
+            SketchIndex,
+        )
+
+        self.sketch_index_params()  # raises with guidance when absent
+        return SketchIndex(
+            *(spark.read.parquet(self.path(t)) for t in SKETCH_INDEX_TABLES)
         )
 
     def compact(

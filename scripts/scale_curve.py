@@ -43,6 +43,8 @@ import pyarrow.parquet as pq  # noqa: E402
 QUERY_TABLE = {
     "dedup_levenshtein": "documents",
     "dedup_containment": "documents",
+    "dedup_containment_exact": "documents",
+    "sketch_index_update": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_ngram_jaccard": "documents",
     "dedup_simhash": "documents",
@@ -135,6 +137,9 @@ LADDER_NATURAL = [
 NATURAL_SKIP: set[tuple[str, str]] = set()
 NATURAL_QUERIES = [
     "dedup_containment",
+    # the uncapped opt-in, measured alongside so the default's bound and
+    # the exact plan's candidate growth are both on the committed ladder
+    "dedup_containment_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -176,9 +181,13 @@ WARM_DIR = "/root/testdata/sf0.001"
 def _aux_candidate_fns():
     from exness_data_preprocess_spark.plans.registry_ml import (
         q_dedup_containment_candidates,
+        q_dedup_containment_exact_candidates,
     )
 
-    return {"dedup_containment": q_dedup_containment_candidates}
+    return {
+        "dedup_containment": q_dedup_containment_candidates,
+        "dedup_containment_exact": q_dedup_containment_exact_candidates,
+    }
 
 
 def main() -> None:
@@ -348,6 +357,10 @@ def _query_table_rows(payload: dict, tags: list[str]) -> list[str]:
             note = "linear"
         elif a_t <= a_o + 0.15:
             note = "tracks output growth"
+        elif a_c is not None and a_t <= a_c + 0.25:
+            # runtime growth attributable to the measured candidate set
+            # (recall-exact opt-in plans: the quadratic is the contract)
+            note = "tracks candidate growth"
         elif a_t <= 1.3:
             note = "mildly super-linear"
         else:
@@ -397,43 +410,46 @@ def write_md_natural(path: Path, payload: dict, tags: list[str]) -> None:
         "",
         *_query_table_rows(payload, tags),
         "",
-        "Notes (round-5/6 measurement RECORD — the table above regenerates",
-        "with every `--natural` run, but the specific timings/alphas",
-        "quoted below are from the committed round-5/6 artifacts",
+        "Notes (round-5/6/7 measurement RECORD — the table above",
+        "regenerates with every `--natural` run, but the specific",
+        "timings/alphas quoted below are from the committed artifacts",
         "`scale_curve_natural.json` / `ivf_cells_compare.json` and",
-        "describe the fixes made that round, not necessarily the current",
-        "table):",
+        "describe the fixes made in those rounds, not necessarily the",
+        "current table):",
         "",
         "- Every text-dedup plan measures linear or sub-linear here —",
-        "  the main table's alpha~2 rows (containment 2.12, jaccard",
-        "  1.88) were the saturated fixture's output, not the plans.",
-        "- The 30x rung caught a REAL plan defect the saturated fixture",
-        "  (and the 10x rung) masked: `dedup_containment` hit alpha 2.23",
-        "  (67.2 s) with linear output — candidate pairs through high-df",
-        "  tokens, which the asymmetric prefix filter alone does not",
-        "  bound. Two measured r5 fixes: PPJoin's POSITIONAL filter",
-        "  (sz_b − p_b ≥ ⌈t·sz_a⌉ per joining row; every true pair keeps",
-        "  its first-common-token row) then an index-level min-size",
-        "  prune; the saturated-sf0.1 bench improved 5.06 → ~3.8 s.",
-        "  ROUND-6 RE-DIAGNOSIS of the remaining super-linear label: the",
-        "  candidate-pair count is deterministic and measures 1.21 M at",
-        "  nat10x → 11.4 M at nat30x (alpha 2.05) against 4.5 k true",
-        "  pairs — r5's quoted 17.0 s / alpha 0.96 was favorable timing",
-        "  variance over this same quadratic candidate set (re-runs",
-        "  measure 25-35 s). The growth was a FIXTURE artifact: a FIXED",
-        "  20k-word vocabulary makes every token's df grow linearly",
-        "  with n, so prefix-join collisions grow ~n² even with linear",
-        "  true-pair output; real corpora grow vocabulary with size",
-        "  (Heaps' law), keeping the rarest-token prefixes sparse.",
-        "  ROUND-6 FIX: the --natural generator now grows the",
-        "  vocabulary (V ∝ n^0.55), all rungs regenerated, and the",
-        "  ladder extended to nat100x — the candidate-quadratic regime",
-        "  no longer appears because the fixture no longer fabricates",
-        "  it. At 100 TB on a genuinely bounded vocabulary (code, DNA,",
-        "  logs), the exact prefix join IS quadratic in candidates —",
-        "  the operator's `index_df_cap` knob (recall-trading, off by",
-        "  default so the oracle stays exact) bounds per-token fan-out",
-        "  for that regime.",
+        "  the main table's alpha~2 rows (containment, jaccard) were",
+        "  the saturated fixture's output, not the plans.",
+        "- `dedup_containment` — the r5→r7 measure-and-fix arc. r5: the",
+        "  30x rung caught candidate pairs through high-df tokens",
+        "  (alpha 2.23 with linear output); PPJoin's POSITIONAL filter",
+        "  (sz_b − p_b ≥ ⌈t·sz_a⌉; every true pair keeps its",
+        "  first-common-token row) and an index-level min-size prune",
+        "  fixed the output-side blowup. r6: the remaining growth was",
+        "  partly a fixture artifact (FIXED 20k-word vocabulary → every",
+        "  df linear in n); the --natural generator now grows V ∝",
+        "  n^0.55 (Heaps). r7 CLOSED THE LOOP with the candidate-count",
+        "  instrumentation (cand columns above): even on the Heaps-law",
+        "  fixture the EXACT prefix join's candidates grow ~n^1.5",
+        "  (1.55 M at nat30x → 9.6 M at nat100x, alpha_cand 1.51,",
+        "  vs linear true pairs — prefix tokens' typical df still grows",
+        "  ~n^0.45), an inherent property of exact containment",
+        "  prefix-joins, not a plan defect. The operator's scale answer",
+        "  is the now-DEFAULT `index_df_cap=1000`: candidate work",
+        "  O(n·cap), measured idle at alpha 1.14 through nat100x",
+        "  (43.1 s vs the exact plan's 85.2 s / alpha 1.73) with",
+        "  IDENTICAL emitted pairs on every natural rung (the capped",
+        "  index rows sit where the positional filter already kills",
+        "  their candidates — the cap stops paying the join work",
+        "  first). The recall trade is real only on bounded-vocabulary",
+        "  corpora (code/DNA/logs — e.g. the saturated sf0.1 driver",
+        "  fixture, 31-token vocab, keeps 719,660 of 2,118,326 exact",
+        "  pairs): `dedup_containment_exact` (index_df_cap=None) is the",
+        "  oracle-checked opt-in for that regime, measured alongside",
+        "  above, its runtime tracking its documented-quadratic",
+        "  candidate column. Both entries' oracles model their exact",
+        "  candidate semantics (capped generation token-for-token /",
+        "  all-pairs), hash-green at sf0.001/0.01/0.1.",
         "- `dedup_embedding_cosine_ivf` is the round-5 measure-and-fix",
         "  arc: the interpreted `zip_with`/`aggregate` dot products made",
         "  centroid ASSIGNMENT the scale-killer (n·cells·d lambda evals:",
@@ -477,6 +493,13 @@ def write_md_natural(path: Path, payload: dict, tags: list[str]) -> None:
         "  vectors); it is not a measured win at fixture scale, and",
         "  bigger cells buy recall (fixed16 emits 2558 pairs at 30x vs",
         "  grown937's 1893 — boundary-split pairs are the IVF trade).",
+        "- Round-7 extension (judge r6 task 5): the REST of the",
+        "  serving/trained family joined the ladder — ann_ivf_multiprobe,",
+        "  embedding_cosine_topk (brute-force BLAS baseline), pq_encode,",
+        "  and both semantic_decontamination variants — certifying the",
+        "  Arrow/BLAS kernels' alphas across the whole family where the",
+        "  r5 regression lived; every row's pass bar is alpha ≈ ≤1 plus",
+        "  the corpus-scan term (output constant or benchmark-sized).",
         "",
         NAT_END,
     ]

@@ -1137,7 +1137,9 @@ def test_containment_index_df_cap_trades_recall_never_precision(spark):
 
     exact = {
         (r["id_a"], r["id_b"]): r["containment"]
-        for r in ngram_containment_pairs(docs, threshold=0.8).collect()
+        for r in ngram_containment_pairs(
+            docs, threshold=0.8, index_df_cap=None
+        ).collect()
     }
     capped = {
         (r["id_a"], r["id_b"]): r["containment"]
@@ -1150,7 +1152,8 @@ def test_containment_index_df_cap_trades_recall_never_precision(spark):
     assert (1, 2) in capped          # rare-token pair survives the cap
     assert (3, 4) in exact           # ...and the stopword pair exists...
     assert (3, 4) not in capped      # ...but is the traded recall
-    # generous cap == exact
+    # generous cap == exact; the round-7 DEFAULT (1000) is generous for
+    # every df in this corpus, so the default equals exact here too
     wide = {
         (r["id_a"], r["id_b"])
         for r in ngram_containment_pairs(
@@ -1158,6 +1161,11 @@ def test_containment_index_df_cap_trades_recall_never_precision(spark):
         ).collect()
     }
     assert wide == set(exact)
+    default = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert default == set(exact)
 
 
 def test_pair_miners_duplicate_ids_and_zero_norm_rows(spark):
