@@ -13,7 +13,12 @@ stream has flowed. This demo
 3. re-computes the one-pass batch sketches over the same rows and shows
    the streamed estimates are IDENTICAL (mergeability is exact, not
    approximate-in-composition),
-4. prints the estimates against the exact distinct counts.
+4. prints the estimates against the exact distinct counts,
+5. runs the DURABLE twin of the same lifecycle: the persisted
+   SketchIndex (catalog-managed KMV/HLL/CMS state tables) built from
+   shard 0 and advanced per shard with ``update_sketches`` — state that
+   survives the process, merged without ever re-scanning the corpus —
+   and shows its served estimates equal the one-pass batch sketch too.
 
     python examples/sketch_monitoring.py [--sf-dir /root/testdata/sf0.001]
 """
@@ -112,6 +117,36 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, base_dir=None):
             f"{s_kmv.get(s, float('nan')):>7.1f}  "
             f"{s_hll.get(s, float('nan')):>7.1f}"
         )
+
+    # 5. the DURABLE lifecycle: persisted SketchIndex advanced per shard
+    from exness_data_preprocess_spark.processor import SparkDataProcessor
+
+    proc = SparkDataProcessor(
+        spark, Path(base_dir or tempfile.mkdtemp()) / "warehouse"
+    )
+    shard_toks = [
+        docs.filter(shard == j).select(
+            "source",
+            F.explode(
+                F.filter(tokens_col(F.col("text")), lambda t: t != "")
+            ).alias("tok"),
+        )
+        for j in range(3)
+    ]
+    proc.build_sketch_index(shard_toks[0])
+    proc.update_sketches(shard_toks[1])
+    proc.update_sketches(shard_toks[2])
+    served = {
+        r["source"]: r["est_distinct"]
+        for r in proc.sketch_estimates().collect()
+    }
+    durable_ok = all(
+        served.get(s) == b_kmv[s]["est_distinct"] for s in b_kmv
+    )
+    print(
+        f"persisted SketchIndex (3 update_sketches merges) == one-pass "
+        f"batch for all {len(b_kmv)} sources: {durable_ok}"
+    )
     print("done")
 
     docs.unpersist()

@@ -430,26 +430,32 @@ def write_md_natural(path: Path, payload: dict, tags: list[str]) -> None:
         "  df linear in n); the --natural generator now grows V ∝",
         "  n^0.55 (Heaps). r7 CLOSED THE LOOP with the candidate-count",
         "  instrumentation (cand columns above): even on the Heaps-law",
-        "  fixture the EXACT prefix join's candidates grow ~n^1.5",
-        "  (1.55 M at nat30x → 9.6 M at nat100x, alpha_cand 1.51,",
-        "  vs linear true pairs — prefix tokens' typical df still grows",
-        "  ~n^0.45), an inherent property of exact containment",
-        "  prefix-joins, not a plan defect. The operator's scale answer",
-        "  is the now-DEFAULT `index_df_cap=1000`: candidate work",
-        "  O(n·cap), measured idle at alpha 1.14 through nat100x",
-        "  (43.1 s vs the exact plan's 85.2 s / alpha 1.73) with",
-        "  IDENTICAL emitted pairs on every natural rung (the capped",
-        "  index rows sit where the positional filter already kills",
-        "  their candidates — the cap stops paying the join work",
-        "  first). The recall trade is real only on bounded-vocabulary",
-        "  corpora (code/DNA/logs — e.g. the saturated sf0.1 driver",
-        "  fixture, 31-token vocab, keeps 719,660 of 2,118,326 exact",
-        "  pairs): `dedup_containment_exact` (index_df_cap=None) is the",
-        "  oracle-checked opt-in for that regime, measured alongside",
-        "  above, its runtime tracking its documented-quadratic",
-        "  candidate column. Both entries' oracles model their exact",
-        "  candidate semantics (capped generation token-for-token /",
-        "  all-pairs), hash-green at sf0.001/0.01/0.1.",
+        "  fixture the prefix join's candidates grow ~n^1.5 (1.55 M at",
+        "  nat30x → 9.6 M at nat100x, alpha_cand 1.51, vs linear true",
+        "  pairs — prefix tokens' typical df still grows ~n^0.45),",
+        "  inherent to exact containment prefix-joins; verification",
+        "  must eventually track that curve. Measured STRICTLY IDLE,",
+        "  wall-clock is nonetheless within the bar through nat100x",
+        "  (exact 28.6 s alpha 0.94; the scan+join floor still",
+        "  dominates the 9.6 M-candidate verify at this scale) — and",
+        "  r6's committed 25.4 s / alpha 1.47 nat30x row (today idle:",
+        "  9.2 s) plus this round's own first probes (85 s / 43 s) were",
+        "  all CONTAMINATED by concurrent pytest/correctness runs;",
+        "  serialization of measurement is now part of the protocol.",
+        "  The asymptotic answer is the now-DEFAULT `index_df_cap=1000`",
+        "  (candidate work O(n·cap)): alpha 1.09 idle through nat100x",
+        "  with emitted pairs IDENTICAL to exact on every natural rung",
+        "  (the capped-away index rows are the ones whose candidates",
+        "  the positional filter already kills; where the cap does not",
+        "  bind it costs ~20% for riding (df,s) structs through the",
+        "  prefix explodes). The recall trade is real only on",
+        "  bounded-vocabulary corpora (code/DNA/logs — the saturated",
+        "  31-token sf0.1 driver fixture keeps 719,660 of 2,118,326",
+        "  exact pairs): `dedup_containment_exact` (index_df_cap=None)",
+        "  is the oracle-checked full-recall opt-in for that regime,",
+        "  measured alongside above. Both entries' oracles model their",
+        "  exact candidate semantics (capped generation token-for-token",
+        "  / all-pairs), hash-green at sf0.001/0.01/0.1.",
         "- `dedup_embedding_cosine_ivf` is the round-5 measure-and-fix",
         "  arc: the interpreted `zip_with`/`aggregate` dot products made",
         "  centroid ASSIGNMENT the scale-killer (n·cells·d lambda evals:",

@@ -95,4 +95,9 @@ def test_sketch_monitoring_example_runs(spark, tmp_path, capsys):
     main(spark=spark, base_dir=tmp_path / "sketchmon")
     out = capsys.readouterr().out
     assert "streamed == batch for all" in out and "True" in out
+    import re
+
+    assert "persisted SketchIndex" in out
+    m = re.search(r"persisted SketchIndex .*: (True|False)", out)
+    assert m and m.group(1) == "True"
     assert "done" in out
