@@ -78,12 +78,7 @@ def main(spark=None, sf: str | None = None) -> None:
         F.abs(F.col("value") - F.lag("value").over(w)).alias("abs_move"),
     ).dropna()
     persistence = (
-        rets.withColumn(
-            "prev_move",
-            F.lag("abs_move").over(
-                Window.partitionBy("event_type").orderBy("ts")
-            ),
-        )
+        rets.withColumn("prev_move", F.lag("abs_move").over(w))
         .groupBy("event_type")
         .agg(F.corr("abs_move", "prev_move").alias("autocorr"))
     )
@@ -114,12 +109,9 @@ def main(spark=None, sf: str | None = None) -> None:
     daily_vol = (
         ev.select(
             F.to_date("ts").alias("day"),
-            F.abs(
-                F.col("value")
-                - F.lag("value").over(
-                    Window.partitionBy("event_type").orderBy("ts")
-                )
-            ).alias("abs_move"),
+            F.abs(F.col("value") - F.lag("value").over(w)).alias(
+                "abs_move"
+            ),
         )
         .dropna()
         .groupBy("day")
@@ -200,8 +192,12 @@ def _f_sf(f: float, d1: int, d2: int) -> float:
             + b * math.log1p(-x)
         )
         # continued fraction converges fastest for x < (a+1)/(a+b+2);
-        # otherwise use the symmetry I_x(a,b) = 1 − I_{1−x}(b,a)
-        if x >= (a + 1) / (a + b + 2):
+        # otherwise use the symmetry I_x(a,b) = 1 − I_{1−x}(b,a). STRICT
+        # inequality (review find): at x exactly on the threshold with
+        # a == b, both the original and the mirrored call satisfy a >=
+        # test and mutually recurse forever (_f_sf(1.0, 2, 2) crashed);
+        # the CF still converges fine exactly at the switchover.
+        if x > (a + 1) / (a + b + 2):
             return 1.0 - betainc_reg(b, a, 1.0 - x)
         # modified Lentz's method for the CF of I_x(a, b)
         tiny = 1e-300

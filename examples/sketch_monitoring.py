@@ -47,7 +47,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, base_dir=None):
     owns_spark = spark is None
     if owns_spark:
         spark = get_spark("sketch-monitoring-example")
-    land = Path(base_dir or tempfile.mkdtemp()) / "landing"
+    base = Path(base_dir or tempfile.mkdtemp())
+    land = base / "landing"
     land.mkdir(parents=True, exist_ok=True)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
@@ -121,9 +122,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, base_dir=None):
     # 5. the DURABLE lifecycle: persisted SketchIndex advanced per shard
     from exness_data_preprocess_spark.processor import SparkDataProcessor
 
-    proc = SparkDataProcessor(
-        spark, Path(base_dir or tempfile.mkdtemp()) / "warehouse"
-    )
+    proc = SparkDataProcessor(spark, base / "warehouse")
     shard_toks = [
         docs.filter(shard == j).select(
             "source",

@@ -1431,13 +1431,21 @@ def embedding_cosine_pairs_auto(
     )
 
 
+# Default per-token document-frequency cap for the containment prefix
+# join. ONE constant shared by the operator default, the registry plan,
+# and the DuckDB oracle that models the capped candidate generation —
+# two drifting literals would surface only as an opaque hash mismatch
+# at the next certify run (review find).
+CONTAINMENT_DF_CAP = 1000
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = ("lang",),
     threshold: float = 0.9,
-    index_df_cap: int | None = 1000,
+    index_df_cap: int | None = CONTAINMENT_DF_CAP,
     candidates_only: bool = False,
 ) -> DataFrame:
     """Directed near-dup pairs by *containment*: C(A→B) = |A∩B| / |A| ≥ t

@@ -1076,6 +1076,21 @@ def cms_probe_col(probe: str) -> str:
     return "cms_" + re.sub(r"\W", "_", probe)
 
 
+def _check_probe_aliases(probes: list[str]) -> None:
+    """Probes differing only in non-word chars ('a b' vs 'a_b') collapse
+    to the same sanitized column alias, yielding duplicate output columns
+    in BOTH engines (review find) — refuse up front with the collision."""
+    seen: dict[str, str] = {}
+    for p in probes:
+        col = cms_probe_col(p)
+        if col in seen:
+            raise ValueError(
+                f"probe column alias collision: {seen[col]!r} and {p!r} "
+                f"both sanitize to {col!r} — rename one probe"
+            )
+        seen[col] = p
+
+
 def sketch_index_estimates(
     idx: SketchIndex,
     group_col: str,
@@ -1095,6 +1110,7 @@ def sketch_index_estimates(
     hll_est = hll_estimate_from_registers(idx.hll, group_col)
     if not probes:  # no CM columns requested — distinct estimates only
         return kmv_est.join(hll_est, group_col)
+    _check_probe_aliases(probes)
     probe_cells = (
         spark.createDataFrame([(p,) for p in probes], ["probe"])
         .withColumn("h32", md5_h32(F.col("probe")))
@@ -1136,9 +1152,21 @@ def sketch_index_oracle_sql(
     """DuckDB rendering of :func:`sketch_index_estimates` over the FULL
     source in one pass — because every merge is exact, N-shard
     incremental state must serve estimates identical to this (the
-    streaming_kmv/hll contract, made durable)."""
+    streaming_kmv/hll contract, made durable).
+
+    ``probes`` must be non-empty (an empty list would render an empty
+    VALUES clause and a dangling comma — invalid SQL on a path whose
+    Spark twin legitimately supports probe-less serving; review find)
+    and alias-collision-free."""
     from exness_data_preprocess_spark.functions.hashing import md5_h32_sql
 
+    if not probes:
+        raise ValueError(
+            "sketch_index_oracle_sql requires at least one probe; for "
+            "probe-less (distinct-only) serving compose the KMV and HLL "
+            "oracles directly"
+        )
+    _check_probe_aliases(probes)
     kmv_sub = kmv_oracle_sql(
         source_cte, group_col, value_expr, k, include_exact=False
     )

@@ -206,12 +206,16 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional filter, df cap), NOT the all-pairs semantics — the r5
     un-modeled-LSH-cap lesson."""
     from exness_data_preprocess_spark.operators.dedup import (
+        CONTAINMENT_DF_CAP,
         ngram_containment_pairs,
     )
 
     docs = _docs_spread(spark, sf_dir)
     return ngram_containment_pairs(
-        docs, block_cols=("lang",), threshold=0.9
+        docs,
+        block_cols=("lang",),
+        threshold=0.9,
+        index_df_cap=CONTAINMENT_DF_CAP,  # explicit: the oracle models it
     )
 
 
@@ -289,8 +293,11 @@ WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6) >= 0.9
 # Every float literal is CAST to DOUBLE: DuckDB parses bare 0.9 as
 # DECIMAL, and ceil(0.9 * 10) differs between decimal (9) and double
 # (10) arithmetic — Spark's F.ceil(lit(t) * col) is double.
+from exness_data_preprocess_spark.operators.dedup import (  # noqa: E402
+    CONTAINMENT_DF_CAP as _CONTAIN_CAP,
+)
+
 _CONTAIN_T = "CAST(0.9 AS DOUBLE)"
-_CONTAIN_CAP = 1000
 ORACLE_DEDUP_CONTAINMENT = f"""
 WITH d0 AS (
   SELECT doc_id, lang, list_distinct({_TOKS}) AS sh FROM documents

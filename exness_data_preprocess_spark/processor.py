@@ -507,7 +507,7 @@ class SparkDataProcessor:
         df: DataFrame,
         group_col: str = "source",
         value_col: str = "tok",
-        k: int = 64,
+        k: int | None = None,
     ) -> dict:
         """Build and persist the per-group KMV/HLL/CMS monitoring state as
         managed catalog tables (``sketch_index_{kmv,hll,cms}`` + params
@@ -518,9 +518,15 @@ class SparkDataProcessor:
         all that's ever stored or re-read. Returns the stored params.
         """
         from exness_data_preprocess_spark.operators.sketches import (
+            KMV_K,
             build_sketch_state,
         )
 
+        # default from the one sketch-family constant (review find: a
+        # hardcoded 64 here would silently diverge from every batch/
+        # streaming sketch if KMV_K is ever retuned; the params sidecar
+        # keeps old persisted indexes valid either way)
+        k = KMV_K if k is None else k
         params = {"group_col": group_col, "value_col": value_col, "k": k}
         self.catalog.write_sketch_index(
             build_sketch_state(df, group_col, value_col, k), params

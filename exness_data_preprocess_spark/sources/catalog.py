@@ -353,44 +353,72 @@ class ParquetCatalog:
     #    full state rewrite per merge is key-sized work, never data-sized) --
     def write_sketch_index(self, index, params: dict) -> None:
         """Persist a :class:`~exness_data_preprocess_spark.operators.
-        sketches.SketchIndex` as three managed tables plus a params
-        sidecar (same done-marker idiom as the dedup index: the marker is
-        removed before any table write and rewritten only after all three
-        succeed, so a crash mid-write leaves the index absent, not
-        silently partial).
+        sketches.SketchIndex` as three VERSIONED managed tables plus a
+        params sidecar.
+
+        Crash-safety contract (review find — this is STRONGER than the
+        dedup index's absent-on-crash marker, deliberately): the dedup
+        index is rebuildable from the corpus, but this state is the
+        ACCUMULATION of every shard ever merged, and the shards are not
+        retained — losing it means exactly the corpus re-scan the
+        feature exists to avoid. So updates never overwrite in place:
+        the new state is written to fresh ``..._v{N+1}`` directories,
+        the sidecar (which names the live version) is swapped atomically
+        LAST (tmp file + os.replace), and only then are older versions
+        deleted best-effort. A crash at ANY point leaves the sidecar
+        naming a fully-written version: before the swap readers keep
+        serving v{N}; after it they serve v{N+1}.
 
         ``params`` carries the sketch family (``group_col``,
         ``value_col``, ``k``): states from different families merge into
-        garbage, so :meth:`update_sketch_index` enforces them.
+        garbage, so :meth:`SparkDataProcessor.update_sketches` re-reads
+        them from the sidecar and signs each batch with the stored
+        family.
 
-        Every frame is EAGERLY materialized (localCheckpoint) before the
-        first overwrite — a merged state derives from reading these very
-        tables, and a lazy plan would otherwise read its own truncated
-        input mid-overwrite.
+        The versioning also removes the read-own-truncated-input hazard
+        a same-path overwrite would have (the merged plan reads the old
+        version's files while writing the new one), so no eager
+        materialization is needed.
         """
         import json
+        import os
 
-        from exness_data_preprocess_spark.cache import (
-            checkpoint_rdd_id,
-            release_checkpoints,
+        pfile = self.base / SKETCH_INDEX_PARAMS_FILE
+        old_version = -1
+        if pfile.exists():
+            old_version = json.loads(pfile.read_text()).get("_version", -1)
+        version = old_version + 1
+        for table, frame in zip(SKETCH_INDEX_TABLES, index):
+            frame.write.mode("overwrite").parquet(
+                self.path(f"{table}_v{version}")
+            )
+        tmp = pfile.with_suffix(".json.tmp")
+        tmp.write_text(
+            json.dumps({**params, "_version": version}, sort_keys=True)
         )
+        os.replace(tmp, pfile)  # atomic publish of the new version
+        # best-effort cleanup of superseded versions (crash here is
+        # harmless: stale dirs are unreferenced and re-collected on the
+        # next successful write)
+        for v in range(old_version + 1):
+            for table in SKETCH_INDEX_TABLES:
+                stale = self.base / f"{table}_v{v}"
+                if stale.exists():
+                    shutil.rmtree(stale, ignore_errors=True)
 
-        frames = [f.localCheckpoint() for f in index]
-        own = {checkpoint_rdd_id(f) for f in frames} - {None}
-        spark = frames[0].sparkSession
-        try:
-            pfile = self.base / SKETCH_INDEX_PARAMS_FILE
-            if pfile.exists():
-                pfile.unlink()
-            for table, frame in zip(SKETCH_INDEX_TABLES, frames):
-                frame.write.mode("overwrite").parquet(self.path(table))
-            pfile.write_text(json.dumps(params, sort_keys=True))
-        finally:
-            release_checkpoints(spark, own)
+    def _sketch_table_paths(self) -> list[str]:
+        version = self.sketch_index_params()["_version"]
+        return [self.path(f"{t}_v{version}") for t in SKETCH_INDEX_TABLES]
 
     def has_sketch_index(self) -> bool:
-        return (self.base / SKETCH_INDEX_PARAMS_FILE).exists() and all(
-            self.exists(t) for t in SKETCH_INDEX_TABLES
+        import json
+
+        pfile = self.base / SKETCH_INDEX_PARAMS_FILE
+        if not pfile.exists():
+            return False
+        version = json.loads(pfile.read_text()).get("_version", -1)
+        return all(
+            self.exists(f"{t}_v{version}") for t in SKETCH_INDEX_TABLES
         )
 
     def sketch_index_params(self) -> dict:
@@ -409,9 +437,8 @@ class ParquetCatalog:
             SketchIndex,
         )
 
-        self.sketch_index_params()  # raises with guidance when absent
         return SketchIndex(
-            *(spark.read.parquet(self.path(t)) for t in SKETCH_INDEX_TABLES)
+            *(spark.read.parquet(p) for p in self._sketch_table_paths())
         )
 
     def compact(

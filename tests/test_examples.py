@@ -86,6 +86,10 @@ def test_f_survival_function_reference_values():
     assert abs(_f_sf(10.0, 1, 5) - 0.0250310051) < 1e-7
     assert _f_sf(0.0, 1, 10) == 1.0
     assert _f_sf(1e9, 1, 10) < 1e-30
+    # review find (reproduced live): x exactly at the CF switchover with
+    # a == b mutually recursed forever; F(1; 2, 2) sits exactly there and
+    # has the closed form sf = d2/(d2 + d1*f) = 0.5
+    assert abs(_f_sf(1.0, 2, 2) - 0.5) < 1e-12
 
 
 @pytest.mark.smoke

@@ -123,6 +123,71 @@ def test_sketch_index_update_is_bounded_and_idempotent_state(spark, tmp_path):
     assert tripled.filter(F.col("cnt") != 3 * F.col("cnt1")).count() == 0
 
 
+def test_sketch_index_update_is_crash_safe(spark, tmp_path):
+    """Review find (the one serious one): this state is the accumulation
+    of every shard ever merged and the shards are NOT retained, so an
+    in-place overwrite that dies mid-write is PERMANENT loss. The
+    versioned write publishes the new version atomically LAST: a crash
+    anywhere before the sidecar swap leaves readers on the old,
+    fully-intact version."""
+    import json
+
+    from exness_data_preprocess_spark.sources.catalog import (
+        SKETCH_INDEX_PARAMS_FILE,
+        SKETCH_INDEX_TABLES,
+    )
+
+    proc = SparkDataProcessor(spark, tmp_path / "db")
+    corpus = _corpus(spark, n=900).localCheckpoint()
+    proc.build_sketch_index(corpus)
+    before = proc.sketch_estimates(["tok1"]).orderBy("source").toPandas()
+
+    # simulate a crash mid-update: the next version's table dirs exist
+    # (even fully written) but the sidecar swap never happened
+    params = json.loads(
+        (tmp_path / "db" / SKETCH_INDEX_PARAMS_FILE).read_text()
+    )
+    v_next = params["_version"] + 1
+    for t in SKETCH_INDEX_TABLES:
+        # garbage partial write — must never be read
+        d = tmp_path / "db" / f"{t}_v{v_next}"
+        d.mkdir()
+        (d / "part-00000.parquet").write_bytes(b"not parquet")
+
+    # readers still serve the published version, bit-identical
+    after_crash = (
+        proc.sketch_estimates(["tok1"]).orderBy("source").toPandas()
+    )
+    assert after_crash.equals(before)
+    # and the next successful update recovers: publishes a NEW version
+    # past the orphan and cleans superseded dirs
+    proc.update_sketches(corpus.limit(50))
+    served = proc.sketch_estimates(["tok1"])
+    assert served.count() == 3
+    new_params = json.loads(
+        (tmp_path / "db" / SKETCH_INDEX_PARAMS_FILE).read_text()
+    )
+    assert new_params["_version"] > params["_version"]
+    # old version dirs were collected
+    for t in SKETCH_INDEX_TABLES:
+        assert not (
+            tmp_path / "db" / f"{t}_v{params['_version']}"
+        ).exists()
+
+
+def test_sketch_index_probe_alias_collision_refused(spark, tmp_path):
+    proc = SparkDataProcessor(spark, tmp_path / "db")
+    proc.build_sketch_index(_toks(spark, [("web", "a")]))
+    with pytest.raises(ValueError, match="alias collision"):
+        proc.sketch_estimates(["a b", "a_b"]).collect()
+    from exness_data_preprocess_spark.operators.sketches import (
+        sketch_index_oracle_sql,
+    )
+
+    with pytest.raises(ValueError, match="at least one probe"):
+        sketch_index_oracle_sql("SELECT 1", "g", "v", [])
+
+
 def test_sketch_index_guards(spark, tmp_path):
     proc = SparkDataProcessor(spark, tmp_path / "db")
     with pytest.raises(FileNotFoundError, match="no sketch index"):
