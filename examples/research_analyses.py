@@ -22,12 +22,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def main(spark=None, sf: str | None = None) -> None:
-    if sf is None:
-        ap = argparse.ArgumentParser()
-        ap.add_argument("--sf", default="/root/testdata/sf0.01")
-        sf = ap.parse_args().sf
-
+def main(spark=None, sf: str = "/root/testdata/sf0.01") -> None:
+    # argparse stays under __main__ (review find: parsing the host
+    # process's argv here made main(spark=shared) crash with SystemExit
+    # inside any embedder whose argv carries its own flags)
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -225,4 +223,6 @@ def _f_sf(f: float, d1: int, d2: int) -> float:
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    main(sf=ap.parse_args().sf)

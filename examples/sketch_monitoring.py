@@ -135,12 +135,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None, base_dir=None):
     proc.build_sketch_index(shard_toks[0])
     proc.update_sketches(shard_toks[1])
     proc.update_sketches(shard_toks[2])
-    served = {
-        r["source"]: r["est_distinct"]
-        for r in proc.sketch_estimates().collect()
-    }
+    served = {r["source"]: r for r in proc.sketch_estimates().collect()}
+    # compare BOTH served estimates against the one-pass batch sketches
+    # (review find: a KMV-only check would keep printing True through an
+    # HLL register-merge regression)
     durable_ok = all(
-        served.get(s) == b_kmv[s]["est_distinct"] for s in b_kmv
+        s in served
+        and served[s]["est_distinct"] == b_kmv[s]["est_distinct"]
+        and served[s]["est_hll"] == b_hll[s]["est_hll"]
+        for s in b_kmv
     )
     print(
         f"persisted SketchIndex (3 update_sketches merges) == one-pass "

@@ -522,15 +522,31 @@ class SparkDataProcessor:
             build_sketch_state,
         )
 
+        from exness_data_preprocess_spark.cache import (
+            checkpoint_rdd_id,
+            release_checkpoints,
+        )
+
         # default from the one sketch-family constant (review find: a
         # hardcoded 64 here would silently diverge from every batch/
         # streaming sketch if KMV_K is ever retuned; the params sidecar
         # keeps old persisted indexes valid either way)
         k = KMV_K if k is None else k
         params = {"group_col": group_col, "value_col": value_col, "k": k}
-        self.catalog.write_sketch_index(
-            build_sketch_state(df, group_col, value_col, k), params
-        )
+        # ONE materialization of the incoming plan (review find — the
+        # write_ticks lesson applied here): the three state tables are
+        # three separate write actions, each of whose DAG would re-scan
+        # the batch — 3x the decode cost, and for a non-deterministic
+        # input (df.sample, re-fetched source) three DIFFERENT row sets,
+        # silently breaking the merged==one-pass contract.
+        df = df.localCheckpoint()
+        own = {checkpoint_rdd_id(df)} - {None}
+        try:
+            self.catalog.write_sketch_index(
+                build_sketch_state(df, group_col, value_col, k), params
+            )
+        finally:
+            release_checkpoints(self.spark, own)
         return params
 
     def update_sketches(self, batch_df: DataFrame) -> None:
@@ -543,22 +559,32 @@ class SparkDataProcessor:
         ``sketch_index_update`` registry oracle pins that contract.
         Family params come from the stored sidecar; raises with guidance
         when no index has been built yet."""
+        from exness_data_preprocess_spark.cache import (
+            checkpoint_rdd_id,
+            release_checkpoints,
+        )
         from exness_data_preprocess_spark.operators.sketches import (
             build_sketch_state,
             merge_sketch_state,
         )
 
         p = self.catalog.sketch_index_params()
-        batch = build_sketch_state(
-            batch_df, p["group_col"], p["value_col"], p["k"]
-        )
-        merged = merge_sketch_state(
-            self.catalog.read_sketch_index(self.spark),
-            batch,
-            p["group_col"],
-            p["k"],
-        )
-        self.catalog.write_sketch_index(merged, p)
+        # one materialization of the batch plan — see build_sketch_index
+        batch_df = batch_df.localCheckpoint()
+        own = {checkpoint_rdd_id(batch_df)} - {None}
+        try:
+            batch = build_sketch_state(
+                batch_df, p["group_col"], p["value_col"], p["k"]
+            )
+            merged = merge_sketch_state(
+                self.catalog.read_sketch_index(self.spark),
+                batch,
+                p["group_col"],
+                p["k"],
+            )
+            self.catalog.write_sketch_index(merged, p)
+        finally:
+            release_checkpoints(self.spark, own)
 
     def sketch_estimates(self, probes: list[str] | None = None) -> DataFrame:
         """Serve per-group estimates from the persisted state: KMV and

@@ -392,19 +392,39 @@ class ParquetCatalog:
             frame.write.mode("overwrite").parquet(
                 self.path(f"{table}_v{version}")
             )
+        # atomic publish: fsync the tmp file BEFORE the rename and the
+        # directory after it (review find: rename metadata can journal
+        # before delayed-allocation data blocks flush, so a power loss
+        # right after a bare os.replace can leave a truncated sidecar —
+        # losing the live-version pointer to irreplaceable state)
         tmp = pfile.with_suffix(".json.tmp")
-        tmp.write_text(
-            json.dumps({**params, "_version": version}, sort_keys=True)
-        )
-        os.replace(tmp, pfile)  # atomic publish of the new version
+        with open(tmp, "w") as fh:
+            fh.write(
+                json.dumps({**params, "_version": version}, sort_keys=True)
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, pfile)
+        try:  # directory fsync is best-effort (not supported everywhere)
+            dfd = os.open(self.base, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:  # pragma: no cover - platform-dependent
+            pass
         # best-effort cleanup of superseded versions (crash here is
         # harmless: stale dirs are unreferenced and re-collected on the
-        # next successful write)
-        for v in range(old_version + 1):
-            for table in SKETCH_INDEX_TABLES:
-                stale = self.base / f"{table}_v{v}"
-                if stale.exists():
-                    shutil.rmtree(stale, ignore_errors=True)
+        # next successful write). One directory glob, not a version-0..N
+        # rescan — per-update cleanup cost stays proportional to actual
+        # leftovers over the index's whole lifetime (review find).
+        for stale in self.base.glob("sketch_index_*_v*"):
+            try:
+                v = int(stale.name.rsplit("_v", 1)[1])
+            except ValueError:  # pragma: no cover - foreign dir name
+                continue
+            if v < version:
+                shutil.rmtree(stale, ignore_errors=True)
 
     def _sketch_table_paths(self) -> list[str]:
         version = self.sketch_index_params()["_version"]
