@@ -1481,17 +1481,23 @@ def ngram_containment_pairs(
     prefix tokens' typical df still grows ~n^0.45. ``index_df_cap``
     bounds per-token join fan-out by dropping tokens with df > cap from
     BOTH join sides, making candidate work O(n · cap) instead. It is ON
-    BY DEFAULT (cap 1000) — round-7 measured the default at alpha 1.14
-    through natural-100x (43 s vs the exact plan's 85 s / alpha 1.73)
-    with ZERO recall loss on every fixture rung (emitted pairs
-    identical: the dropped high-df index rows sit at the tail of every
-    canonical list, exactly where the positional filter already kills
-    them — the cap just stops paying the join work first). The cap is
-    still RECALL-TRADING in the adversarial case: a true pair is missed
-    only when every shared prefix-qualifying token has df > cap (e.g. a
-    pair sharing nothing but corpus-wide stopwords, or a genuinely
-    bounded vocabulary — code, DNA, logs). For those corpora pass
-    ``index_df_cap=None`` to run the exact prefix join (the
+    BY DEFAULT (cap 1000) as the ASYMPTOTIC guard, and the trade is
+    honest (round-7 strictly-idle measurements, SCALE.md): on the
+    Heaps-law natural ladder, where the cap barely binds, it does NOT
+    speed the query up — the default costs ~20% over the exact plan for
+    riding (df, s) structs through the prefix explodes (nat100x: 34.8 s
+    alpha 1.09 capped vs 28.6 s alpha 0.94 exact) with emitted pairs
+    IDENTICAL on every rung (the dropped high-df index rows sit at the
+    tail of every canonical list, exactly where the positional filter
+    already kills their candidates). Where the cap BINDS — bounded
+    vocabularies, every df linear in n — it is the difference between
+    linear and quadratic: the saturated 31-token 10x fixture runs
+    11.3 s capped vs 222.8 s exact. The cap is RECALL-TRADING in
+    exactly that binding regime: a true pair is missed when every
+    shared prefix-qualifying token has df > cap (the saturated sf0.1
+    fixture keeps 719,660 of 2,118,326 exact pairs). For
+    bounded-vocabulary corpora where full recall matters (code, DNA,
+    logs) pass ``index_df_cap=None`` to run the exact prefix join (the
     ``dedup_containment_exact`` registry entry), accepting candidate
     growth that tracks df². Emitted pairs are exact under ANY cap
     (verification always runs on the full token sets), so precision is

@@ -418,12 +418,19 @@ class ParquetCatalog:
         # next successful write). One directory glob, not a version-0..N
         # rescan — per-update cleanup cost stays proportional to actual
         # leftovers over the index's whole lifetime (review find).
+        # RETENTION = 1 prior version (review find): serving DataFrames
+        # are lazy plans pinned to the version's parquet paths, so a
+        # reader obtained before an update must survive that update —
+        # only versions older than the immediately-superseded one are
+        # collected. A reader held across TWO updates must re-resolve
+        # via read_sketch_index/sketch_estimates (documented contract;
+        # the Delta/Iceberg vacuum-retention idea at its smallest).
         for stale in self.base.glob("sketch_index_*_v*"):
             try:
                 v = int(stale.name.rsplit("_v", 1)[1])
             except ValueError:  # pragma: no cover - foreign dir name
                 continue
-            if v < version:
+            if v < version - 1:
                 shutil.rmtree(stale, ignore_errors=True)
 
     def _sketch_table_paths(self) -> list[str]:

@@ -213,6 +213,15 @@ def main() -> None:
     )
     ladder = [(tag, d) for tag, d in base_ladder if os.path.isdir(d)]
 
+    # contamination detector (round-7 lesson: concurrent pytest or
+    # correctness sweeps inflated rows up to 5x and once inverted a
+    # comparison). Sampled ONCE, BEFORE any of this script's own Spark
+    # work — a per-point sample would read the script's own preceding
+    # fully-parallel rung through the slow-decaying 1-min EMA and flag
+    # clean idle runs (review find). On an idle machine expect < ~1-2;
+    # anything near core count means the whole run is suspect.
+    load1_at_start = round(os.getloadavg()[0], 2)
+
     spark = get_spark("scale-curve")
     spark.read.parquet(f"{ladder[0][1]}/region.parquet").count()
 
@@ -311,6 +320,7 @@ def main() -> None:
         merged = {k: merged[k] for k in QUERY_TABLE if k in merged}
     payload = {
         "metric": "scale_curve",
+        "load1_at_start": load1_at_start,
         "ladder": {tag: table_rows[tag] for tag, _ in ladder},
         "queries": merged,
     }
@@ -327,6 +337,11 @@ def main() -> None:
 
 NAT_BEGIN = "<!-- NATURAL-RATE-BEGIN -->"
 NAT_END = "<!-- NATURAL-RATE-END -->"
+
+# Queries whose DOCUMENTED contract is that runtime tracks a (possibly
+# quadratic) candidate set — the exact-recall opt-ins. Only these may
+# earn the benign "tracks candidate growth" note.
+CAND_TRACKING_CONTRACT = {"dedup_containment_exact"}
 
 
 def _query_table_rows(payload: dict, tags: list[str]) -> list[str]:
@@ -357,9 +372,18 @@ def _query_table_rows(payload: dict, tags: list[str]) -> list[str]:
             note = "linear"
         elif a_t <= a_o + 0.15:
             note = "tracks output growth"
-        elif a_c is not None and a_t <= a_c + 0.25:
-            # runtime growth attributable to the measured candidate set
-            # (recall-exact opt-in plans: the quadratic is the contract)
+        elif (
+            name in CAND_TRACKING_CONTRACT
+            and a_c is not None
+            and a_t <= a_c + 0.25
+        ):
+            # runtime growth attributable to the measured candidate set —
+            # ONLY for plans whose documented contract is candidate-
+            # tracking (exact-recall opt-ins). The df-capped DEFAULT's
+            # contract is O(n·cap) candidate work, so a capped-plan
+            # regression must NOT hide behind this label (review find:
+            # the generic version would have labeled a capped regression
+            # up to alpha 1.76 as benign on the natural ladder).
             note = "tracks candidate growth"
         elif a_t <= 1.3:
             note = "mildly super-linear"

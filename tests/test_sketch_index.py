@@ -160,15 +160,20 @@ def test_sketch_index_update_is_crash_safe(spark, tmp_path):
     )
     assert after_crash.equals(before)
     # and the next successful update recovers: publishes a NEW version
-    # past the orphan and cleans superseded dirs
+    # past the orphan. A lazy serving frame obtained BEFORE the update
+    # must survive it (retention = 1 prior version — review find: lazy
+    # plans are pinned to the version's parquet paths)
+    held_reader = proc.sketch_estimates(["tok1"]).orderBy("source")
     proc.update_sketches(corpus.limit(50))
+    assert held_reader.toPandas().equals(before)  # v{N} still on disk
     served = proc.sketch_estimates(["tok1"])
     assert served.count() == 3
     new_params = json.loads(
         (tmp_path / "db" / SKETCH_INDEX_PARAMS_FILE).read_text()
     )
     assert new_params["_version"] > params["_version"]
-    # old version dirs were collected
+    # one MORE update collects the now twice-superseded version dirs
+    proc.update_sketches(corpus.limit(10))
     for t in SKETCH_INDEX_TABLES:
         assert not (
             tmp_path / "db" / f"{t}_v{params['_version']}"
