@@ -383,6 +383,34 @@ class ParquetCatalog:
         import json
         import os
 
+        # Advisory exclusive lock for the read-version -> write ->
+        # publish critical section (review find): two same-host writers
+        # would otherwise both allocate v{N+1}, and the loser's
+        # mode('overwrite') deletes the winner's just-published live
+        # files in place — the exact loss mode versioning exists to
+        # remove. flock scopes this to one writer per host; a
+        # multi-host shared-filesystem deployment needs external
+        # coordination (the optimistic-concurrency protocol a real
+        # table format like Delta/Iceberg provides — out of scope for a
+        # plain parquet catalog, and documented here).
+        self.base.mkdir(parents=True, exist_ok=True)
+        lock_path = self.base / ".sketch_index_lock"
+        lock_fh = open(lock_path, "w")
+        try:
+            try:
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            except ImportError:  # pragma: no cover - non-POSIX
+                pass
+            self._write_sketch_index_locked(index, params)
+        finally:
+            lock_fh.close()
+
+    def _write_sketch_index_locked(self, index, params: dict) -> None:
+        import json
+        import os
+
         pfile = self.base / SKETCH_INDEX_PARAMS_FILE
         old_version = -1
         if pfile.exists():
@@ -432,20 +460,41 @@ class ParquetCatalog:
                 continue
             if v < version - 1:
                 shutil.rmtree(stale, ignore_errors=True)
+        if version >= 1:
+            # pre-versioning (unversioned-dir) state migrated at v0 is
+            # likewise retained for one update, then collected
+            for table in SKETCH_INDEX_TABLES:
+                legacy = self.base / table
+                if legacy.exists():
+                    shutil.rmtree(legacy, ignore_errors=True)
 
     def _sketch_table_paths(self) -> list[str]:
-        version = self.sketch_index_params()["_version"]
+        # Read-compatibility with a pre-versioning sidecar (review find:
+        # an index persisted by the unversioned writer would otherwise
+        # become unreachable — an opaque KeyError here and False from
+        # has_sketch_index — orphaning state the docstring calls
+        # irreplaceable): no '_version' means the state lives in the
+        # legacy unversioned dirs; the next write migrates it to v0.
+        version = self.sketch_index_params().get("_version")
+        if version is None:
+            return [self.path(t) for t in SKETCH_INDEX_TABLES]
         return [self.path(f"{t}_v{version}") for t in SKETCH_INDEX_TABLES]
 
     def has_sketch_index(self) -> bool:
         import json
 
-        pfile = self.base / SKETCH_INDEX_PARAMS_FILE
-        if not pfile.exists():
+        try:
+            version = self.sketch_index_params().get("_version")
+        except FileNotFoundError:
             return False
-        version = json.loads(pfile.read_text()).get("_version", -1)
+        except json.JSONDecodeError:
+            # a truncated sidecar makes the state unusable either way;
+            # a boolean probe must answer, not raise (review find) —
+            # the read path still raises loudly for diagnosis
+            return False
+        suffix = "" if version is None else f"_v{version}"
         return all(
-            self.exists(f"{t}_v{version}") for t in SKETCH_INDEX_TABLES
+            self.exists(f"{t}{suffix}") for t in SKETCH_INDEX_TABLES
         )
 
     def sketch_index_params(self) -> dict:

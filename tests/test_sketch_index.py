@@ -180,6 +180,51 @@ def test_sketch_index_update_is_crash_safe(spark, tmp_path):
         ).exists()
 
 
+def test_sketch_index_legacy_unversioned_state_readable_and_migrated(
+    spark, tmp_path
+):
+    """Review find: a sidecar without '_version' (pre-versioning writer)
+    must keep serving — the state is irreplaceable — and the next update
+    migrates it to v0, collecting the legacy dirs one update later."""
+    import json
+    import shutil as sh
+
+    from exness_data_preprocess_spark.sources.catalog import (
+        SKETCH_INDEX_PARAMS_FILE,
+        SKETCH_INDEX_TABLES,
+    )
+
+    proc = SparkDataProcessor(spark, tmp_path / "db")
+    corpus = _corpus(spark, n=600).localCheckpoint()
+    proc.build_sketch_index(corpus)
+    before = proc.sketch_estimates(["tok1"]).orderBy("source").toPandas()
+
+    # reshape on-disk state into the legacy (unversioned) layout
+    pfile = tmp_path / "db" / SKETCH_INDEX_PARAMS_FILE
+    params = json.loads(pfile.read_text())
+    v = params.pop("_version")
+    for t in SKETCH_INDEX_TABLES:
+        sh.move(tmp_path / "db" / f"{t}_v{v}", tmp_path / "db" / t)
+    pfile.write_text(json.dumps(params, sort_keys=True))
+
+    assert proc.catalog.has_sketch_index()  # not orphaned
+    served = proc.sketch_estimates(["tok1"]).orderBy("source").toPandas()
+    assert served.equals(before)
+
+    # next update migrates to v0 without losing the accumulated state
+    proc.update_sketches(corpus.limit(25))
+    assert json.loads(pfile.read_text())["_version"] == 0
+    assert proc.sketch_estimates(["tok1"]).count() == 3
+    # legacy dirs retained for one update (held readers), then collected
+    proc.update_sketches(corpus.limit(10))
+    for t in SKETCH_INDEX_TABLES:
+        assert not (tmp_path / "db" / t).exists()
+
+    # corrupt sidecar: the boolean probe answers False, never raises
+    pfile.write_text("{truncated")
+    assert proc.catalog.has_sketch_index() is False
+
+
 def test_sketch_index_probe_alias_collision_refused(spark, tmp_path):
     proc = SparkDataProcessor(spark, tmp_path / "db")
     proc.build_sketch_index(_toks(spark, [("web", "a")]))
