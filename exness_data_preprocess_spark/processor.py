@@ -558,7 +558,15 @@ class SparkDataProcessor:
         to a one-pass build over the concatenation — the
         ``sketch_index_update`` registry oracle pins that contract.
         Family params come from the stored sidecar; raises with guidance
-        when no index has been built yet."""
+        when no index has been built yet.
+
+        The whole read -> merge -> write cycle runs under the catalog's
+        sketch-index lock (advisor find: locking only the write lets two
+        concurrent updaters both merge against the pre-update version —
+        the loser's publish silently drops the winner's batch from the
+        accumulated state). read_sketch_index pins its parquet paths to
+        the sidecar version current AT READ TIME, so the base must be
+        resolved under the same lock that serializes the publish."""
         from exness_data_preprocess_spark.cache import (
             checkpoint_rdd_id,
             release_checkpoints,
@@ -568,23 +576,25 @@ class SparkDataProcessor:
             merge_sketch_state,
         )
 
-        p = self.catalog.sketch_index_params()
-        # one materialization of the batch plan — see build_sketch_index
-        batch_df = batch_df.localCheckpoint()
-        own = {checkpoint_rdd_id(batch_df)} - {None}
-        try:
-            batch = build_sketch_state(
-                batch_df, p["group_col"], p["value_col"], p["k"]
-            )
-            merged = merge_sketch_state(
-                self.catalog.read_sketch_index(self.spark),
-                batch,
-                p["group_col"],
-                p["k"],
-            )
-            self.catalog.write_sketch_index(merged, p)
-        finally:
-            release_checkpoints(self.spark, own)
+        with self.catalog.sketch_index_lock():
+            p = self.catalog.sketch_index_params()
+            # one materialization of the batch plan — see
+            # build_sketch_index
+            batch_df = batch_df.localCheckpoint()
+            own = {checkpoint_rdd_id(batch_df)} - {None}
+            try:
+                batch = build_sketch_state(
+                    batch_df, p["group_col"], p["value_col"], p["k"]
+                )
+                merged = merge_sketch_state(
+                    self.catalog.read_sketch_index(self.spark),
+                    batch,
+                    p["group_col"],
+                    p["k"],
+                )
+                self.catalog.write_sketch_index(merged, p)
+            finally:
+                release_checkpoints(self.spark, own)
 
     def sketch_estimates(self, probes: list[str] | None = None) -> DataFrame:
         """Serve per-group estimates from the persisted state: KMV and

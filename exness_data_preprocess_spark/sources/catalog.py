@@ -367,7 +367,13 @@ class ParquetCatalog:
         LAST (tmp file + os.replace), and only then are older versions
         deleted best-effort. A crash at ANY point leaves the sidecar
         naming a fully-written version: before the swap readers keep
-        serving v{N}; after it they serve v{N+1}.
+        serving v{N}; after it they serve v{N+1}. For power loss (not
+        just process crash) the new version's parquet files are fsync'd
+        before the swap — Spark closes them without fsync, and a
+        published pointer to never-flushed data blocks would be exactly
+        the loss the sidecar's own fsync was added to prevent. The data
+        fsync is best-effort like the directory fsync; on a filesystem
+        where it fails, the contract degrades to process-crash safety.
 
         ``params`` carries the sketch family (``group_col``,
         ``value_col``, ``k``): states from different families merge into
@@ -380,32 +386,57 @@ class ParquetCatalog:
         version's files while writing the new one), so no eager
         materialization is needed.
         """
-        import json
-        import os
-
-        # Advisory exclusive lock for the read-version -> write ->
-        # publish critical section (review find): two same-host writers
-        # would otherwise both allocate v{N+1}, and the loser's
-        # mode('overwrite') deletes the winner's just-published live
-        # files in place — the exact loss mode versioning exists to
-        # remove. flock scopes this to one writer per host; a
-        # multi-host shared-filesystem deployment needs external
-        # coordination (the optimistic-concurrency protocol a real
-        # table format like Delta/Iceberg provides — out of scope for a
-        # plain parquet catalog, and documented here).
-        self.base.mkdir(parents=True, exist_ok=True)
-        lock_path = self.base / ".sketch_index_lock"
-        lock_fh = open(lock_path, "w")
-        try:
-            try:
-                import fcntl
-
-                fcntl.flock(lock_fh, fcntl.LOCK_EX)
-            except ImportError:  # pragma: no cover - non-POSIX
-                pass
+        with self.sketch_index_lock():
             self._write_sketch_index_locked(index, params)
-        finally:
-            lock_fh.close()
+
+    def sketch_index_lock(self):
+        """Advisory exclusive lock for the whole read -> merge -> write
+        cycle on the sketch state (advisor find: locking only the write
+        leaves a lost-update window — two same-host updaters serialize
+        their publishes, but the loser merges against the PRE-update
+        version and its publish silently drops the winner's batch from
+        the accumulated state). :meth:`SparkDataProcessor.
+        update_sketches` acquires this BEFORE reading the params/state
+        it merges against, so concurrent same-host updaters fully
+        serialize and every merge base is the latest published version.
+
+        Re-entrant within the process (a plain second flock on the same
+        path from another fd would self-deadlock, so the holder is
+        tracked and nested acquisition is a no-op) — this is what lets
+        ``write_sketch_index`` keep its own protection when called
+        directly while composing under the updater's outer lock. flock
+        scopes this to one writer per host; a multi-host
+        shared-filesystem deployment needs external coordination (the
+        optimistic-concurrency protocol a real table format like
+        Delta/Iceberg provides — out of scope for a plain parquet
+        catalog, and documented here).
+        """
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _lock():
+            if getattr(self, "_sketch_lock_fh", None) is not None:
+                # nested acquisition inside the same catalog object:
+                # outer holder keeps the flock; this frame is a no-op
+                yield
+                return
+            self.base.mkdir(parents=True, exist_ok=True)
+            lock_path = self.base / ".sketch_index_lock"
+            lock_fh = open(lock_path, "w")
+            try:
+                try:
+                    import fcntl
+
+                    fcntl.flock(lock_fh, fcntl.LOCK_EX)
+                except ImportError:  # pragma: no cover - non-POSIX
+                    pass
+                self._sketch_lock_fh = lock_fh
+                yield
+            finally:
+                self._sketch_lock_fh = None
+                lock_fh.close()
+
+        return _lock()
 
     def _write_sketch_index_locked(self, index, params: dict) -> None:
         import json
@@ -420,6 +451,28 @@ class ParquetCatalog:
             frame.write.mode("overwrite").parquet(
                 self.path(f"{table}_v{version}")
             )
+        # fsync the new version's data files BEFORE publishing the
+        # pointer (advisor find: Spark closes parquet files without
+        # fsync, so after a power loss the sidecar could name a version
+        # whose data blocks never reached disk while the superseded
+        # version is only retained one update deep — the sidecar fsync
+        # alone protects the pointer, not what it points at).
+        # Best-effort like the directory fsync; state tables are
+        # bounded (k rows / m registers / d*w counters per group) so
+        # this is a handful of small files, not a data-sized walk.
+        for table in SKETCH_INDEX_TABLES:
+            vdir = Path(self.path(f"{table}_v{version}"))
+            try:
+                for f in sorted(vdir.rglob("*")):
+                    if not f.is_file():
+                        continue
+                    fd = os.open(f, os.O_RDONLY)
+                    try:
+                        os.fsync(fd)
+                    finally:
+                        os.close(fd)
+            except OSError:  # pragma: no cover - platform-dependent
+                pass
         # atomic publish: fsync the tmp file BEFORE the rename and the
         # directory after it (review find: rename metadata can journal
         # before delayed-allocation data blocks flush, so a power loss

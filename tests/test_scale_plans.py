@@ -353,3 +353,15 @@ def test_directional_asof_has_no_shrinking_window_frame(spark):
     for q in ("asof_forward", "asof_nearest"):
         plan = plan_of(QUERIES[q].spark(spark, SF))
         assert "UNBOUNDED FOLLOWING" not in plan, q
+
+
+def test_sharded_sketch_build_reuses_one_corpus_exchange(spark):
+    """Judge r7 task 4: the sketch_index_update rendering must not
+    re-tokenize the corpus per shard per leg. The sharded build
+    pre-aggregates to one deduped (shard-group, value, cnt) base whose
+    exchange all three legs share — executed, the adaptive plan must
+    contain a ReusedExchange (the single corpus pass serving kmv/hll/cms)."""
+    df = QUERIES["sketch_index_update"].spark(spark, SF)
+    df.collect()  # AQE inserts ReusedExchange at runtime, not in the dry plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final

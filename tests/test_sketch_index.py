@@ -248,3 +248,43 @@ def test_sketch_index_guards(spark, tmp_path):
     proc.build_sketch_index(_toks(spark, [("web", "a"), ("web", "b")]))
     out = proc.sketch_estimates().collect()
     assert len(out) == 1 and out[0]["est_distinct"] == 2.0
+
+
+def test_update_sketches_resolves_merge_base_under_writer_lock(
+    spark, tmp_path
+):
+    """Advisor find (r7): the merge base (params sidecar + version-pinned
+    state read) must be resolved UNDER the same lock that serializes the
+    publish — otherwise two concurrent updaters both merge against the
+    pre-update version and the loser's publish drops the winner's batch.
+    Pins (a) base resolution happens lock-held, and (b) the nested
+    write_sketch_index acquisition is re-entrant (a non-re-entrant flock
+    on a second fd of the same path would self-deadlock here)."""
+    proc = SparkDataProcessor(spark, tmp_path / "db")
+    corpus = _corpus(spark, n=300).localCheckpoint()
+    proc.build_sketch_index(corpus.limit(150))
+
+    cat = proc.catalog
+    seen = {}
+    orig_params = cat.sketch_index_params
+    orig_read = cat.read_sketch_index
+
+    def params_spy():
+        seen["params_locked"] = cat._sketch_lock_fh is not None
+        return orig_params()
+
+    def read_spy(s):
+        seen["read_locked"] = cat._sketch_lock_fh is not None
+        return orig_read(s)
+
+    cat.sketch_index_params = params_spy
+    cat.read_sketch_index = read_spy
+    try:
+        proc.update_sketches(corpus.limit(60))
+    finally:
+        cat.sketch_index_params = orig_params
+        cat.read_sketch_index = orig_read
+    assert seen == {"params_locked": True, "read_locked": True}
+    # lock released after the cycle; state still serves
+    assert cat._sketch_lock_fh is None
+    assert proc.sketch_estimates(["tok1"]).count() == 3
