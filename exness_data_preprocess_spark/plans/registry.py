@@ -916,31 +916,33 @@ def _register_extra_queries() -> None:
 # set at sf0.1); rotation widens cumulative external coverage, it does
 # not narrow what is checked.
 _DRIVER_PRIORITY = [
-    # round-7 (judge r6 task 2): re-certify the r4-era window — the 28
-    # entries whose most recent driver-green row is CORRECTNESS_r04, two
-    # rounds of kernel/registry churn ago
-    "analyze_events", "cdc_apply", "corpus_rollup", "corpus_stats",
-    "decontamination", "dedup_keep_best", "dedup_levenshtein",
-    "distinct_users_skew_safe", "dup_connected_components",
-    "embedding_quantize", "events_window_dedup", "hourly_count_corr",
-    "incremental_dedup", "interval_join_events", "json_extract_stats",
-    "jsonl_roundtrip", "max_drawdown", "quality_percentile_filter",
-    "repetition_quality", "rolling_user_stats", "sample_k_per_group",
-    "sequence_packing", "sessionize_events", "stratified_sample",
-    "streaming_cdc_snapshot", "text_clean", "training_shards",
-    "validate_events",
-    # round-7 additions + touched plans (containment default is now the
-    # df-capped index with a cap-modeling oracle; the exact opt-in and
-    # the sketch-index incremental merge are new entries)
-    "dedup_containment", "dedup_containment_exact", "sketch_index_update",
-    # oldest remaining certifications (r5 window) fill the rest of the
-    # driver's 50-sample so every entry stays certified within two rounds
-    "asof_join", "asof_tolerance", "autocorr_lag1", "blocklist_filter",
-    "chunk_documents", "coverage_stats", "curation_pipeline",
-    "daily_quantiles", "dedup_exact", "dedup_minhash_lsh",
-    "distinct_instruments", "doc_entropy", "flag_filters",
-    "full_outer_diff", "gap_months", "keyset_pagination",
-    "lag_lead_features", "minute_bucket_join", "multimodal_features",
+    # round-8 (judge r7 task 2): re-certify the r5-era window — the 21
+    # entries whose most recent driver-green row is CORRECTNESS_r05,
+    # two rounds back (everything else is r6/r7-green)
+    "ngram_novelty", "ohlc_1m", "ohlc_resample_1d", "ohlc_resample_1h",
+    "oov_rate", "per_day_stats", "pivot_lang_source", "pricing_summary",
+    "region_revenue", "session_labels", "source_overlap",
+    "streaming_attribution_join", "streaming_dedup",
+    "streaming_gap_sessions", "streaming_incremental_dedup",
+    "streaming_ohlc_1m", "streaming_running_anomaly",
+    "temperature_mix_sample", "tick_range_scan", "top_k", "vocabulary",
+    # plans touched this round (single-scan sketch-index rendering,
+    # containment suffix filter, multimodal WAV/JPEG decode)
+    "sketch_index_update", "dedup_containment", "dedup_containment_exact",
+    "multimodal_features",
+    # oldest remaining certifications (r6 window) fill the rest of the
+    # driver's 50-sample — scale-risky near-dup/ANN families first —
+    # so every entry stays driver-certified within two rounds
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_exact_substring",
+    "dedup_embedding_cosine", "dedup_embedding_cosine_ivf",
+    "dedup_embedding_cosine_ivf_trained", "dedup_embedding_cosine_srp",
+    "semantic_decontamination", "semantic_decontamination_ivf",
+    "ann_ivf_topk", "ann_ivf_multiprobe", "ann_lsh_bucketed",
+    "pq_encode", "pq_ann_adc", "pq_ann_adc_trained",
+    "embedding_cosine_topk", "asof_forward", "asof_nearest",
+    "fill_minute_gaps", "catalog_tick_scan", "catalog_ohlc_1m",
+    "catalog_ohlc_1h", "kmv_distinct_sketch", "hll_distinct_sketch",
+    "cms_heavy_hitters",
 ]
 
 
