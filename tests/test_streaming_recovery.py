@@ -1,0 +1,212 @@
+"""Streaming crash-recovery (judge r7 task 8): kill a drain mid-stream,
+restart from the same checkpoint, and assert exactly-once final state for
+the two streaming entries with persisted external state —
+the durable CDC snapshot and the incremental dedup ingest gate.
+
+The crash is simulated at the precise point the exactly-once contract is
+about: AFTER the sink applied a batch, BEFORE Spark committed it to the
+checkpoint (delete ``commits/N``, keep ``offsets/N``). On restart Spark
+replays that batch with the same batch_id; a sink without batch-id
+idempotence would double-apply it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _stage_file(spark, rows, schema, stage, name, mtime):
+    """Write one single-file parquet into the stream source dir with a
+    pinned mtime (the file source orders by modification time; copies
+    land too fast to rely on the clock — the test_streaming lesson)."""
+    import glob
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    dst = os.path.join(stage, name)
+    shutil.copy(src, dst)
+    os.utime(dst, (mtime, mtime))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _simulate_crash_before_commit(ckpt: str) -> int:
+    """Remove the newest commit marker, keeping its offsets entry — the
+    on-disk state a real crash leaves when the process dies after the
+    foreachBatch body ran but before the checkpoint commit. Returns the
+    batch id that will be replayed."""
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    last = commits[-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+    # the local checksum filesystem keeps a sidecar .N.crc; a real crash
+    # loses both together, and a stale crc makes the re-commit rename fail
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    return int(last)
+
+
+def test_cdc_durable_snapshot_recovers_exactly_once(spark, tmp_path):
+    from exness_data_preprocess_spark.operators.cdc import apply_cdc
+    from exness_data_preprocess_spark.streaming.cdc_stream import (
+        _read_sidecar,
+        read_durable_snapshot,
+        run_cdc_snapshot_durable,
+    )
+
+    schema = "k long, seq long, op string, v string"
+    base = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(5)], "k long, v string"
+    )
+    slice0 = [(0, 1, "U", "a1"), (1, 2, "D", None), (9, 3, "U", "new9")]
+    slice1 = [(0, 11, "D", None), (2, 12, "U", "b2"), (9, 13, "U", "n9b")]
+
+    stage = str(tmp_path / "incoming")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stage)
+    t0 = time.time() - 100
+
+    def drain():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(stage)
+        )
+        return run_cdc_snapshot_durable(
+            stream, base, ("k",), state, ckpt,
+            query_name="t_cdc_recovery",
+        )
+
+    # phase 1: first change file only
+    _stage_file(spark, slice0, schema, stage, "0000.parquet", t0)
+    snap1 = drain()
+    want1 = apply_cdc(base, spark.createDataFrame(slice0, schema), ("k",))
+    assert sorted(map(tuple, snap1.collect())) == sorted(
+        map(tuple, want1.collect())
+    )
+    meta1 = _read_sidecar(state)
+
+    # crash AFTER the sink applied the last batch, BEFORE Spark
+    # committed it; then more changes land while the job is down
+    replayed = _simulate_crash_before_commit(ckpt)
+    _stage_file(spark, slice1, schema, stage, "0001.parquet", t0 + 10)
+
+    # phase 2: restart from the same checkpoint — Spark replays batch
+    # `replayed` (same batch_id), the sidecar makes it a no-op, then the
+    # new file applies once
+    snap2 = drain()
+    all_changes = spark.createDataFrame(slice0 + slice1, schema)
+    want2 = apply_cdc(base, all_changes, ("k",))
+    assert sorted(map(tuple, snap2.collect())) == sorted(
+        map(tuple, want2.collect())
+    )
+    # exactly-once, proven structurally: the replay minted NO new
+    # version — only the genuinely-new batch advanced the state
+    meta2 = _read_sidecar(state)
+    assert meta2["version"] == meta1["version"] + 1
+    assert meta2["last_batch_id"] == replayed + 1
+    # spot semantics: k=0 upserted then deleted; k=9 inserted then
+    # updated across the crash boundary; untouched keys survive
+    m = {r["k"]: r["v"] for r in snap2.collect()}
+    assert 0 not in m and 1 not in m
+    assert m[9] == "n9b" and m[2] == "b2" and m[3] == "v3"
+    # the reader handle serves the same live version
+    again = read_durable_snapshot(spark, state)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, snap2.collect())
+    )
+    # a cold restart with NOTHING new must change nothing (idempotent
+    # catch-up run)
+    snap3 = drain()
+    assert sorted(map(tuple, snap3.collect())) == sorted(
+        map(tuple, snap2.collect())
+    )
+    assert _read_sidecar(state)["version"] == meta2["version"]
+
+
+def test_ingest_gate_resumes_from_checkpoint_exactly_once(spark, tmp_path):
+    """The dedup ingest gate's complete-mode aggregation state must
+    survive a stop/restart: phase 2 reads ONLY the new file, yet the
+    re-emitted table carries phase-1 docs exactly once — equal to the
+    batch incremental_dedup over everything."""
+    from exness_data_preprocess_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+    from exness_data_preprocess_spark.streaming.ingest_gate import (
+        stream_incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five six"),
+            (3, "quick brown fox jumps over dog"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_dedup_index(corpus)
+    schema = "doc_id long, text string"
+    batch_a = [(10, "alpha beta gamma delta epsilon"),
+               (11, "totally novel content appears here")]
+    # deliberately a DIFFERENT size than batch_a so the input-rows
+    # accounting below can tell the two files apart
+    batch_b = [(12, "one two three four five six seven"),
+               (13, "another brand new document body"),
+               (14, "yet more fresh text arrives now")]
+
+    stage = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stage)
+    t0 = time.time() - 100
+
+    def drain(name):
+        stream = (
+            spark.readStream.format("parquet").schema(schema).load(stage)
+        )
+        gate = stream_incremental_dedup(stream, idx)
+        q = (
+            gate.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        rows_in = sum(p["numInputRows"] for p in q.recentProgress)
+        return spark.table(name), rows_in
+
+    _stage_file(spark, batch_a, schema, stage, "a.parquet", t0)
+    got1, read1 = drain("t_gate_phase1")
+    assert {r["doc_id"] for r in got1.collect()} == {10, 11}
+    # the gate's plan references the source several times (evidence
+    # unions), so numInputRows is a fixed multiple of the file's rows —
+    # derive the multiplier instead of hardcoding the plan shape
+    assert read1 % len(batch_a) == 0
+    mult = read1 // len(batch_a)
+
+    # job goes down; a new file lands; restart from the same checkpoint
+    _stage_file(spark, batch_b, schema, stage, "b.parquet", t0 + 10)
+    got2, read2 = drain("t_gate_phase2")
+    # exactly-once on the source: the restart read ONLY the new file
+    # (batch sizes differ, so a re-read of file A cannot masquerade)
+    assert read2 == mult * len(batch_b)
+    # ...but the restored aggregation state re-emits phase-1 docs too,
+    # and the whole table equals the batch twin over all arrivals
+    new_all = spark.createDataFrame(batch_a + batch_b, schema)
+    expected = sorted(map(tuple, incremental_dedup(new_all, corpus).collect()))
+    assert sorted(map(tuple, got2.collect())) == expected
