@@ -200,11 +200,15 @@ WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
 # ---------------------------------------------------------------------------
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Default (scale-safe) containment pairs: the prefix join runs under
-    the default ``index_df_cap`` — candidate work O(n·cap), measured
-    alpha 1.14 through natural-100x vs the exact plan's 1.73. The oracle
-    below models the capped candidate generation exactly (prefix,
-    positional filter, df cap), NOT the all-pairs semantics — the r5
-    un-modeled-LSH-cap lesson."""
+    the default ``index_df_cap`` — candidate work O(n·cap) — and, since
+    round 8, the PPJoin+ suffix filter (bitmap miss bound) sits between
+    the candidate dedup and the verify join, so the verify consumes
+    ~only true pairs. The oracle below models the capped candidate
+    generation exactly (prefix, positional filter, df cap), NOT the
+    all-pairs semantics — the r5 un-modeled-LSH-cap lesson. The suffix
+    filter needs NO oracle modeling: it is upper-bound-sound, so the
+    emitted pair set is provably unchanged (pinned by
+    test_containment_suffix_filter_sound_and_discriminative)."""
     from exness_data_preprocess_spark.operators.dedup import (
         CONTAINMENT_DF_CAP,
         ngram_containment_pairs,
@@ -1526,7 +1530,8 @@ def build_ml_queries() -> dict:
         "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD,
                                 "exact token-set Jaccard pairs, lang-blocked"),
         "dedup_containment": (q_dedup_containment, ORACLE_DEDUP_CONTAINMENT,
-                              "asymmetric containment pairs (PPJoin prefix, "
+                              "asymmetric containment pairs (PPJoin prefix "
+                              "+ positional + PPJoin+ suffix filter, "
                               "default df-capped index — oracle models the "
                               "capped candidate generation)"),
         "dedup_containment_exact": (

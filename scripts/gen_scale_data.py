@@ -211,8 +211,23 @@ def gen_embeddings_natural(rng: np.random.Generator, n: int) -> pa.Table:
     )
 
 
+def _skewed_users(
+    rng: np.random.Generator, n: int, n_users: int
+) -> np.ndarray:
+    """--skew user draw: user 0 owns 50% of all events, the rest follow
+    a Zipf(1.5) tail over the remaining ids — the hot-key shape (one
+    instrument / one language / one bot account dominating) the
+    skew-safe plans exist for."""
+    hot = rng.random(size=n) < 0.5
+    # Zipf over ranks 1..n_users-1, mapped to user ids 1..n_users-1
+    ranks = rng.zipf(1.5, size=n)
+    tail = 1 + (ranks - 1) % max(n_users - 1, 1)
+    return np.where(hot, 0, tail).astype(np.int64)
+
+
 def gen_events(
-    rng: np.random.Generator, n: int, n_users: int, src_path: str
+    rng: np.random.Generator, n: int, n_users: int, src_path: str,
+    skew: bool = False,
 ) -> pa.Table:
     src = pq.read_table(src_path, columns=["ts"])
     ts_col = src["ts"].cast(pa.timestamp("us"))
@@ -241,7 +256,10 @@ def gen_events(
             "event_id": pa.array(range(n), pa.int64()),
             "ts": pa.array(ts, pa.timestamp("us")),
             "user_id": pa.array(
-                rng.integers(0, n_users, size=n), pa.int64()
+                _skewed_users(rng, n, n_users)
+                if skew
+                else rng.integers(0, n_users, size=n),
+                pa.int64(),
             ),
             "event_type": pa.array(type_names[types], pa.string()),
             "value": pa.array(values, pa.float64()),
@@ -276,9 +294,27 @@ def main() -> None:
         "expected curve for a linear plan (judge r4 task 1 + r5 task "
         "6). events are hard-linked, not regenerated.",
     )
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="skewed events: user 0 owns 50%% of events, Zipf(1.5) tail "
+        "over the rest — the hot-key fixture for the skew-safe plan "
+        "measurements (scripts/skew_bench.py)",
+    )
+    ap.add_argument(
+        "--documents-only",
+        action="store_true",
+        help="scale only the documents table; hard-link embeddings (and "
+        "events) from --src — for text-dedup ladder rungs (nat300x) "
+        "where a mult-x embedding table would be wastefully large. "
+        "scale_curve.py's equal-rows guard then skips embedding "
+        "queries at the rung.",
+    )
     args = ap.parse_args()
     if args.natural and args.events_only:
         ap.error("--natural and --events-only are mutually exclusive")
+    if args.documents_only and args.events_only:
+        ap.error("--documents-only and --events-only are mutually exclusive")
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -292,19 +328,23 @@ def main() -> None:
             out / "documents.parquet",
         )
         scaled["documents"] = n_docs
-        n_emb = 2000 * args.mult
-        emb = (
-            gen_embeddings_natural(rng, n_emb)
-            if args.natural
-            else gen_embeddings(rng, n_emb, f"{args.src}/embeddings.parquet")
-        )
-        pq.write_table(emb, out / "embeddings.parquet")
-        scaled["embeddings"] = n_emb
+        if not args.documents_only:
+            n_emb = 2000 * args.mult
+            emb = (
+                gen_embeddings_natural(rng, n_emb)
+                if args.natural
+                else gen_embeddings(
+                    rng, n_emb, f"{args.src}/embeddings.parquet"
+                )
+            )
+            pq.write_table(emb, out / "embeddings.parquet")
+            scaled["embeddings"] = n_emb
     if not args.natural:
         n_ev = 100_000 * args.mult
         pq.write_table(
             gen_events(
-                rng, n_ev, 1500 * args.mult, f"{args.src}/events.parquet"
+                rng, n_ev, 1500 * args.mult,
+                f"{args.src}/events.parquet", skew=args.skew,
             ),
             out / "events.parquet",
         )
@@ -316,6 +356,8 @@ def main() -> None:
         extra = ("documents", "embeddings")
     elif args.natural:
         extra = ("events",)
+    if args.documents_only:
+        extra = (*extra, "embeddings")
     for t in (
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", *extra,
@@ -334,6 +376,7 @@ def main() -> None:
         "seed": args.seed,
         "src": args.src,
         "natural": args.natural,
+        "skew": args.skew,
         "scaled_tables": scaled,
         "unscaled_tables": unscaled,
     }

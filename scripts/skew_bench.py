@@ -1,0 +1,242 @@
+#!/usr/bin/env python
+"""Measure the skew-safe plans against their naive twins under REAL key
+skew (judge r7 task 7).
+
+Fixtures: two 10x events tables (1M rows each) from gen_scale_data.py —
+the uniform default and `--skew` (user 0 owns 50% of events, Zipf(1.5)
+tail). Same row count, same schema; the ONLY difference is the user_id
+distribution, so a plan whose wall-time spikes between the two columns
+is melting on the hot key, not on data volume.
+
+Measured pairs (best-of-2, noop-sink writes, cache cleared between runs
+— the scale_curve protocol):
+
+* ``distinct_safe`` vs ``distinct_naive`` — two-stage (key, value)
+  pre-aggregation vs ``count(DISTINCT ...)``'s Expand + single shuffle.
+* ``topk_salted`` vs ``topk_naive`` — salted bounded per-group top-k
+  (operators/skew.py) vs a window ``row_number`` that sorts the hot
+  user's 500k rows on one reducer.
+* ``join_salted`` vs ``join_naive`` — salted equi-join vs a plain
+  sort-merge join on the skewed key, with auto-broadcast DISABLED to
+  model the 100 TB case where the dim side cannot broadcast. AQE stays
+  ON for both (honesty: AQE's skew-join splitting is the built-in
+  answer for JOIN skew — the measurement shows where it does or does
+  not close the gap; the salted plan is the insurance when it cannot).
+* ``sessionize`` / ``rolling`` — the keyed-window entries, measured
+  under both distributions. These have no salted twin (a per-key window
+  is inherently one partition per key); the number reported is their
+  skew SENSITIVITY, bounding what the hot key costs.
+
+Output: one JSON line; ``--md SCALE.md`` rewrites the marker-delimited
+skew section.
+
+RUN STRICTLY IDLE (the r7 contamination lesson): no concurrent pytest /
+bench / correctness sweeps.
+
+Usage: python scripts/skew_bench.py [--out skew_bench.json] [--md SCALE.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+UNIFORM_DIR = "/root/repo/.scaledata/sf1"
+SKEW_DIR = "/root/repo/.scaledata/sf1skew"
+
+MD_BEGIN = "<!-- SKEW-BENCH:BEGIN -->"
+MD_END = "<!-- SKEW-BENCH:END -->"
+
+
+def _queries():
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from exness_data_preprocess_spark.operators.skew import (
+        distinct_count_skew_safe,
+        salted_join,
+        topk_per_group_bounded,
+    )
+    from exness_data_preprocess_spark.plans.registry import QUERIES
+
+    def ev(spark, d):
+        return spark.read.parquet(f"{d}/events.parquet")
+
+    def user_dim(spark, d):
+        # per-user dim derived from the fixture itself (distinct users
+        # with a couple of attribute columns) — the join's right side
+        return (
+            ev(spark, d)
+            .groupBy("user_id")
+            .agg(
+                F.min("ts").alias("first_seen"),
+                F.count("*").alias("n_total"),
+            )
+        )
+
+    def distinct_safe(spark, d):
+        return distinct_count_skew_safe(
+            ev(spark, d), ("event_type",), "user_id"
+        )
+
+    def distinct_naive(spark, d):
+        return (
+            ev(spark, d)
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_distinct"))
+        )
+
+    def topk_salted(spark, d):
+        return topk_per_group_bounded(
+            ev(spark, d).select("user_id", "value", "event_id"),
+            ("user_id",),
+            ("value", "event_id"),
+            10,
+        )
+
+    def topk_naive(spark, d):
+        w = Window.partitionBy("user_id").orderBy("value", "event_id")
+        return (
+            ev(spark, d)
+            .select("user_id", "value", "event_id")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .drop("rn")
+        )
+
+    def join_salted(spark, d):
+        return salted_join(
+            ev(spark, d).select("event_id", "user_id", "value"),
+            user_dim(spark, d),
+            "user_id",
+            n_salts=32,
+        )
+
+    def join_naive(spark, d):
+        return ev(spark, d).select("event_id", "user_id", "value").join(
+            user_dim(spark, d), "user_id"
+        )
+
+    return {
+        "distinct_safe": distinct_safe,
+        "distinct_naive": distinct_naive,
+        "topk_salted": topk_salted,
+        "topk_naive": topk_naive,
+        "join_salted": join_salted,
+        "join_naive": join_naive,
+        "sessionize": QUERIES["sessionize_events"].spark,
+        "rolling": QUERIES["rolling_user_stats"].spark,
+    }
+
+
+PAIRS = [
+    ("distinct", "distinct_safe", "distinct_naive"),
+    ("topk", "topk_salted", "topk_naive"),
+    ("join", "join_salted", "join_naive"),
+]
+WINDOW_ONLY = ["sessionize", "rolling"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--md", default=None)
+    args = ap.parse_args()
+
+    from exness_data_preprocess_spark import get_spark
+
+    load1_at_start = round(os.getloadavg()[0], 2)
+    spark = get_spark(
+        "skew-bench",
+        # model the 100 TB dim that cannot broadcast; everything else
+        # (incl. AQE + its skew-join handling) stays at session defaults
+        extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    )
+
+    qs = _queries()
+    for fn in qs.values():  # compile warm-up at the small fixture
+        try:
+            fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
+
+    results: dict[str, dict] = {}
+    for name, fn in qs.items():
+        row: dict[str, float] = {}
+        for tag, d in (("uniform", UNIFORM_DIR), ("skew", SKEW_DIR)):
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+            row[tag] = round(best, 3)
+        row["skew_penalty"] = round(row["skew"] / row["uniform"], 2)
+        results[name] = row
+        print(json.dumps({"query": name, **row}), file=sys.stderr)
+
+    payload = {
+        "metric": "skew_bench",
+        "load1_at_start": load1_at_start,
+        "fixtures": {"uniform": UNIFORM_DIR, "skew": SKEW_DIR},
+        "queries": results,
+    }
+    print(json.dumps(payload))
+    if args.out:
+        Path(args.out).write_text(json.dumps(payload, indent=2))
+    if args.md:
+        _write_md(Path(args.md), results)
+
+
+def _write_md(path: Path, results: dict[str, dict]) -> None:
+    lines = [
+        MD_BEGIN,
+        "",
+        "## Skew ladder (judge r7 task 7): hot-key fixtures, 1M events",
+        "",
+        "Two 10x events fixtures with identical row counts: uniform "
+        "user_id vs `--skew` (user 0 = 50% of rows, Zipf tail). "
+        "`penalty` = skew/uniform wall — a plan that melts on the hot "
+        "key spikes in this column at constant data volume. Broadcast "
+        "joins disabled (the 100 TB no-broadcast case); AQE on for "
+        "every run. Strictly idle, best-of-2.",
+        "",
+        "| pair | plan | uniform (s) | skew (s) | penalty |",
+        "|---|---|---|---|---|",
+    ]
+    for pair, safe, naive in PAIRS:
+        for q in (safe, naive):
+            r = results[q]
+            lines.append(
+                f"| {pair} | `{q}` | {r['uniform']} | {r['skew']} "
+                f"| {r['skew_penalty']}x |"
+            )
+    lines.append("| window | — | — | — | — |")
+    for q in WINDOW_ONLY:
+        r = results[q]
+        lines.append(
+            f"| window | `{q}` | {r['uniform']} | {r['skew']} "
+            f"| {r['skew_penalty']}x |"
+        )
+    lines += ["", MD_END]
+    block = "\n".join(lines)
+    text = path.read_text() if path.exists() else ""
+    if MD_BEGIN in text and MD_END in text:
+        pre = text.split(MD_BEGIN)[0]
+        post = text.split(MD_END)[1]
+        path.write_text(pre + block + post)
+    else:
+        path.write_text(text.rstrip() + "\n\n" + block + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1225,3 +1225,71 @@ def test_serving_kernels_skip_zero_norm_corpus_rows(spark):
     assert {r["neighbor_id"] for r in out} == {1}
     with _pytest.raises(Exception, match="zero-norm"):
         cosine_topk(emb, emb.filter("vec_id = 2"), k=3).collect()
+
+
+def test_containment_suffix_filter_sound_and_discriminative(spark):
+    """PPJoin+ suffix filter (judge r7 task 1): the bitmap miss bound
+    must (a) never change emitted pairs at ANY signature width — it is
+    an upper-bound-sound pre-verify prune — and (b) actually kill false
+    candidates the positional filter admits, so the verify join consumes
+    ~only true pairs."""
+    import random
+
+    from exness_data_preprocess_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    rng = random.Random(8)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    # engineered FALSE candidates that pass the positional filter: doc
+    # pairs sharing one rare token (df=2 → first in canonical order, so
+    # it sits in A's prefix AND early in B's list) where B is long
+    # (suffix length clears ⌈t·sz_a⌉) but true overlap is tiny
+    for i in range(15):
+        a = rng.sample(vocab, 15) + [f"uniq{i}"]
+        b = rng.sample(vocab, 80) + [f"uniq{i}"]
+        rows.append((2 * i, " ".join(a), "en"))
+        rows.append((2 * i + 1, " ".join(b), "en"))
+    # plus two true containment pairs
+    rows.append((100, "q r s t u v w x y z", "en"))
+    rows.append((101, "q r s t u v w x y z aa bb cc dd", "en"))
+    rows.append((102, rows[0][1] + " extra", "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    for bits in (64, 256, 1024):
+        with_f = sorted(
+            map(
+                tuple,
+                ngram_containment_pairs(
+                    docs, threshold=0.9, suffix_filter_bits=bits
+                ).collect(),
+            )
+        )
+        without = sorted(
+            map(
+                tuple,
+                ngram_containment_pairs(
+                    docs, threshold=0.9, suffix_filter_bits=None
+                ).collect(),
+            )
+        )
+        assert with_f == without  # pairs NEVER change (sound bound)
+    assert {(a, b) for _, a, b, _ in with_f} >= {(100, 101), (0, 102)}
+
+    # discriminative: the filter strictly shrinks the verify input here
+    cand_off = ngram_containment_pairs(
+        docs, threshold=0.9, suffix_filter_bits=None, candidates_only=True
+    ).count()
+    cand_on = ngram_containment_pairs(
+        docs, threshold=0.9, candidates_only=True
+    ).count()
+    n_true = len(with_f)
+    assert cand_on < cand_off
+    assert cand_on >= n_true  # tap is still a candidate SUPERSET
+
+    # width must be a positive multiple of 64 (long-word packing)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        ngram_containment_pairs(docs, suffix_filter_bits=100).collect()
