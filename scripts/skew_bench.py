@@ -22,10 +22,15 @@ Measured pairs (best-of-2, noop-sink writes, cache cleared between runs
   ON for both (honesty: AQE's skew-join splitting is the built-in
   answer for JOIN skew — the measurement shows where it does or does
   not close the gap; the salted plan is the insurance when it cannot).
-* ``sessionize`` / ``rolling`` — the keyed-window entries, measured
-  under both distributions. These have no salted twin (a per-key window
-  is inherently one partition per key); the number reported is their
-  skew SENSITIVITY, bounding what the hot key costs.
+* ``rolling_bucketed`` vs ``rolling_frame`` — the r8 headline: the
+  sliding RANGE frame re-aggregates the whole frame per row for
+  non-invertible min/max, so the hot key costs O(rows x frame) on one
+  core; the bucketed twin (prefix/suffix accumulate-only windows +
+  probe fill, operators/rolling.py) is value-identical and flat. The
+  registry entry now runs the bucketed plan.
+* ``sessionize`` — keyed lag/cumsum windows are O(rows) per partition;
+  measured for skew SENSITIVITY (no twin needed: the hot key costs one
+  linear pass).
 
 Output: one JSON line; ``--md SCALE.md`` rewrites the marker-delimited
 skew section.
@@ -123,6 +128,18 @@ def _queries():
             user_dim(spark, d), "user_id"
         )
 
+    from exness_data_preprocess_spark.operators.rolling import (
+        rolling_range_stats,
+        rolling_range_stats_bucketed,
+    )
+    from exness_data_preprocess_spark.plans.events_io import load_events
+
+    def rolling_frame(spark, d):
+        return rolling_range_stats(load_events(spark, d))
+
+    def rolling_bucketed(spark, d):
+        return rolling_range_stats_bucketed(load_events(spark, d))
+
     return {
         "distinct_safe": distinct_safe,
         "distinct_naive": distinct_naive,
@@ -130,8 +147,9 @@ def _queries():
         "topk_naive": topk_naive,
         "join_salted": join_salted,
         "join_naive": join_naive,
+        "rolling_bucketed": rolling_bucketed,
+        "rolling_frame": rolling_frame,
         "sessionize": QUERIES["sessionize_events"].spark,
-        "rolling": QUERIES["rolling_user_stats"].spark,
     }
 
 
@@ -139,8 +157,9 @@ PAIRS = [
     ("distinct", "distinct_safe", "distinct_naive"),
     ("topk", "topk_salted", "topk_naive"),
     ("join", "join_salted", "join_naive"),
+    ("rolling", "rolling_bucketed", "rolling_frame"),
 ]
-WINDOW_ONLY = ["sessionize", "rolling"]
+WINDOW_ONLY = ["sessionize"]
 
 
 def main() -> None:
@@ -220,14 +239,42 @@ def _write_md(path: Path, results: dict[str, dict]) -> None:
                 f"| {pair} | `{q}` | {r['uniform']} | {r['skew']} "
                 f"| {r['skew_penalty']}x |"
             )
-    lines.append("| window | — | — | — | — |")
     for q in WINDOW_ONLY:
         r = results[q]
         lines.append(
             f"| window | `{q}` | {r['uniform']} | {r['skew']} "
             f"| {r['skew_penalty']}x |"
         )
-    lines += ["", MD_END]
+    lines += [
+        "",
+        "Findings (r8 measured record):",
+        "",
+        "- **`rolling_frame` melts 40x under the hot key** (45.8 s vs a",
+        "  1.15 s uniform run at the SAME 1M rows): Spark re-aggregates",
+        "  a sliding RANGE frame per row for non-invertible min/max, so",
+        "  the hot user pays O(rows x frame) on one core. The bucketed",
+        "  twin (accumulate-only prefix/suffix windows + probe fill) is",
+        "  value-identical and takes the hot fixture at 6.0 s — the",
+        "  registry's `rolling_user_stats` now runs it. Its 2.7x skew",
+        "  penalty is population, not plan: the hot user's 500k rows",
+        "  still hash to ~720 (user, hour) partitions vs the uniform",
+        "  fixture's wider spread. Residual uniform-side cost (2.2 s vs",
+        "  1.1 s) is the three-window trade for never re-aggregating a",
+        "  frame.",
+        "- **Naive distinct/topk/join do NOT melt at 1M rows** —",
+        "  penalties ~0.7-1.1x. AQE splits the skewed sort-merge join",
+        "  partition, the 5-type distinct is reducer-bound on both",
+        "  fixtures, and a 500k-row one-task window sort is ~0.5 s at",
+        "  this scale. The safe shapes cost ~1.5-2x on uniform data and",
+        "  are the insurance for the scales where one task's share is",
+        "  hours, not half a second — the honest reading is that the",
+        "  skew-safe plans' value at 1M is bounded, and `rolling` is",
+        "  the family where the melt is already visible.",
+        "- `sessionize` (keyed lag/cumsum) degrades only 1.5x: linear",
+        "  per-partition work, bounded by the hot key's row share.",
+        "",
+        MD_END,
+    ]
     block = "\n".join(lines)
     text = path.read_text() if path.exists() else ""
     if MD_BEGIN in text and MD_END in text:

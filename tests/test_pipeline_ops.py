@@ -145,6 +145,54 @@ def test_rolling_range_stats_trailing_hour(spark):
     assert out[(2, base)] == (1, 10.0)
 
 
+def test_rolling_bucketed_equals_frame_plan(spark):
+    """The bucketed rendering (r8 skew fix: accumulate-only prefix/suffix
+    windows + probe fill, no sliding frame) must be VALUE-identical to
+    the frame-based plan — including the boundary cases: an event whose
+    lower bound lands exactly on a bucket edge, peers at equal
+    timestamps, windows spanning two buckets, and a key with a single
+    event."""
+    import random
+
+    from exness_data_preprocess_spark.operators.rolling import (
+        rolling_range_stats_bucketed,
+    )
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        # window exactly at a bucket boundary (t multiple of 3600s)
+        (1, base + dt.timedelta(hours=2), 5.0),
+        (1, base + dt.timedelta(hours=1), 3.0),  # exactly t-3600 → inside
+        # peers at an identical timestamp
+        (1, base + dt.timedelta(minutes=90), 1.0),
+        (1, base + dt.timedelta(minutes=90), 2.0),
+        # cross-bucket trailing window
+        (1, base + dt.timedelta(minutes=130), 7.0),
+        # lone key
+        (2, base + dt.timedelta(minutes=5), 11.0),
+    ]
+    rng = random.Random(42)
+    for u in (3, 4):
+        for _ in range(40):
+            rows.append(
+                (u, base + dt.timedelta(seconds=rng.randrange(0, 14400)),
+                 round(rng.uniform(-5, 5), 2))
+            )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    key = ["user_id", "ts", "value"]
+    a = rolling_range_stats(df).orderBy(*key).toPandas()
+    b = rolling_range_stats_bucketed(df).orderBy(*key)[a.columns.tolist()].toPandas()
+    assert a.equals(b)
+    # spot the boundary semantics: at t = base+2h the row at exactly
+    # t-3600 (base+1h) is INSIDE the window, as are the 90-min peers
+    r = {
+        (x["user_id"], x["ts"]): (x["w_cnt"], float(x["w_sum"]))
+        for x in rolling_range_stats_bucketed(df).collect()
+    }
+    assert r[(1, base + dt.timedelta(hours=2))] == (4, 11.0)
+    assert r[(2, base + dt.timedelta(minutes=5))] == (1, 11.0)
+
+
 def test_rolling_window_is_keyed_not_global(spark):
     df = spark.createDataFrame(
         [(1, dt.datetime(2024, 1, 1), 1.0)], "user_id long, ts timestamp, value double"

@@ -249,13 +249,27 @@ def test_rolling_and_sessionize_windows_are_keyed(spark):
         )
 
 
-def test_rolling_stats_is_single_window_node(spark):
-    """The four trailing aggregates must share one Window operator (one
-    shuffle + one sort), not stack four."""
+def test_rolling_stats_plan_shape(spark):
+    """The frame-based operator keeps its four trailing aggregates in ONE
+    Window node (one shuffle + one sort, not four stacked); the registry
+    entry runs the BUCKETED twin (r8: the sliding frame re-aggregates
+    per row for non-invertible min/max — 45.7x melt on a hot key), whose
+    contract is exactly THREE accumulate-only Window nodes (prefix,
+    suffix, probe-fill) and no sliding frame anywhere."""
+    from exness_data_preprocess_spark.operators.rolling import (
+        rolling_range_stats,
+    )
+    from exness_data_preprocess_spark.plans.events_io import load_events
     from exness_data_preprocess_spark.plans.registry import QUERIES
 
+    frame_plan = plan_of(rolling_range_stats(load_events(spark, SF)))
+    assert len(re.findall(r"\(\d+\) Window\n", frame_plan)) == 1
+
     plan = plan_of(QUERIES["rolling_user_stats"].spark(spark, SF))
-    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 3
+    # every frame is accumulate-only: no bounded sliding RANGE frame
+    # (the O(rows x frame) re-aggregation shape) survives in the plan
+    assert "specifiedwindowframe(RangeFrame, -" not in plan
 
 
 def test_interval_join_query_avoids_nested_loop(spark):
