@@ -58,6 +58,7 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     excluded: dict[str, str] = {}
     t_all = time.time()
     for name, spec in QUERIES.items():
@@ -72,7 +73,7 @@ def main() -> None:
             spec.spark(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
-        best = None
+        samples = []
         for _ in range(3):  # best-of-3: shields the number from GC/OS noise
             # (r2→r3 comparisons showed ~1.4x run-to-run blips on the
             # LSH-family queries under best-of-2; a third sample prices
@@ -80,9 +81,14 @@ def main() -> None:
             spark.catalog.clearCache()  # drop operator-persisted intermediates
             t0 = time.time()
             spec.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            el = time.time() - t0
-            best = el if best is None else min(best, el)
-        timings[name] = round(best, 4)
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[0], 4)
+        # dispersion record (r7 hygiene: lets a reader separate a plan
+        # regression from the ±0.1-0.4 s job-floor jitter mechanically —
+        # a real regression moves min AND median together; jitter only
+        # stretches the tail)
+        spread[name] = [round(s, 4) for s in samples]
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 4)
     wall = round(time.time() - t_all, 4)
@@ -124,6 +130,9 @@ def main() -> None:
                 # fingerprint-cached across the best-of-3 samples)
                 "index_build_sec": _index_build_sec(),
                 "median_query_sec": median,
+                # per-query [min, mid, max] of the three samples —
+                # regression-vs-jitter evidence (r7 hygiene item)
+                "queries_spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
                 "wall_including_warmup": wall,
                 "env": env,
