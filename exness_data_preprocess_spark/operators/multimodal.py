@@ -212,15 +212,25 @@ def parse_image_dims(payload: bytes) -> tuple[int, int, int] | None:
     """
     import struct
 
+    def _ok(w: int, h: int, ch: int):
+        # dimensions ride an Int32 feature column; a corrupt header's
+        # 2^31 width must degrade to None, not crash the Arrow cast
+        # (review find — reproduced with a crafted 0x80000000 IHDR)
+        if 0 < w < 2**31 and 0 < h < 2**31 and 0 < ch < 2**31:
+            return (w, h, ch)
+        return None
+
     n = len(payload) if payload else 0
-    if n >= 24 and payload.startswith(_PNG_MAGIC):
+    # PNG needs bytes through color_type at offset 25 (review find: a
+    # 24-byte truncated header passed an n >= 24 guard then raised
+    # IndexError on payload[25], failing the whole mapInPandas task)
+    if n >= 26 and payload.startswith(_PNG_MAGIC):
         # IHDR is mandatory-first: width/height at fixed offsets
         if payload[12:16] == b"IHDR":
             w, h = struct.unpack(">II", payload[16:24])
-            color_type = payload[25]
-            ch = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}.get(color_type)
-            if w and h and ch:
-                return (w, h, ch)
+            ch = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}.get(payload[25])
+            if ch:
+                return _ok(w, h, ch)
         return None
     if n >= 4 and payload[:3] == b"\xff\xd8\xff":
         # JPEG: walk marker segments to the first SOFn frame header
@@ -246,7 +256,7 @@ def parse_image_dims(payload: bytes) -> tuple[int, int, int] | None:
                     return None
                 h, w = struct.unpack(">HH", payload[pos + 5:pos + 9])
                 ch = payload[pos + 9] if pos + 9 < n else 0
-                return (w, h, ch) if w and h and ch else None
+                return _ok(w, h, ch) if ch else None
             pos += 2 + seg_len
         return None
     if (
@@ -255,7 +265,7 @@ def parse_image_dims(payload: bytes) -> tuple[int, int, int] | None:
         and payload[-1:] == b";"  # spec trailer 0x3B — text-payload guard
     ):
         w, h = struct.unpack("<HH", payload[6:10])
-        return (w, h, 3) if w and h else None
+        return _ok(w, h, 3)
     if n >= 30 and payload[:2] == b"BM":
         (file_size,) = struct.unpack("<I", payload[2:6])
         (dib_size,) = struct.unpack("<I", payload[14:18])
@@ -270,7 +280,9 @@ def parse_image_dims(payload: bytes) -> tuple[int, int, int] | None:
             w, h = struct.unpack("<ii", payload[18:26])
             ch = 1 if bitcount <= 8 else bitcount // 8
             if w > 0 and h != 0:
-                return (w, abs(h), ch)  # negative height = top-down rows
+                # negative height = top-down rows; abs(-2^31) would
+                # itself overflow Int32 — _ok catches it
+                return _ok(w, abs(h), ch)
         return None
     return None
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rolling_range_stats"]
+__all__ = ["rolling_range_stats", "rolling_range_stats_bucketed"]
 
 
 def rolling_range_stats(
@@ -181,14 +181,25 @@ def rolling_range_stats_bucketed(
     ).filter(F.col("_tag") == 0)
 
     sum_type = dict(pref.dtypes)["_p_sum"]
+    # NULL-timestamp rows: the frame-based twin orders NULLs as one peer
+    # group whose window is exactly that group — which the PREFIX pass
+    # already reproduces (their (key, NULL) bucket, all peers). Their
+    # probe also lands in the same NULL bucket though (NULL - w = NULL),
+    # where the fill would hand back the full suffix aggregate and
+    # DOUBLE-count the group (review find, reproduced) — so the suffix
+    # contribution is nulled whenever the probe's bound is NULL.
+    has_bound = F.col("_us").isNotNull()
+    fs = {
+        c: F.when(has_bound, F.col(f"_f{c}")) for c in s_cols
+    }
     return filled.select(
         *payload,
-        (F.col("_p_cnt") + F.coalesce(F.col("_f_s_cnt"), F.lit(0)))
+        (F.col("_p_cnt") + F.coalesce(fs["_s_cnt"], F.lit(0)))
         .alias("w_cnt"),
         (
             F.col("_p_sum")
-            + F.coalesce(F.col("_f_s_sum"), F.lit(0).cast("decimal(18,6)"))
+            + F.coalesce(fs["_s_sum"], F.lit(0).cast("decimal(18,6)"))
         ).cast(sum_type).alias("w_sum"),
-        F.least("_p_min", "_f_s_min").alias("w_min"),
-        F.greatest("_p_max", "_f_s_max").alias("w_max"),
+        F.least(F.col("_p_min"), fs["_s_min"]).alias("w_min"),
+        F.greatest(F.col("_p_max"), fs["_s_max"]).alias("w_max"),
     )

@@ -24,12 +24,16 @@ to exactly those directories (visible as ``PartitionFilters`` in explain).
 from __future__ import annotations
 
 import shutil
+import threading
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from exness_data_preprocess_spark.functions.timefuncs import year_month
+
+# guards the lazy creation of each catalog object's sketch-index RLock
+_CATALOG_LOCK_INIT = threading.Lock()
 
 TICK_TABLES = ("raw_spread_ticks", "standard_ticks")
 OHLC_TABLE = "ohlc_1m"
@@ -400,41 +404,56 @@ class ParquetCatalog:
         it merges against, so concurrent same-host updaters fully
         serialize and every merge base is the latest published version.
 
-        Re-entrant within the process (a plain second flock on the same
-        path from another fd would self-deadlock, so the holder is
-        tracked and nested acquisition is a no-op) — this is what lets
-        ``write_sketch_index`` keep its own protection when called
-        directly while composing under the updater's outer lock. flock
-        scopes this to one writer per host; a multi-host
-        shared-filesystem deployment needs external coordination (the
-        optimistic-concurrency protocol a real table format like
-        Delta/Iceberg provides — out of scope for a plain parquet
-        catalog, and documented here).
+        Re-entrant PER THREAD (a plain second flock on the same path
+        from another fd would self-deadlock the nested
+        ``write_sketch_index`` call under ``update_sketches``'s outer
+        lock) — and thread-correct (review find: a bare
+        held-by-this-object flag would let a SECOND thread of the same
+        process skip the flock entirely and race the holder, exactly
+        the lost update the lock exists to prevent): an in-process
+        ``threading.RLock`` serializes threads and carries the
+        re-entrancy depth; only the outermost frame takes and releases
+        the cross-process flock. flock scopes this to one writer per
+        host; a multi-host shared-filesystem deployment needs external
+        coordination (the optimistic-concurrency protocol a real table
+        format like Delta/Iceberg provides — out of scope for a plain
+        parquet catalog, and documented here).
         """
+        import threading
         from contextlib import contextmanager
+
+        if getattr(self, "_sketch_rlock", None) is None:
+            # created lazily but race-safe: object attribute assignment
+            # under CPython's GIL is atomic, and setdefault-style
+            # double-checking keeps one RLock per catalog object
+            with _CATALOG_LOCK_INIT:
+                if getattr(self, "_sketch_rlock", None) is None:
+                    self._sketch_rlock = threading.RLock()
+                    self._sketch_lock_depth = 0
+                    self._sketch_lock_fh = None
 
         @contextmanager
         def _lock():
-            if getattr(self, "_sketch_lock_fh", None) is not None:
-                # nested acquisition inside the same catalog object:
-                # outer holder keeps the flock; this frame is a no-op
-                yield
-                return
-            self.base.mkdir(parents=True, exist_ok=True)
-            lock_path = self.base / ".sketch_index_lock"
-            lock_fh = open(lock_path, "w")
-            try:
+            with self._sketch_rlock:  # serializes threads, re-entrant
+                self._sketch_lock_depth += 1
                 try:
-                    import fcntl
+                    if self._sketch_lock_depth == 1:
+                        self.base.mkdir(parents=True, exist_ok=True)
+                        lock_fh = open(self.base / ".sketch_index_lock", "w")
+                        try:
+                            import fcntl
 
-                    fcntl.flock(lock_fh, fcntl.LOCK_EX)
-                except ImportError:  # pragma: no cover - non-POSIX
-                    pass
-                self._sketch_lock_fh = lock_fh
-                yield
-            finally:
-                self._sketch_lock_fh = None
-                lock_fh.close()
+                            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+                        except ImportError:  # pragma: no cover - non-POSIX
+                            pass
+                        self._sketch_lock_fh = lock_fh
+                    yield
+                finally:
+                    self._sketch_lock_depth -= 1
+                    if self._sketch_lock_depth == 0:
+                        fh, self._sketch_lock_fh = self._sketch_lock_fh, None
+                        if fh is not None:
+                            fh.close()
 
         return _lock()
 
@@ -471,6 +490,15 @@ class ParquetCatalog:
                         os.fsync(fd)
                     finally:
                         os.close(fd)
+                # the version DIRECTORY too (review find): the part-file
+                # names are entries of this directory's metadata — file
+                # data alone surviving power loss is useless if the dir
+                # comes back empty while the sidecar points at it
+                dfd = os.open(vdir, os.O_RDONLY)
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
             except OSError:  # pragma: no cover - platform-dependent
                 pass
         # atomic publish: fsync the tmp file BEFORE the rename and the

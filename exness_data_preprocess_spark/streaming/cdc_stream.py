@@ -156,6 +156,11 @@ def run_cdc_snapshot_durable(
       + idempotent sink = exactly-once, the standard foreachBatch
       recipe). ``base`` seeds the snapshot only when no sidecar exists —
       a restart resumes from the persisted state, never from ``base``.
+      Batch ids are numbered PER CHECKPOINT, so the sidecar records the
+      checkpoint path it was built from and the run REFUSES a different
+      one (review find: a fresh checkpoint restarts numbering at 0 and
+      the idempotence guard would silently swallow every new batch as a
+      replay — stale snapshot, no error).
 
     Returns the final snapshot as a batch DataFrame (read from the live
     version). Retention: one prior version is kept for lazy readers,
@@ -169,10 +174,32 @@ def run_cdc_snapshot_durable(
     sd = Path(state_dir)
     sd.mkdir(parents=True, exist_ok=True)
     spark = changes_stream.sparkSession
-    if _read_sidecar(sd)["version"] < 0:
-        # first run: seed v0 from base so batch 0 merges against it
+    ckpt_id = str(Path(checkpoint_dir).resolve())
+    meta0 = _read_sidecar(sd)
+    if meta0["version"] < 0:
+        # first run: seed v0 from base so batch 0 merges against it;
+        # the sidecar records WHICH checkpoint numbers its batches
         base.write.mode("overwrite").parquet(str(sd / "snap_v0"))
-        _publish(sd, {"version": 0, "last_batch_id": -1})
+        _publish(
+            sd, {"version": 0, "last_batch_id": -1, "checkpoint": ckpt_id}
+        )
+    elif meta0.get("checkpoint", ckpt_id) != ckpt_id:
+        # review find: batch ids are numbered PER CHECKPOINT. Driving an
+        # accumulated state with a fresh/different checkpoint restarts
+        # numbering at 0, and the idempotence guard below would silently
+        # swallow every new batch as a "replay" — stale snapshot, no
+        # error. Fail loudly instead of losing data.
+        raise ValueError(
+            f"CDC snapshot state at {state_dir} was built from checkpoint "
+            f"{meta0['checkpoint']!r}, not {ckpt_id!r} — batch-id "
+            "idempotence only holds within one checkpoint lineage. "
+            "Reuse the original checkpoint_dir, or rebuild the state "
+            "from base with a fresh state_dir."
+        )
+    elif "checkpoint" not in meta0:
+        # legacy sidecar (pre-binding): adopt this checkpoint as the
+        # lineage going forward
+        _publish(sd, {**meta0, "checkpoint": ckpt_id})
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         meta = _read_sidecar(sd)
@@ -190,7 +217,10 @@ def run_cdc_snapshot_durable(
             op_col=op_col,
             delete_op=delete_op,
         ).write.mode("overwrite").parquet(str(sd / f"snap_v{nxt}"))
-        _publish(sd, {"version": nxt, "last_batch_id": batch_id})
+        _publish(
+            sd,
+            {"version": nxt, "last_batch_id": batch_id, "checkpoint": ckpt_id},
+        )
         for stale in sd.glob("snap_v*"):
             try:
                 v = int(stale.name.rsplit("_v", 1)[1])

@@ -315,6 +315,11 @@ def main() -> None:
         ap.error("--natural and --events-only are mutually exclusive")
     if args.documents_only and args.events_only:
         ap.error("--documents-only and --events-only are mutually exclusive")
+    if args.documents_only and not args.natural:
+        # review find: the non-natural branch would still generate a
+        # mult-x events table — the exact waste the flag exists to avoid
+        ap.error("--documents-only requires --natural (the default mode "
+                 "scales events; use --events-only for that shape)")
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)

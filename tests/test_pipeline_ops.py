@@ -170,6 +170,13 @@ def test_rolling_bucketed_equals_frame_plan(spark):
         (1, base + dt.timedelta(minutes=130), 7.0),
         # lone key
         (2, base + dt.timedelta(minutes=5), 11.0),
+        # NULL timestamps: the frame plan treats them as one peer group;
+        # the bucketed plan must not double-count them (review find —
+        # their probe lands in their own NULL bucket and the fill would
+        # hand the whole group back as a "suffix")
+        (5, None, 1.0),
+        (5, None, 2.0),
+        (5, base, 4.0),
     ]
     rng = random.Random(42)
     for u in (3, 4):

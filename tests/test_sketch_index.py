@@ -288,3 +288,44 @@ def test_update_sketches_resolves_merge_base_under_writer_lock(
     # lock released after the cycle; state still serves
     assert cat._sketch_lock_fh is None
     assert proc.sketch_estimates(["tok1"]).count() == 3
+
+
+def test_sketch_index_lock_serializes_threads(spark, tmp_path):
+    """Review find: per-object re-entrancy must be per-THREAD — a second
+    thread of the same process must block on the lock, not skip it (the
+    skipped path re-created the lost-update race in-process)."""
+    import threading
+    import time as _time
+
+    from exness_data_preprocess_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(tmp_path / "db")
+    order: list[str] = []
+    a_inside = threading.Event()
+    a_release = threading.Event()
+
+    def holder():
+        with cat.sketch_index_lock():
+            with cat.sketch_index_lock():  # same-thread re-entrancy OK
+                order.append("A-in")
+                a_inside.set()
+                a_release.wait(timeout=30)
+            order.append("A-out")
+
+    def contender():
+        a_inside.wait(timeout=30)
+        with cat.sketch_index_lock():
+            order.append("B-in")
+
+    ta = threading.Thread(target=holder)
+    tb = threading.Thread(target=contender)
+    ta.start()
+    tb.start()
+    a_inside.wait(timeout=30)
+    _time.sleep(0.3)  # give B the chance to (wrongly) enter
+    assert order == ["A-in"], f"second thread entered under A's lock: {order}"
+    a_release.set()
+    ta.join(timeout=30)
+    tb.join(timeout=30)
+    assert order == ["A-in", "A-out", "B-in"]
+    assert cat._sketch_lock_depth == 0 and cat._sketch_lock_fh is None

@@ -210,3 +210,38 @@ def test_ingest_gate_resumes_from_checkpoint_exactly_once(spark, tmp_path):
     new_all = spark.createDataFrame(batch_a + batch_b, schema)
     expected = sorted(map(tuple, incremental_dedup(new_all, corpus).collect()))
     assert sorted(map(tuple, got2.collect())) == expected
+
+
+def test_cdc_durable_refuses_foreign_checkpoint(spark, tmp_path):
+    """Review find: batch ids are numbered per checkpoint — driving an
+    accumulated state with a FRESH checkpoint restarts numbering at 0
+    and the idempotence guard would silently swallow every new batch as
+    a replay. The runner must fail loudly on the lineage mismatch."""
+    from exness_data_preprocess_spark.streaming.cdc_stream import (
+        run_cdc_snapshot_durable,
+    )
+
+    schema = "k long, seq long, op string, v string"
+    base = spark.createDataFrame([(1, "v1")], "k long, v string")
+    stage = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    os.makedirs(stage)
+    t0 = time.time() - 100
+    _stage_file(spark, [(1, 1, "U", "a")], schema, stage, "0.parquet", t0)
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.format("parquet").schema(schema).load(stage)
+        )
+        return run_cdc_snapshot_durable(
+            stream, base, ("k",), state, ckpt,
+            query_name="t_cdc_foreign_ckpt",
+        )
+
+    drain(str(tmp_path / "ckpt_a"))
+    _stage_file(spark, [(1, 2, "U", "b")], schema, stage, "1.parquet", t0 + 10)
+    with pytest.raises(ValueError, match="checkpoint lineage|checkpoint"):
+        drain(str(tmp_path / "ckpt_b"))
+    # the original lineage still works and picks up the new file
+    snap = drain(str(tmp_path / "ckpt_a"))
+    assert {(r["k"], r["v"]) for r in snap.collect()} == {(1, "b")}
