@@ -929,10 +929,13 @@ _DRIVER_PRIORITY = [
     # plans touched this round (single-scan sketch-index rendering,
     # containment suffix filter, multimodal WAV/JPEG decode)
     "sketch_index_update", "dedup_containment", "dedup_containment_exact",
-    "multimodal_features",
+    "multimodal_features", "salted_join",
     # oldest remaining certifications (r6 window) fill the rest of the
-    # driver's 50-sample — scale-risky near-dup/ANN families first —
-    # so every entry stays driver-certified within two rounds
+    # driver's 50-sample — scale-risky near-dup/ANN families first.
+    # cms_heavy_hitters is the one r6-window entry the 50-cap squeezes
+    # out this round (displaced by the new salted_join slot); it is
+    # covered by the full local sweep every round and MUST lead the r9
+    # rotation
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_exact_substring",
     "dedup_embedding_cosine", "dedup_embedding_cosine_ivf",
     "dedup_embedding_cosine_ivf_trained", "dedup_embedding_cosine_srp",
@@ -942,7 +945,6 @@ _DRIVER_PRIORITY = [
     "embedding_cosine_topk", "asof_forward", "asof_nearest",
     "fill_minute_gaps", "catalog_tick_scan", "catalog_ohlc_1m",
     "catalog_ohlc_1h", "kmv_distinct_sketch", "hll_distinct_sketch",
-    "cms_heavy_hitters",
 ]
 
 

@@ -1326,6 +1326,38 @@ ORDER BY event_type
 """
 
 
+def q_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact-to-dim equi-join (operators/skew.py::salted_join):
+    the dim side replicates across a 32-salt domain and each fact row
+    routes to one salt, so a hot join key (one user owning half the
+    events — the r8 --skew fixture shape) occupies 32 reducers instead
+    of melting one. Output is EXACTLY the plain inner join (salting is
+    routing, not semantics), which is what the oracle states."""
+    from exness_data_preprocess_spark.operators.skew import salted_join
+    from exness_data_preprocess_spark.plans.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_seen_us"),
+        F.count("*").alias("n_total"),
+    )
+    return salted_join(
+        ev.select("event_id", "user_id", "value"), dim, "user_id",
+        n_salts=32,
+    ).select("event_id", "user_id", "value", "first_seen_us", "n_total")
+
+
+ORACLE_SALTED_JOIN = """
+WITH dim AS (
+  SELECT user_id, min(epoch_us(ts)) AS first_seen_us,
+         count(*) AS n_total
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.value, d.first_seen_us, d.n_total
+FROM events e JOIN dim d USING (user_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Corpus-analysis family (round 5): novelty, entropy, OOV, source overlap
 # ---------------------------------------------------------------------------
@@ -1598,6 +1630,10 @@ def build_ml_queries() -> dict:
         "distinct_users_skew_safe": (
             q_distinct_users_skew_safe, ORACLE_DISTINCT_USERS,
             "two-stage exact distinct count (hot-key-safe plan shape)"),
+        "salted_join": (
+            q_salted_user_join, ORACLE_SALTED_JOIN,
+            "salted fact-to-dim equi-join (hot key spreads over 32 "
+            "reducers; output == plain join)"),
         "ngram_novelty": (q_ngram_novelty, ORACLE_NGRAM_NOVELTY,
                           "per-doc 3-gram novelty vs earlier corpus "
                           "(memorization audit, one gram shuffle)"),

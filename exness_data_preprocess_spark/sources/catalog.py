@@ -32,8 +32,6 @@ from pyspark.sql import functions as F
 
 from exness_data_preprocess_spark.functions.timefuncs import year_month
 
-# guards the lazy creation of each catalog object's sketch-index RLock
-_CATALOG_LOCK_INIT = threading.Lock()
 
 TICK_TABLES = ("raw_spread_ticks", "standard_ticks")
 OHLC_TABLE = "ohlc_1m"
@@ -70,6 +68,13 @@ class ParquetCatalog:
 
     def __init__(self, base_path: str | Path):
         self.base = Path(base_path)
+        # sketch-index writer lock state (see sketch_index_lock): the
+        # RLock serializes THREADS of this process, carries per-thread
+        # re-entrancy, and the outermost frame owns the cross-process
+        # flock fh
+        self._sketch_rlock = threading.RLock()
+        self._sketch_lock_depth = 0
+        self._sketch_lock_fh = None
 
     def ensure_schema(self) -> None:
         """Idempotent bootstrap (clickhouse_manager.py:110-143)."""
@@ -419,18 +424,7 @@ class ParquetCatalog:
         format like Delta/Iceberg provides — out of scope for a plain
         parquet catalog, and documented here).
         """
-        import threading
         from contextlib import contextmanager
-
-        if getattr(self, "_sketch_rlock", None) is None:
-            # created lazily but race-safe: object attribute assignment
-            # under CPython's GIL is atomic, and setdefault-style
-            # double-checking keeps one RLock per catalog object
-            with _CATALOG_LOCK_INIT:
-                if getattr(self, "_sketch_rlock", None) is None:
-                    self._sketch_rlock = threading.RLock()
-                    self._sketch_lock_depth = 0
-                    self._sketch_lock_fh = None
 
         @contextmanager
         def _lock():
@@ -446,6 +440,11 @@ class ParquetCatalog:
                             fcntl.flock(lock_fh, fcntl.LOCK_EX)
                         except ImportError:  # pragma: no cover - non-POSIX
                             pass
+                        except OSError:
+                            # review find: flock can fail (ENOLCK on
+                            # NFS); the fh must not leak on that path
+                            lock_fh.close()
+                            raise
                         self._sketch_lock_fh = lock_fh
                     yield
                 finally:

@@ -111,6 +111,22 @@ def _read_sidecar(state_dir) -> dict:
     return json.loads(p.read_text())
 
 
+def _ckpt_query_id(checkpoint_dir) -> str | None:
+    """The streaming query id Spark writes once per checkpoint lineage
+    into ``<ckpt>/metadata`` — None when the checkpoint does not exist
+    yet (fresh directory)."""
+    import json
+    from pathlib import Path
+
+    p = Path(checkpoint_dir) / "metadata"
+    if not p.exists():
+        return None
+    try:
+        return json.loads(p.read_text()).get("id")
+    except (OSError, ValueError):  # pragma: no cover - corrupt metadata
+        return None
+
+
 def read_durable_snapshot(spark, state_dir) -> DataFrame:
     """Reader handle over the live snapshot version (the version the
     sidecar names — always a fully-written directory)."""
@@ -156,11 +172,13 @@ def run_cdc_snapshot_durable(
       + idempotent sink = exactly-once, the standard foreachBatch
       recipe). ``base`` seeds the snapshot only when no sidecar exists —
       a restart resumes from the persisted state, never from ``base``.
-      Batch ids are numbered PER CHECKPOINT, so the sidecar records the
-      checkpoint path it was built from and the run REFUSES a different
-      one (review find: a fresh checkpoint restarts numbering at 0 and
-      the idempotence guard would silently swallow every new batch as a
-      replay — stale snapshot, no error).
+      Batch ids are numbered PER CHECKPOINT LINEAGE, so the sidecar
+      records the query id from ``<ckpt>/metadata`` (minted once per
+      checkpoint) and the run REFUSES a mismatch (review finds: a fresh
+      or different checkpoint restarts numbering at 0 and the
+      idempotence guard would silently swallow every new batch as a
+      replay — and a path-only binding misses a wiped-and-recreated
+      checkpoint at the same path).
 
     Returns the final snapshot as a batch DataFrame (read from the live
     version). Retention: one prior version is kept for lazy readers,
@@ -174,32 +192,51 @@ def run_cdc_snapshot_durable(
     sd = Path(state_dir)
     sd.mkdir(parents=True, exist_ok=True)
     spark = changes_stream.sparkSession
-    ckpt_id = str(Path(checkpoint_dir).resolve())
+    ckpt_path = str(Path(checkpoint_dir).resolve())
+    # Lineage identity = the query id Spark writes ONCE per checkpoint
+    # into <ckpt>/metadata (review find: binding by path alone misses a
+    # deleted-and-recreated checkpoint at the SAME path, which restarts
+    # batch numbering and would silently replay-swallow new data just
+    # the same). None = the checkpoint does not exist yet (fresh dir —
+    # Spark mints the id at stream start).
+    cur_qid = _ckpt_query_id(checkpoint_dir)
     meta0 = _read_sidecar(sd)
     if meta0["version"] < 0:
         # first run: seed v0 from base so batch 0 merges against it;
-        # the sidecar records WHICH checkpoint numbers its batches
+        # the sidecar records WHICH checkpoint lineage numbers its
+        # batches (qid published per batch once the stream minted it)
         base.write.mode("overwrite").parquet(str(sd / "snap_v0"))
         _publish(
-            sd, {"version": 0, "last_batch_id": -1, "checkpoint": ckpt_id}
+            sd,
+            {
+                "version": 0,
+                "last_batch_id": -1,
+                "checkpoint": ckpt_path,
+                "checkpoint_id": cur_qid,
+            },
         )
-    elif meta0.get("checkpoint", ckpt_id) != ckpt_id:
-        # review find: batch ids are numbered PER CHECKPOINT. Driving an
-        # accumulated state with a fresh/different checkpoint restarts
-        # numbering at 0, and the idempotence guard below would silently
-        # swallow every new batch as a "replay" — stale snapshot, no
-        # error. Fail loudly instead of losing data.
-        raise ValueError(
-            f"CDC snapshot state at {state_dir} was built from checkpoint "
-            f"{meta0['checkpoint']!r}, not {ckpt_id!r} — batch-id "
-            "idempotence only holds within one checkpoint lineage. "
-            "Reuse the original checkpoint_dir, or rebuild the state "
-            "from base with a fresh state_dir."
-        )
-    elif "checkpoint" not in meta0:
-        # legacy sidecar (pre-binding): adopt this checkpoint as the
-        # lineage going forward
-        _publish(sd, {**meta0, "checkpoint": ckpt_id})
+    else:
+        bound_qid = meta0.get("checkpoint_id")
+        if bound_qid is not None and cur_qid != bound_qid:
+            # covers BOTH a different checkpoint path (its metadata has
+            # a different id) and a wiped-and-recreated checkpoint at
+            # the same path (no metadata yet → cur_qid None). Fail
+            # loudly instead of losing data.
+            raise ValueError(
+                f"CDC snapshot state at {state_dir} is bound to "
+                f"checkpoint lineage {bound_qid!r} "
+                f"(path {meta0.get('checkpoint')!r}); the provided "
+                f"checkpoint_dir {ckpt_path!r} has lineage "
+                f"{cur_qid!r} — batch-id idempotence only holds within "
+                "one checkpoint lineage. Reuse the original checkpoint, "
+                "or rebuild the state from base with a fresh state_dir."
+            )
+        if "checkpoint" not in meta0:
+            # legacy sidecar (pre-binding): adopt this lineage forward
+            _publish(
+                sd,
+                {**meta0, "checkpoint": ckpt_path, "checkpoint_id": cur_qid},
+            )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         meta = _read_sidecar(sd)
@@ -219,7 +256,15 @@ def run_cdc_snapshot_durable(
         ).write.mode("overwrite").parquet(str(sd / f"snap_v{nxt}"))
         _publish(
             sd,
-            {"version": nxt, "last_batch_id": batch_id, "checkpoint": ckpt_id},
+            {
+                "version": nxt,
+                "last_batch_id": batch_id,
+                "checkpoint": ckpt_path,
+                # read per publish: the stream has started by now, so
+                # the qid exists even when the pre-run read saw a
+                # not-yet-created checkpoint (first ever run)
+                "checkpoint_id": _ckpt_query_id(checkpoint_dir),
+            },
         )
         for stale in sd.glob("snap_v*"):
             try:

@@ -85,6 +85,7 @@ QUERY_TABLE = {
     "embedding_cosine_topk": "embeddings",
     # reference-core + event-pipeline operators over the scaled events table
     "tick_range_scan": "events",
+    "salted_join": "events",
     "ohlc_1m": "events",
     "asof_join": "events",
     "asof_forward": "events",

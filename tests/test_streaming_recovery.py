@@ -240,8 +240,24 @@ def test_cdc_durable_refuses_foreign_checkpoint(spark, tmp_path):
 
     drain(str(tmp_path / "ckpt_a"))
     _stage_file(spark, [(1, 2, "U", "b")], schema, stage, "1.parquet", t0 + 10)
-    with pytest.raises(ValueError, match="checkpoint lineage|checkpoint"):
+    with pytest.raises(ValueError, match="checkpoint lineage"):
         drain(str(tmp_path / "ckpt_b"))
-    # the original lineage still works and picks up the new file
-    snap = drain(str(tmp_path / "ckpt_a"))
+    # wiped-and-recreated checkpoint at the SAME path must also be
+    # refused (second review find: Spark renumbers batches from 0 and
+    # path identity alone cannot tell — the lineage id in
+    # <ckpt>/metadata can)
+    shutil.rmtree(str(tmp_path / "ckpt_a"))
+    with pytest.raises(ValueError, match="checkpoint lineage"):
+        drain(str(tmp_path / "ckpt_a"))
+    # a fresh state_dir with the recreated checkpoint works (rebuild path)
+    state2 = str(tmp_path / "state2")
+    stream = spark.readStream.format("parquet").schema(schema).load(stage)
+    from exness_data_preprocess_spark.streaming.cdc_stream import (
+        run_cdc_snapshot_durable as _run,
+    )
+
+    snap = _run(
+        stream, base, ("k",), state2, str(tmp_path / "ckpt_a"),
+        query_name="t_cdc_rebuilt",
+    )
     assert {(r["k"], r["v"]) for r in snap.collect()} == {(1, "b")}
