@@ -985,6 +985,7 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = ("lang",),
     shingle_n: int = 1,
     threshold: float = 0.9,
+    suffix_filter_bits: int | None = SUFFIX_FILTER_BITS,
     candidates_only: bool = False,
 ) -> DataFrame:
     """Exact set-similarity join via prefix filtering (PPJoin-style).
@@ -1029,8 +1030,19 @@ def ngram_jaccard_pairs(
             F.transform("o", lambda x: x["s"]).alias("sh"),
             F.size("o").alias("sz"),
         )
-        .persist()
     )
+    if suffix_filter_bits is not None:
+        # PPJoin+ suffix filter, Jaccard form (shares the containment
+        # filter's bitmap machinery — see ngram_containment_pairs):
+        # J >= t forces |A∩B| >= t·(sz_a+sz_b)/(1+t), and the bitmap
+        # miss bounds give |A∩B| <= min(sz_a − miss_ab, sz_b − miss_ba)
+        # soundly — candidates whose optimistic overlap cannot reach the
+        # requirement die before the two-array verify. Emitted pairs are
+        # provably unchanged (no oracle modeling needed).
+        base = base.withColumn(
+            "sfm", F.expr(_bucket_mask_sql("sh", suffix_filter_bits))
+        )
+    base = base.persist()
     prefix_len = (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int")
     pref = base.select(
         *blocks,
@@ -1058,9 +1070,37 @@ def ngram_jaccard_pairs(
             & (F.col("sz_b") >= F.col("sz_a") * t)
         )
     )
+    if suffix_filter_bits is not None:
+        ovl_ub = F.least(
+            F.col("sz_a") - F.expr(_mask_miss_sql("sfm_a", "sfm_b")),
+            F.col("sz_b") - F.expr(_mask_miss_sql("sfm_b", "sfm_a")),
+        )
+        # strict < with a float-slack so a borderline-true pair can
+        # never die to double round-off (the bound itself is exact
+        # integer arithmetic on the left)
+        pruned = (
+            pruned.join(
+                base.select(
+                    F.col("id").alias("id_a"), F.col("sfm").alias("sfm_a")
+                ),
+                "id_a",
+            )
+            .join(
+                base.select(
+                    F.col("id").alias("id_b"), F.col("sfm").alias("sfm_b")
+                ),
+                "id_b",
+            )
+            .filter(
+                ovl_ub * F.lit(1.0 + t)
+                >= F.lit(t) * (F.col("sz_a") + F.col("sz_b")) - F.lit(1e-9)
+            )
+            .select(*block_cols, "id_a", "id_b", "sz_a", "sz_b")
+        )
     if candidates_only:
-        # instrumentation tap (tests/test_scale_counts.py): the deduped,
-        # size-pruned candidate set the verify join consumes
+        # instrumentation tap (tests/test_scale_counts.py): the candidate
+        # set the verify join actually consumes — deduped, size-pruned,
+        # suffix-filtered
         return pruned.select(*block_cols, "id_a", "id_b")
     verified = pruned.join(
         base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"

@@ -1560,7 +1560,8 @@ def build_ml_queries() -> dict:
         "dedup_simhash": (q_dedup_simhash, _simhash_oracle(),
                           "32-bit SimHash fingerprints"),
         "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD,
-                                "exact token-set Jaccard pairs, lang-blocked"),
+                                "exact token-set Jaccard pairs, lang-blocked "
+                                "(PPJoin prefix + size + suffix filters)"),
         "dedup_containment": (q_dedup_containment, ORACLE_DEDUP_CONTAINMENT,
                               "asymmetric containment pairs (PPJoin prefix "
                               "+ positional + PPJoin+ suffix filter, "

@@ -585,6 +585,13 @@ def write_md_natural(path: Path, payload: dict, tags: list[str]) -> None:
         "  tests/test_scale_counts.py pins candidate-vs-output count",
         "  exponents at sf0.01→sf0.1 (zero timing dependence) so a",
         "  future edit reintroducing super-linear candidates fails CI.",
+        "  The same bitmap machinery now also guards",
+        "  `dedup_ngram_jaccard` (both-direction miss bounds vs",
+        "  t·(sz_a+sz_b)/(1+t): verify input ≡ true pairs — 27,068 →",
+        "  713 at nat10, 945k → 246k at saturated sf0.1) and",
+        "  `dedup_levenshtein` (q-gram count filter, ed ≤ d ⇒",
+        "  |Ga\\Gb| ≤ d·q: DP input halved; the short-doc residual is",
+        "  measured and pinned in test_scale_counts).",
         "",
         NAT_END,
     ]

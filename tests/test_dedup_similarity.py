@@ -1293,3 +1293,45 @@ def test_containment_suffix_filter_sound_and_discriminative(spark):
 
     with _pytest.raises(ValueError, match="multiple of 64"):
         ngram_containment_pairs(docs, suffix_filter_bits=100).collect()
+
+
+def test_jaccard_suffix_filter_sound_and_discriminative(spark):
+    """The Jaccard form of the PPJoin+ suffix filter (both-direction
+    bitmap miss bounds vs t·(sz_a+sz_b)/(1+t)): pairs NEVER change, and
+    the verify input shrinks to ~the true pairs."""
+    import random
+
+    from exness_data_preprocess_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    # same-size doc pairs sharing one rare token: pass the prefix index
+    # AND the size-ratio prune, but are far below the threshold
+    for i in range(12):
+        a = rng.sample(vocab, 18) + [f"uniq{i}"]
+        b = rng.sample(vocab, 18) + [f"uniq{i}"]
+        rows.append((2 * i, " ".join(a), "en"))
+        rows.append((2 * i + 1, " ".join(b), "en"))
+    rows.append((100, "p q r s t u v w x y", "en"))
+    rows.append((101, "p q r s t u v w x y", "en"))  # exact twin
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    for bits in (64, 1024):
+        with_f = sorted(map(tuple, ngram_jaccard_pairs(
+            docs, threshold=0.8, suffix_filter_bits=bits
+        ).collect()))
+        without = sorted(map(tuple, ngram_jaccard_pairs(
+            docs, threshold=0.8, suffix_filter_bits=None
+        ).collect()))
+        assert with_f == without
+    assert any(a == 100 and b == 101 for _, a, b, _ in with_f)
+    c_on = ngram_jaccard_pairs(
+        docs, threshold=0.8, candidates_only=True
+    ).count()
+    c_off = ngram_jaccard_pairs(
+        docs, threshold=0.8, suffix_filter_bits=None, candidates_only=True
+    ).count()
+    assert c_on < c_off and c_on >= len(with_f)
