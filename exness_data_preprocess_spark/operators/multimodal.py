@@ -327,13 +327,92 @@ def _decode_audio(payload: bytes) -> np.ndarray:
     return _decode_image(payload)
 
 
+def _gif_frames(payload: bytes) -> list[bytes]:
+    """REAL animated-GIF frame extraction using only the public GIF89a
+    block grammar (stdlib struct): walk the logical screen descriptor,
+    skip the global color table, then collect each image descriptor's
+    full byte span (descriptor + local color table + LZW data
+    sub-blocks) — one self-contained bytes object per frame. Raises
+    ValueError on anything that is not a well-formed GIF; the caller
+    falls back to the digest stub."""
+    import struct
+
+    if len(payload) < 14 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    pos = 6
+    flags = payload[pos + 4]
+    pos += 7  # logical screen descriptor
+    if flags & 0x80:  # global color table
+        pos += 3 * (2 << (flags & 0x07))
+
+    def _skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated sub-blocks")
+            ln = payload[p]
+            p += 1
+            if ln == 0:
+                return p
+            p += ln
+
+    frames: list[bytes] = []
+    while True:
+        if pos >= len(payload):
+            raise ValueError("missing trailer")
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            if pos + 2 > len(payload):
+                raise ValueError("truncated extension")
+            pos = _skip_subblocks(pos + 2)
+        elif block == 0x2C:  # image descriptor
+            start = pos
+            if pos + 10 > len(payload):
+                raise ValueError("truncated image descriptor")
+            w, h = struct.unpack("<HH", payload[pos + 5:pos + 9])
+            if not (w and h):
+                raise ValueError("zero-sized frame")
+            iflags = payload[pos + 9]
+            pos += 10
+            if iflags & 0x80:  # local color table
+                pos += 3 * (2 << (iflags & 0x07))
+            if pos + 1 > len(payload):
+                raise ValueError("truncated LZW header")
+            pos = _skip_subblocks(pos + 1)  # LZW min-code byte + data
+            frames.append(payload[start:pos])
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF with no image frames")
+    return frames
+
+
 def decode_video_frames(payload: bytes, n_frames: int) -> list[bytes]:
-    """STUB for frame sampling — real implementation: ffmpeg/pyav keyframe
-    extraction. Deterministic fake: content-digest chain over hex strings
-    (hex, not raw digests, so an ANSI-SQL oracle with a VARCHAR-only
-    sha256 can reproduce every frame digest)."""
+    """Frame sampling with a REAL path and an honest fallback:
+
+    1. **animated GIF** (:func:`_gif_frames`, stdlib-only) — actual
+       per-frame byte spans, evenly sampled across the animation (first
+       and last frame always included); a GIF with fewer frames than
+       requested yields what exists;
+    2. **deterministic digest-chain stub** for real video containers
+       (mp4/webm need ffmpeg/pyav, not bundled) and for anything that
+       fails the GIF grammar. Hex digests, not raw bytes, so an
+       ANSI-SQL oracle with a VARCHAR-only sha256 reproduces every
+       frame digest — the fixture entries depend on this stub staying
+       byte-stable."""
     if payload is None:
         raise NotImplementedError("video decode requires ffmpeg (not bundled)")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            all_frames = _gif_frames(payload)
+            k = min(n_frames, len(all_frames))
+            if k <= 1:
+                return all_frames[:1]
+            step = (len(all_frames) - 1) / (k - 1)
+            return [all_frames[round(i * step)] for i in range(k)]
+        except Exception:  # noqa: BLE001 — malformed/truncated: stub
+            pass
     frames = []
     cur = payload
     for _ in range(n_frames):

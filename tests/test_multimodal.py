@@ -412,6 +412,10 @@ def test_fixture_texts_never_false_positive_decoders():
         _wav_decode,
     )
 
+    from exness_data_preprocess_spark.operators.multimodal import (
+        _gif_frames,
+    )
+
     con = duckdb.connect()
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         rows = con.execute(
@@ -422,8 +426,95 @@ def test_fixture_texts_never_false_positive_decoders():
         for (text,) in rows:
             payload = text.encode("utf-8")
             assert parse_image_dims(payload) is None
-            try:
-                _wav_decode(payload)
-                raise AssertionError("fixture text parsed as WAV")
-            except Exception:
-                pass
+            for decoder, label in ((_wav_decode, "WAV"), (_gif_frames, "GIF")):
+                try:
+                    decoder(payload)
+                    raise AssertionError(f"fixture text parsed as {label}")
+                except AssertionError:
+                    raise
+                except Exception:
+                    pass
+
+
+# ---------------------------------------------------------------------------
+# Real animated-GIF frame extraction (stdlib block grammar)
+# ---------------------------------------------------------------------------
+def _encode_animated_gif(n_frames, w=4, h=3, with_gct=True):
+    """Minimal well-formed animated GIF: header + LSD (+GCT), a graphics
+    control extension before each frame, image descriptors with fake LZW
+    sub-blocks (the frame walker never decompresses), trailer."""
+    import struct
+
+    flags = 0x80 | 0x00 if with_gct else 0
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h) + bytes([flags, 0, 0])
+    if with_gct:
+        out += b"\x01\x02\x03\x04\x05\x06"  # 2-entry GCT (3*2^1)
+    for i in range(n_frames):
+        # graphic control extension
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([2])  # LZW min code size
+        body = bytes([i, 255 - i])
+        out += bytes([len(body)]) + body + b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_frames_real_extraction():
+    from exness_data_preprocess_spark.operators.multimodal import (
+        _gif_frames,
+        decode_video_frames,
+    )
+
+    gif = _encode_animated_gif(5)
+    frames = _gif_frames(gif)
+    assert len(frames) == 5
+    # each frame is a self-contained image-descriptor span
+    assert all(f[0] == 0x2C for f in frames)
+    assert len({bytes(f) for f in frames}) == 5  # distinct payloads
+
+    # even sampling: 3 of 5 = first, middle, last
+    sampled = decode_video_frames(gif, 3)
+    assert sampled == [frames[0], frames[2], frames[4]]
+    # more requested than exist → all real frames, no padding
+    assert decode_video_frames(gif, 9) == frames
+    assert decode_video_frames(_encode_animated_gif(1), 3) == _gif_frames(
+        _encode_animated_gif(1)
+    )
+    # no-GCT variant parses too
+    assert len(_gif_frames(_encode_animated_gif(2, with_gct=False))) == 2
+
+    # non-GIF payloads keep the digest-chain stub the oracle models
+    stub = decode_video_frames(b"not a gif", 2)
+    assert stub[0] == hashlib.sha256(b"not a gif").hexdigest().encode()
+    # GIF-magic text falls back to the stub rather than erroring
+    textish = b"GIF89a is an old format indeed"
+    assert decode_video_frames(textish, 2)[0] == hashlib.sha256(
+        textish
+    ).hexdigest().encode()
+
+
+def test_sample_video_frames_real_gif_and_stub_coexist(spark):
+    from exness_data_preprocess_spark.operators.multimodal import (
+        _gif_frames,
+        sample_video_frames,
+    )
+
+    gif = _encode_animated_gif(4)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(gif)), (2, "video", bytearray(b"mp4-ish"))],
+        "asset_id long, media_type string, payload binary",
+    )
+    rows = sample_video_frames(media, n_frames=2).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    f = _gif_frames(gif)
+    got = {r["frame_idx"]: r["frame_sha256"] for r in by_asset[1]}
+    assert got[0] == hashlib.sha256(bytes(f[0])).hexdigest()
+    assert got[1] == hashlib.sha256(bytes(f[3])).hexdigest()
+    # the stub asset keeps the oracle-reproducible digest chain
+    h1 = hashlib.sha256(b"mp4-ish").hexdigest().encode()
+    stub0 = {r["frame_idx"]: r["frame_sha256"] for r in by_asset[2]}
+    assert stub0[0] == hashlib.sha256(h1).hexdigest()
