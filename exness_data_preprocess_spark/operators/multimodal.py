@@ -3,10 +3,12 @@
 Spark-side plumbing is real — schema (schema.py:MEDIA_SCHEMA), partitioning,
 Arrow-batched ``mapInPandas`` UDF signatures, batch shapes — and so are the
 stdlib-reachable codec layers: PNG pixel decode (zlib + RFC 2083 subset),
-WAV PCM decode (``wave``), and header-only dimension parsing for
-PNG/JPEG/GIF/BMP. Compressed audio and video decode remain deterministic
-digest stubs (those libraries are not in this container); swapping in
-PIL/torchaudio/ffmpeg is a one-function change where marked.
+WAV PCM decode (``wave``), header-only dimension parsing for
+PNG/JPEG/GIF/BMP, animated-GIF frame extraction (block-grammar walk), and
+header-only durations for WAV / MP4 (mvhd) / GIF. Compressed-audio and
+mp4/webm FRAME decode remain deterministic digest stubs (those libraries
+are not in this container); swapping in PIL/torchaudio/ffmpeg is a
+one-function change where marked.
 
 Scale notes:
 - Binary payloads ride in parquet binary columns; `spark.sql.files.
@@ -42,6 +44,8 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("channels", T.IntegerType(), True),
+        # header-only duration for WAV / MP4(mvhd) / animated GIF
+        T.StructField("duration_ms", T.LongType(), True),
         T.StructField("features", T.ArrayType(T.DoubleType()), True),
     ]
 )
@@ -327,14 +331,15 @@ def _decode_audio(payload: bytes) -> np.ndarray:
     return _decode_image(payload)
 
 
-def _gif_frames(payload: bytes) -> list[bytes]:
-    """REAL animated-GIF frame extraction using only the public GIF89a
-    block grammar (stdlib struct): walk the logical screen descriptor,
-    skip the global color table, then collect each image descriptor's
-    full byte span (descriptor + local color table + LZW data
-    sub-blocks) — one self-contained bytes object per frame. Raises
-    ValueError on anything that is not a well-formed GIF; the caller
-    falls back to the digest stub."""
+def _gif_walk(payload: bytes) -> tuple[list[bytes], int]:
+    """REAL animated-GIF structure walk using only the public GIF89a
+    block grammar (stdlib struct): logical screen descriptor, global
+    color table, then per block — extensions (accumulating graphic
+    control delays) and image descriptors, whose full byte span
+    (descriptor + local color table + LZW data sub-blocks) becomes one
+    self-contained frame. Returns (frames, total_delay_ms). Raises
+    ValueError on anything not a well-formed GIF; callers fall back to
+    the digest stub."""
     import struct
 
     if len(payload) < 14 or payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -356,6 +361,7 @@ def _gif_frames(payload: bytes) -> list[bytes]:
             p += ln
 
     frames: list[bytes] = []
+    delay_cs = 0
     while True:
         if pos >= len(payload):
             raise ValueError("missing trailer")
@@ -365,6 +371,9 @@ def _gif_frames(payload: bytes) -> list[bytes]:
         if block == 0x21:  # extension: label + sub-blocks
             if pos + 2 > len(payload):
                 raise ValueError("truncated extension")
+            if payload[pos + 1] == 0xF9 and pos + 6 <= len(payload):
+                # graphic control: delay in centiseconds at offset +4
+                delay_cs += struct.unpack("<H", payload[pos + 4:pos + 6])[0]
             pos = _skip_subblocks(pos + 2)
         elif block == 0x2C:  # image descriptor
             start = pos
@@ -385,7 +394,84 @@ def _gif_frames(payload: bytes) -> list[bytes]:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
     if not frames:
         raise ValueError("GIF with no image frames")
-    return frames
+    return frames, delay_cs * 10
+
+
+def _gif_frames(payload: bytes) -> list[bytes]:
+    """The frame spans of :func:`_gif_walk` (see there)."""
+    return _gif_walk(payload)[0]
+
+
+def _mp4_duration_ms(payload: bytes) -> int:
+    """MP4/ISO-BMFF duration from the movie header box, stdlib-only:
+    walk top-level boxes to ``moov``, then its children to ``mvhd``,
+    and read (timescale, duration) at the version-dependent offsets.
+    Requires the standard leading ``ftyp`` box (also the structural
+    guard against text payloads). Raises ValueError otherwise."""
+    import struct
+
+    n = len(payload)
+    if n < 16 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file")
+
+    def _boxes(lo: int, hi: int):
+        p = lo
+        while p + 8 <= hi:
+            (size,), btype = struct.unpack(">I", payload[p:p + 4]), payload[p + 4:p + 8]
+            hdr = 8
+            if size == 1:
+                if p + 16 > hi:
+                    raise ValueError("truncated largesize box")
+                size = struct.unpack(">Q", payload[p + 8:p + 16])[0]
+                hdr = 16
+            elif size == 0:
+                size = hi - p
+            if size < hdr or p + size > hi:
+                raise ValueError("malformed box size")
+            yield btype, p + hdr, p + size
+            p += size
+
+    for btype, lo, hi in _boxes(0, n):
+        if btype != b"moov":
+            continue
+        for ctype, clo, chi in _boxes(lo, hi):
+            if ctype != b"mvhd":
+                continue
+            version = payload[clo]
+            if version == 1:
+                ts, dur = struct.unpack(">IQ", payload[clo + 20:clo + 32])
+            else:
+                ts, dur = struct.unpack(">II", payload[clo + 12:clo + 20])
+            if not ts:
+                raise ValueError("mvhd timescale 0")
+            return int(dur * 1000 // ts)
+    raise ValueError("no moov/mvhd box")
+
+
+def parse_media_duration_ms(payload: bytes) -> int | None:
+    """Header-only duration in milliseconds for the stdlib-reachable
+    containers — WAV (PCM frame count / sample rate), MP4 (mvhd),
+    animated GIF (summed graphic-control delays). None for anything
+    unrecognized — callers treat duration as unknown, never an error."""
+    if not payload:
+        return None
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                rate = w.getframerate()
+                if rate:
+                    return int(w.getnframes() * 1000 // rate)
+            return None
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return _gif_walk(payload)[1]
+        if len(payload) >= 16 and payload[4:8] == b"ftyp":
+            return _mp4_duration_ms(payload)
+    except Exception:  # noqa: BLE001 — malformed header: unknown, not fatal
+        return None
+    return None
 
 
 def decode_video_frames(payload: bytes, n_frames: int) -> list[bytes]:
@@ -431,7 +517,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, digests, sizes = [], [], []
-            widths, heights, chans = [], [], []
+            widths, heights, chans, durs = [], [], [], []
             for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
                 if payload is None:
                     feats.append(None)
@@ -440,6 +526,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                     widths.append(None)
                     heights.append(None)
                     chans.append(None)
+                    durs.append(None)
                     continue
                 raw = bytes(payload)
                 decode = _decode_audio if mtype == "audio" else _decode_image
@@ -454,6 +541,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                 widths.append(dims[0] if dims else None)
                 heights.append(dims[1] if dims else None)
                 chans.append(dims[2] if dims else None)
+                durs.append(parse_media_duration_ms(raw))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -463,6 +551,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                     "width": pd.array(widths, dtype="Int32"),
                     "height": pd.array(heights, dtype="Int32"),
                     "channels": pd.array(chans, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
                     "features": feats,
                 }
             )

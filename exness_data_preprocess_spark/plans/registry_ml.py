@@ -1185,6 +1185,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         "channels",
+        "duration_ms",
         *[
             F.element_at("features", i + 1).cast("int").alias(f"f{i}")
             for i in range(4)
@@ -1205,6 +1206,7 @@ SELECT asset_id, media_type,
        NULL::INT AS width,
        NULL::INT AS height,
        NULL::INT AS channels,
+       NULL::BIGINT AS duration_ms,
        ('0x' || substr(sha256(text), 1, 2))::INT AS f0,
        ('0x' || substr(sha256(text), 3, 2))::INT AS f1,
        ('0x' || substr(sha256(text), 5, 2))::INT AS f2,

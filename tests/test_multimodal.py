@@ -421,11 +421,16 @@ def test_fixture_texts_never_false_positive_decoders():
         rows = con.execute(
             f"SELECT text FROM read_parquet('/root/testdata/{sf}/documents.parquet') "
             "WHERE substr(text,1,4) IN ('GIF8','RIFF') OR substr(text,1,2)='BM' "
-            "OR substr(text,1,1) IN (chr(137), chr(255))"
+            "OR substr(text,5,4)='ftyp' OR substr(text,1,1) IN (chr(137), chr(255))"
         ).fetchall()
         for (text,) in rows:
             payload = text.encode("utf-8")
             assert parse_image_dims(payload) is None
+            from exness_data_preprocess_spark.operators.multimodal import (
+                parse_media_duration_ms,
+            )
+
+            assert parse_media_duration_ms(payload) is None
             for decoder, label in ((_wav_decode, "WAV"), (_gif_frames, "GIF")):
                 try:
                     decoder(payload)
@@ -518,3 +523,65 @@ def test_sample_video_frames_real_gif_and_stub_coexist(spark):
     h1 = hashlib.sha256(b"mp4-ish").hexdigest().encode()
     stub0 = {r["frame_idx"]: r["frame_sha256"] for r in by_asset[2]}
     assert stub0[0] == hashlib.sha256(h1).hexdigest()
+
+
+def _encode_mp4_headers(timescale, duration, version=0):
+    """Header-only ISO-BMFF: ftyp box + moov/mvhd with the given
+    timescale/duration (no tracks, no mdat — the parser reads mvhd only)."""
+    import struct
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+    if version == 1:
+        body = (b"\x01\x00\x00\x00" + b"\x00" * 16
+                + struct.pack(">IQ", timescale, duration))
+    else:
+        body = (b"\x00\x00\x00\x00" + b"\x00" * 8
+                + struct.pack(">II", timescale, duration))
+    mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp + moov
+
+
+def test_parse_media_duration_all_formats():
+    from exness_data_preprocess_spark.operators.multimodal import (
+        parse_media_duration_ms,
+    )
+
+    # WAV: 8000 samples at 8 kHz = 1000 ms
+    wav = _encode_wav(list(range(-50, 50)) * 80, sampwidth=2, framerate=8000)
+    assert parse_media_duration_ms(wav) == 1000
+    # MP4 mvhd v0 and v1
+    assert parse_media_duration_ms(_encode_mp4_headers(600, 1500)) == 2500
+    assert parse_media_duration_ms(
+        _encode_mp4_headers(90000, 90000 * 7, version=1)
+    ) == 7000
+    # animated GIF: graphic-control delays are centiseconds (10 cs each
+    # in the fixture encoder) — 4 frames = 400 ms
+    assert parse_media_duration_ms(_encode_animated_gif(4)) == 400
+    # unknowns degrade to None, never raise
+    assert parse_media_duration_ms(b"plain text payload") is None
+    assert parse_media_duration_ms(b"xxxxftyp not really a box") is None
+    assert parse_media_duration_ms(b"RIFFxxxxWAVEgarbage") is None
+    assert parse_media_duration_ms(b"") is None
+
+
+def test_feature_extraction_emits_duration(spark):
+    from exness_data_preprocess_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    wav = _encode_wav([1, -1] * 4000, sampwidth=2, framerate=8000)
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(wav)),
+            (2, "video", bytearray(_encode_mp4_headers(1000, 2500))),
+            (3, "video", bytearray(_encode_animated_gif(3))),
+            (4, "image", bytearray(b"no duration here")),
+        ],
+        "asset_id long, media_type string, payload binary",
+    )
+    out = {r["asset_id"]: r for r in extract_media_features(media).collect()}
+    assert out[1]["duration_ms"] == 1000
+    assert out[2]["duration_ms"] == 2500
+    assert out[3]["duration_ms"] == 300
+    assert out[4]["duration_ms"] is None
