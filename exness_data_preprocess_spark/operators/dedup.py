@@ -131,6 +131,27 @@ def _mask_miss_sql(mask_a: str, mask_b: str) -> str:
     )
 
 
+def _apply_suffix_filter(pruned, base, keep_fn, out_cols):
+    """Shared scaffolding of the containment and Jaccard suffix filters
+    (review find: two near-verbatim copies would drift): attach both
+    docs' signature masks to the candidate pairs, keep rows passing
+    ``keep_fn(miss_ab, miss_ba)`` (each a sound lower bound on that
+    direction's set difference), and project ``out_cols``."""
+    joined = (
+        pruned.join(
+            base.select(F.col("id").alias("id_a"), F.col("sfm").alias("sfm_a")),
+            "id_a",
+        )
+        .join(
+            base.select(F.col("id").alias("id_b"), F.col("sfm").alias("sfm_b")),
+            "id_b",
+        )
+    )
+    miss_ab = F.expr(_mask_miss_sql("sfm_a", "sfm_b"))
+    miss_ba = F.expr(_mask_miss_sql("sfm_b", "sfm_a"))
+    return joined.filter(keep_fn(miss_ab, miss_ba)).select(*out_cols)
+
+
 # ---------------------------------------------------------------------------
 # Tokenization / shingling (shared with textstats)
 # ---------------------------------------------------------------------------
@@ -1071,31 +1092,20 @@ def ngram_jaccard_pairs(
         )
     )
     if suffix_filter_bits is not None:
-        ovl_ub = F.least(
-            F.col("sz_a") - F.expr(_mask_miss_sql("sfm_a", "sfm_b")),
-            F.col("sz_b") - F.expr(_mask_miss_sql("sfm_b", "sfm_a")),
-        )
-        # strict < with a float-slack so a borderline-true pair can
-        # never die to double round-off (the bound itself is exact
-        # integer arithmetic on the left)
-        pruned = (
-            pruned.join(
-                base.select(
-                    F.col("id").alias("id_a"), F.col("sfm").alias("sfm_a")
-                ),
-                "id_a",
+        # keep-side float slack so a borderline-true pair can never die
+        # to double round-off (the bound itself is exact integer
+        # arithmetic on the left)
+        def _keep_jaccard(miss_ab, miss_ba):
+            ovl_ub = F.least(
+                F.col("sz_a") - miss_ab, F.col("sz_b") - miss_ba
             )
-            .join(
-                base.select(
-                    F.col("id").alias("id_b"), F.col("sfm").alias("sfm_b")
-                ),
-                "id_b",
+            return ovl_ub * F.lit(1.0 + t) >= (
+                F.lit(t) * (F.col("sz_a") + F.col("sz_b")) - F.lit(1e-9)
             )
-            .filter(
-                ovl_ub * F.lit(1.0 + t)
-                >= F.lit(t) * (F.col("sz_a") + F.col("sz_b")) - F.lit(1e-9)
-            )
-            .select(*block_cols, "id_a", "id_b", "sz_a", "sz_b")
+
+        pruned = _apply_suffix_filter(
+            pruned, base, _keep_jaccard,
+            (*block_cols, "id_a", "id_b", "sz_a", "sz_b"),
         )
     if candidates_only:
         # instrumentation tap (tests/test_scale_counts.py): the candidate
@@ -1790,24 +1800,11 @@ def ngram_containment_pairs(
         # candidate when even sz_a − miss_lb falls below the needed
         # overlap. 128 bytes per side per candidate; the full token
         # arrays are shipped only for survivors.
-        miss_lb = F.expr(_mask_miss_sql("sfm_a", "sfm_b"))
-        pruned = (
-            pruned.join(
-                base.select(
-                    F.col("id").alias("id_a"), F.col("sfm").alias("sfm_a")
-                ),
-                "id_a",
-            )
-            .join(
-                base.select(
-                    F.col("id").alias("id_b"), F.col("sfm").alias("sfm_b")
-                ),
-                "id_b",
-            )
-            .filter(
-                (F.col("sz_a") - miss_lb) >= F.ceil(F.lit(t) * F.col("sz_a"))
-            )
-            .select(*block_cols, "id_a", "id_b", "sz_a")
+        pruned = _apply_suffix_filter(
+            pruned, base,
+            lambda miss_ab, _: (F.col("sz_a") - miss_ab)
+            >= F.ceil(F.lit(t) * F.col("sz_a")),
+            (*block_cols, "id_a", "id_b", "sz_a"),
         )
     if candidates_only:
         # Instrumentation tap for scale measurement (scripts/scale_curve):

@@ -437,10 +437,19 @@ def _mp4_duration_ms(payload: bytes) -> int:
         for ctype, clo, chi in _boxes(lo, hi):
             if ctype != b"mvhd":
                 continue
+            if clo >= chi:
+                raise ValueError("empty mvhd box")
             version = payload[clo]
+            # bound every read to the box end (review find: a short
+            # mvhd would silently read the next sibling's bytes and
+            # emit an arbitrary wrong duration instead of None)
             if version == 1:
+                if clo + 32 > chi:
+                    raise ValueError("truncated mvhd v1")
                 ts, dur = struct.unpack(">IQ", payload[clo + 20:clo + 32])
             else:
+                if clo + 20 > chi:
+                    raise ValueError("truncated mvhd v0")
                 ts, dur = struct.unpack(">II", payload[clo + 12:clo + 20])
             if not ts:
                 raise ValueError("mvhd timescale 0")
@@ -466,7 +475,11 @@ def parse_media_duration_ms(payload: bytes) -> int | None:
                     return int(w.getnframes() * 1000 // rate)
             return None
         if payload[:6] in (b"GIF87a", b"GIF89a"):
-            return _gif_walk(payload)[1]
+            frames, ms = _gif_walk(payload)
+            # a single frame with no graphic-control delay is a STILL
+            # image — duration is unknown/not-a-timed-medium, not 0ms
+            # (review find: 0 here misclassified every static GIF)
+            return ms if (len(frames) > 1 or ms > 0) else None
         if len(payload) >= 16 and payload[4:8] == b"ftyp":
             return _mp4_duration_ms(payload)
     except Exception:  # noqa: BLE001 — malformed header: unknown, not fatal
@@ -489,11 +502,16 @@ def decode_video_frames(payload: bytes, n_frames: int) -> list[bytes]:
        byte-stable."""
     if payload is None:
         raise NotImplementedError("video decode requires ffmpeg (not bundled)")
+    if n_frames <= 0:
+        # review find: the GIF branch's min(n_frames, len) conflated
+        # "one requested" with "zero requested" and emitted one phantom
+        # frame — zero means zero on every path
+        return []
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         try:
             all_frames = _gif_frames(payload)
             k = min(n_frames, len(all_frames))
-            if k <= 1:
+            if k == 1:
                 return all_frames[:1]
             step = (len(all_frames) - 1) / (k - 1)
             return [all_frames[round(i * step)] for i in range(k)]

@@ -585,3 +585,40 @@ def test_feature_extraction_emits_duration(spark):
     assert out[2]["duration_ms"] == 2500
     assert out[3]["duration_ms"] == 300
     assert out[4]["duration_ms"] is None
+
+
+def test_duration_and_frame_edge_cases():
+    """Review finds (r8 third pass): n_frames=0 must mean zero on every
+    path; a STILL GIF has no duration (None, not 0 ms); a truncated mvhd
+    must degrade to None instead of reading the neighbor box's bytes."""
+    import struct
+
+    from exness_data_preprocess_spark.operators.multimodal import (
+        decode_video_frames,
+        parse_media_duration_ms,
+    )
+
+    gif = _encode_animated_gif(3)
+    assert decode_video_frames(gif, 0) == []
+    assert decode_video_frames(b"not gif", 0) == []
+    assert len(decode_video_frames(gif, 1)) == 1
+
+    # still GIF: one frame, no graphic-control delay → duration unknown
+    still = bytearray(b"GIF89a")
+    still += struct.pack("<HH", 2, 2) + bytes([0, 0, 0])
+    still += b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+    still += bytes([2, 1, 0x4c, 0]) + b"\x3b"
+    assert parse_media_duration_ms(bytes(still)) is None
+    # multi-frame with zero delays IS a (degenerate) animation: 0 ms
+    nodelay = _encode_animated_gif(2)
+    # strip the delay bytes by re-encoding with delay 0
+    nodelay = nodelay.replace(b"\x21\xf9\x04\x00\x0a\x00\x00\x00",
+                              b"\x21\xf9\x04\x00\x00\x00\x00\x00")
+    assert parse_media_duration_ms(nodelay) == 0
+
+    # truncated mvhd (size 12: version+flags only) → None, never a
+    # neighbor-box read
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+    short_mvhd = struct.pack(">I", 12) + b"mvhd" + b"\x00\x00\x00\x00"
+    moov = struct.pack(">I", 8 + len(short_mvhd)) + b"moov" + short_mvhd
+    assert parse_media_duration_ms(ftyp + moov) is None
