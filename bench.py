@@ -113,29 +113,35 @@ def main() -> None:
             )
         },
     }
+    # Key order matters: the round driver records only the TAIL of this
+    # line (BENCH_r08's captured tail cut off before median_query_sec
+    # because the per-query spread dict preceded it — judge r8 task 7).
+    # Big per-query dicts go FIRST, summary scalars LAST, so any
+    # tail-truncation window still contains every scalar the
+    # round-over-round comparison needs.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": total,
                 "unit": "sec",
+                # per-query [min, mid, max] of the three samples —
+                # regression-vs-jitter evidence (r7 hygiene item)
+                "queries_spread": spread,
                 "queries": timings,
-                # the query set grows round-over-round; totals aren't
-                # comparable across rounds, medians and counts are
-                "n_queries": len(timings),
                 "excluded": excluded,
+                "env": env,
                 # one-time index-build (trained-IVF k-means fit) cost,
                 # reported separately: it is an artifact-build step, not
                 # part of any per-query timing (centroids are
                 # fingerprint-cached across the best-of-3 samples)
                 "index_build_sec": _index_build_sec(),
+                # the query set grows round-over-round; totals aren't
+                # comparable across rounds, medians and counts are
                 "median_query_sec": median,
-                # per-query [min, mid, max] of the three samples —
-                # regression-vs-jitter evidence (r7 hygiene item)
-                "queries_spread": spread,
+                "n_queries": len(timings),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+                "value": total,
                 "wall_including_warmup": wall,
-                "env": env,
             }
         )
     )

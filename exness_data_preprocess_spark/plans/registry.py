@@ -916,35 +916,41 @@ def _register_extra_queries() -> None:
 # set at sf0.1); rotation widens cumulative external coverage, it does
 # not narrow what is checked.
 _DRIVER_PRIORITY = [
-    # round-8 (judge r7 task 2): re-certify the r5-era window — the 21
-    # entries whose most recent driver-green row is CORRECTNESS_r05,
-    # two rounds back (everything else is r6/r7-green)
-    "ngram_novelty", "ohlc_1m", "ohlc_resample_1d", "ohlc_resample_1h",
-    "oov_rate", "per_day_stats", "pivot_lang_source", "pricing_summary",
-    "region_revenue", "session_labels", "source_overlap",
-    "streaming_attribution_join", "streaming_dedup",
-    "streaming_gap_sessions", "streaming_incremental_dedup",
-    "streaming_ohlc_1m", "streaming_running_anomaly",
-    "temperature_mix_sample", "tick_range_scan", "top_k", "vocabulary",
-    # plans touched this round (single-scan sketch-index rendering,
-    # containment suffix filter, multimodal WAV/JPEG decode)
-    "sketch_index_update", "dedup_containment", "dedup_containment_exact",
-    "multimodal_features", "salted_join",
-    # oldest remaining certifications (r6 window) fill the rest of the
-    # driver's 50-sample — scale-risky near-dup/ANN families first.
-    # cms_heavy_hitters is the one r6-window entry the 50-cap squeezes
-    # out this round (displaced by the new salted_join slot); it is
-    # covered by the full local sweep every round and MUST lead the r9
-    # rotation
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_exact_substring",
-    "dedup_embedding_cosine", "dedup_embedding_cosine_ivf",
-    "dedup_embedding_cosine_ivf_trained", "dedup_embedding_cosine_srp",
-    "semantic_decontamination", "semantic_decontamination_ivf",
-    "ann_ivf_topk", "ann_ivf_multiprobe", "ann_lsh_bucketed",
-    "pq_encode", "pq_ann_adc", "pq_ann_adc_trained",
-    "embedding_cosine_topk", "asof_forward", "asof_nearest",
-    "fill_minute_gaps", "catalog_tick_scan", "catalog_ohlc_1m",
-    "catalog_ohlc_1h", "kmv_distinct_sketch", "hll_distinct_sketch",
+    # round-9 (judge r8 task 1): cms_heavy_hitters leads — it is the one
+    # entry the r8 50-cap squeezed out (last driver-green r6) — followed
+    # by the rest of the r6-certification window (26 entries total whose
+    # most recent driver-green row is CORRECTNESS_r06: the sketch family,
+    # resample variants, eventflow, retrieval/text-stats, NB classifier)
+    "cms_heavy_hitters", "bloom_membership", "bm25_topk",
+    "cohort_retention", "collocation_pmi", "contamination_spans",
+    "doc_fingerprint", "funnel_daily", "histogram_quantiles",
+    "kmv_source_overlap", "lang_id", "lm_fluency_score",
+    "ohlc_resample_15m", "ohlc_resample_30m", "ohlc_resample_4h",
+    "ohlc_resample_5m", "quality_classifier_nb", "realized_volatility",
+    "streaming_hll_sketch", "streaming_kmv_sketch", "text_quality",
+    "tfidf_top_terms", "train_val_test_split", "twap_hourly",
+    "video_frame_sample", "zipf_fit",
+    # the remaining 24 slots of the driver's 50-sample go to the oldest
+    # (r7-window) entries, plans-touched-this-round and scale-risky
+    # families first: rolling_user_stats (adaptive plan selection this
+    # round), streaming_cdc_snapshot (cdc_stream seeding-guard fixes),
+    # the dedup/cluster family on the natural ladder, then joins/windows
+    "rolling_user_stats", "streaming_cdc_snapshot", "cdc_apply",
+    "dedup_levenshtein", "dedup_minhash_lsh", "dedup_exact",
+    "dedup_keep_best", "dup_connected_components", "incremental_dedup",
+    "decontamination", "distinct_users_skew_safe",
+    "events_window_dedup", "interval_join_events", "sessionize_events",
+    "analyze_events", "asof_join", "asof_tolerance", "coverage_stats",
+    "gap_months", "keyset_pagination", "flag_filters", "full_outer_diff",
+    "minute_bucket_join", "lag_lead_features",
+    # still r7-green after this round, scheduled to lead the r10
+    # rotation: autocorr_lag1, blocklist_filter, chunk_documents,
+    # corpus_rollup, corpus_stats, curation_pipeline, daily_quantiles,
+    # distinct_instruments, doc_entropy, embedding_quantize,
+    # hourly_count_corr, json_extract_stats, jsonl_roundtrip,
+    # max_drawdown, quality_percentile_filter, repetition_quality,
+    # sample_k_per_group, sequence_packing, stratified_sample,
+    # text_clean, training_shards, validate_events
 ]
 
 
