@@ -210,7 +210,8 @@ def parse_image_dims(payload: bytes) -> tuple[int, int, int] | None:
     media table) can never false-positive: PNG and JPEG magics are
     invalid leading UTF-8 bytes; BMP requires the header's file-size
     field to equal the actual payload length plus a known DIB header
-    size; GIF requires the spec trailer byte 0x3B at the very end.
+    size; GIF must survive the full :func:`_gif_walk` block grammar
+    (trailing padding after the trailer is tolerated — advisor r8).
     Returns None for anything unrecognized — callers treat dims as
     unknown, never as an error.
     """
@@ -263,11 +264,18 @@ def parse_image_dims(payload: bytes) -> tuple[int, int, int] | None:
                 return _ok(w, h, ch) if ch else None
             pos += 2 + seg_len
         return None
-    if (
-        n >= 11
-        and payload[:6] in (b"GIF87a", b"GIF89a")
-        and payload[-1:] == b";"  # spec trailer 0x3B — text-payload guard
-    ):
+    if n >= 11 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        # Structural text-payload guard via the block grammar (advisor
+        # r8: some encoders pad bytes AFTER the trailer, and requiring
+        # 0x3B as the literal last byte degraded those valid GIFs to
+        # NULL dims — _gif_walk stops AT the trailer positionally, so
+        # trailing padding is tolerated, while a text payload cannot
+        # survive the walk: every block byte must be 0x21/0x2C/0x3B and
+        # at least one well-formed image frame must exist).
+        try:
+            _gif_walk(payload)
+        except ValueError:
+            return None
         w, h = struct.unpack("<HH", payload[6:10])
         return _ok(w, h, 3)
     if n >= 30 and payload[:2] == b"BM":

@@ -202,6 +202,21 @@ def run_cdc_snapshot_durable(
     cur_qid = _ckpt_query_id(checkpoint_dir)
     meta0 = _read_sidecar(sd)
     if meta0["version"] < 0:
+        if cur_qid is not None:
+            # Advisor find (r8, medium): seeding fresh state against a
+            # checkpoint that ALREADY has a lineage is silent data loss
+            # in the exactly-once path — the stream resumes past that
+            # lineage's committed offsets, so every batch the lost state
+            # had applied is never applied to the fresh v0. Mirror the
+            # lineage-mismatch refusal instead of adopting.
+            raise ValueError(
+                f"no CDC snapshot state under {state_dir}, but "
+                f"checkpoint_dir {ckpt_path!r} already has streaming "
+                f"lineage {cur_qid!r} — resuming it against freshly "
+                "seeded state would skip every batch committed before "
+                "the state was lost. Rebuild from base with a FRESH "
+                "checkpoint_dir (or restore the matching state_dir)."
+            )
         # first run: seed v0 from base so batch 0 merges against it;
         # the sidecar records WHICH checkpoint lineage numbers its
         # batches (qid published per batch once the stream minted it)
@@ -217,6 +232,21 @@ def run_cdc_snapshot_durable(
         )
     else:
         bound_qid = meta0.get("checkpoint_id")
+        if bound_qid is None and meta0.get("checkpoint") not in (
+            None,
+            ckpt_path,
+        ):
+            # Advisor find (r8, low): a sidecar whose lineage binding
+            # never attached (zero-batch first drain, before the
+            # post-drain re-publish below existed) must not accept a
+            # DIFFERENT checkpoint path — its batch ids restart at 0 and
+            # the idempotence guard would replay-swallow them.
+            raise ValueError(
+                f"CDC snapshot state at {state_dir} was created against "
+                f"checkpoint path {meta0.get('checkpoint')!r} and has no "
+                f"lineage id bound yet; refusing the different "
+                f"checkpoint_dir {ckpt_path!r}."
+            )
         if bound_qid is not None and cur_qid != bound_qid:
             # covers BOTH a different checkpoint path (its metadata has
             # a different id) and a wiped-and-recreated checkpoint at
@@ -290,6 +320,17 @@ def run_cdc_snapshot_durable(
         raise TimeoutError(
             f"availableNow CDC drain {query_name!r} did not finish within "
             f"{timeout_seconds}s; state left at last published version"
+        )
+    meta_end = _read_sidecar(sd)
+    if meta_end.get("checkpoint_id") is None:
+        # Advisor find (r8, low): a zero-batch first drain leaves the
+        # seed-time None binding in place (only _apply upgrades it), and
+        # an unbound sidecar would accept any future checkpoint. The
+        # stream has run, so the checkpoint metadata now exists — attach
+        # the minted lineage id even when no batch was applied.
+        _publish(
+            sd,
+            {**meta_end, "checkpoint_id": _ckpt_query_id(checkpoint_dir)},
         )
     return read_durable_snapshot(spark, sd)
 

@@ -320,14 +320,24 @@ def _encode_jpeg_headers(width, height, channels=3, progressive=False):
     return b"\xff\xd8" + app0 + dht + sof
 
 
-def _encode_gif_header(width, height):
+def _encode_gif_header(width, height, trailing=b""):
     import struct
 
+    # minimal spec-valid GIF: the dims parser validates via the full
+    # _gif_walk block grammar (advisor r8), which requires at least one
+    # well-formed image frame — as every real GIF has. `trailing` lets a
+    # test append post-trailer padding (some encoders emit it; the walk
+    # stops AT the trailer, so padding must not degrade dims to NULL).
     return (
         b"GIF89a"
         + struct.pack("<HH", width, height)
         + b"\x00\x00\x00"  # flags, bg, aspect
-        + b"\x3b"  # trailer — the parser requires it (text-payload guard)
+        + b"\x2c"  # image descriptor
+        + struct.pack("<HHHH", 0, 0, width, height)
+        + b"\x00"  # no local color table
+        + b"\x02\x01\x00\x00"  # LZW min-code, 1-byte sub-block, terminator
+        + b"\x3b"  # trailer
+        + trailing
     )
 
 
@@ -357,6 +367,19 @@ def test_parse_image_dims_all_formats():
         _encode_jpeg_headers(1920, 1080, 3, progressive=True)
     ) == (1920, 1080, 3)
     assert parse_image_dims(_encode_gif_header(320, 200)) == (320, 200, 3)
+    # post-trailer padding/garbage (real encoders emit it) must not
+    # degrade valid dims to None (advisor r8: the old last-byte-0x3B
+    # check did exactly that)
+    assert parse_image_dims(
+        _encode_gif_header(320, 200, trailing=b"\x00\x00garbage")
+    ) == (320, 200, 3)
+    # frame-less GIF header (structurally invalid — spec requires >=1
+    # image) is rejected even with the trailer byte in place
+    import struct as _s
+
+    assert parse_image_dims(
+        b"GIF89a" + _s.pack("<HH", 9, 9) + b"\x00\x00\x00\x3b"
+    ) is None
     assert parse_image_dims(_encode_bmp(99, 55, 24)) == (99, 55, 3)
     assert parse_image_dims(_encode_bmp(12, 7, 32)) == (12, 7, 4)
     # top-down BMP (negative height) reports |height|

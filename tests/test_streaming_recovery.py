@@ -261,3 +261,93 @@ def test_cdc_durable_refuses_foreign_checkpoint(spark, tmp_path):
         query_name="t_cdc_rebuilt",
     )
     assert {(r["k"], r["v"]) for r in snap.collect()} == {(1, "b")}
+
+
+def test_cdc_durable_refuses_fresh_state_with_lived_checkpoint(
+    spark, tmp_path
+):
+    """Advisor find (r8, medium): seeding FRESH state against a
+    checkpoint that already has a lineage silently loses data — the
+    stream resumes past that lineage's committed offsets, so the batches
+    the lost state had applied never reach the new v0. Must refuse."""
+    import pytest
+
+    from exness_data_preprocess_spark.streaming.cdc_stream import (
+        run_cdc_snapshot_durable,
+    )
+
+    schema = "k long, seq long, op string, v string"
+    base = spark.createDataFrame([(1, "v1")], "k long, v string")
+    stage = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stage)
+    t0 = time.time() - 100
+    _stage_file(spark, [(1, 1, "U", "a")], schema, stage, "0.parquet", t0)
+
+    def drain(state):
+        stream = (
+            spark.readStream.format("parquet").schema(schema).load(stage)
+        )
+        return run_cdc_snapshot_durable(
+            stream, base, ("k",), state, ckpt,
+            query_name="t_cdc_fresh_state",
+        )
+
+    drain(str(tmp_path / "state_a"))  # mints the checkpoint lineage
+    # state lost (wiped/never restored) but checkpoint retained: the
+    # rebuild must NOT adopt the old lineage — batch 0 is already
+    # committed there and would never be applied to the fresh seed
+    with pytest.raises(ValueError, match="already has streaming lineage"):
+        drain(str(tmp_path / "state_b"))
+
+
+def test_cdc_durable_zero_batch_drain_still_binds_lineage(spark, tmp_path):
+    """Advisor find (r8, low): a first drain that processes ZERO batches
+    used to leave checkpoint_id=None forever (only _apply upgraded it),
+    so a later swapped checkpoint restarting batch ids at 0 would be
+    replay-swallowed. The post-drain re-publish must attach the minted
+    lineage id even when no batch ran."""
+    import json
+
+    import pytest
+
+    from exness_data_preprocess_spark.streaming.cdc_stream import (
+        _SNAP_SIDECAR,
+        _read_sidecar,
+        run_cdc_snapshot_durable,
+    )
+
+    schema = "k long, seq long, op string, v string"
+    base = spark.createDataFrame([(1, "v1")], "k long, v string")
+    stage = str(tmp_path / "in")  # stays EMPTY for the first drain
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stage)
+
+    def drain(ckpt_dir):
+        stream = (
+            spark.readStream.format("parquet").schema(schema).load(stage)
+        )
+        return run_cdc_snapshot_durable(
+            stream, base, ("k",), state, ckpt_dir,
+            query_name="t_cdc_zero_batch",
+        )
+
+    snap = drain(ckpt)
+    assert {(r["k"], r["v"]) for r in snap.collect()} == {(1, "v1")}
+    meta = _read_sidecar(state)
+    assert meta["last_batch_id"] == -1  # nothing ran...
+    assert meta["checkpoint_id"] is not None  # ...yet the binding attached
+    # so a swapped checkpoint is now refused, not replay-swallowed
+    with pytest.raises(ValueError, match="checkpoint lineage"):
+        drain(str(tmp_path / "ckpt_other"))
+
+    # belt-and-braces for pre-fix sidecars that never attached a binding:
+    # a None-bound sidecar must still refuse a DIFFERENT checkpoint path
+    sc = os.path.join(state, _SNAP_SIDECAR)
+    legacy = json.loads(open(sc).read())
+    legacy["checkpoint_id"] = None
+    with open(sc, "w") as fh:
+        fh.write(json.dumps(legacy))
+    with pytest.raises(ValueError, match="no lineage id bound"):
+        drain(str(tmp_path / "ckpt_other"))
