@@ -549,7 +549,9 @@ class SparkDataProcessor:
             release_checkpoints(self.spark, own)
         return params
 
-    def update_sketches(self, batch_df: DataFrame) -> None:
+    def update_sketches(
+        self, batch_df: DataFrame, extra_params: dict | None = None
+    ) -> None:
         """Merge a new shard into the persisted sketch state WITHOUT
         re-scanning the corpus: the batch pays one aggregation pass over
         itself, then an exact merge against the bounded stored state
@@ -558,7 +560,12 @@ class SparkDataProcessor:
         to a one-pass build over the concatenation — the
         ``sketch_index_update`` registry oracle pins that contract.
         Family params come from the stored sidecar; raises with guidance
-        when no index has been built yet.
+        when no index has been built yet. ``extra_params`` rides the
+        params sidecar of the SAME atomic publish — the streaming
+        updater (streaming/sketch_stream.py) uses it to make the state
+        version and "batches applied through B" one indivisible fact
+        (the CMS leg merges by cell-wise sum, so replay protection
+        cannot rely on merge algebra).
 
         The whole read -> merge -> write cycle runs under the catalog's
         sketch-index lock (advisor find: locking only the write lets two
@@ -592,7 +599,9 @@ class SparkDataProcessor:
                     p["group_col"],
                     p["k"],
                 )
-                self.catalog.write_sketch_index(merged, p)
+                self.catalog.write_sketch_index(
+                    merged, {**p, **(extra_params or {})}
+                )
             finally:
                 release_checkpoints(self.spark, own)
 

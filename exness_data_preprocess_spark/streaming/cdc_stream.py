@@ -101,11 +101,14 @@ def run_cdc_snapshot_available_now(
 _SNAP_SIDECAR = "_cdc_snapshot.json"
 
 
-def _read_sidecar(state_dir) -> dict:
+def _read_sidecar(state_dir, name: str = _SNAP_SIDECAR) -> dict:
+    """Shared by the durable CDC snapshot and the durable sketch stream
+    (streaming/sketch_stream.py) — ``name`` distinguishes the state
+    families so both can coexist under one directory."""
     import json
     from pathlib import Path
 
-    p = Path(state_dir) / _SNAP_SIDECAR
+    p = Path(state_dir) / name
     if not p.exists():
         return {"version": -1, "last_batch_id": -1}
     return json.loads(p.read_text())
@@ -335,7 +338,7 @@ def run_cdc_snapshot_durable(
     return read_durable_snapshot(spark, sd)
 
 
-def _publish(state_dir, meta: dict) -> None:
+def _publish(state_dir, meta: dict, name: str = _SNAP_SIDECAR) -> None:
     """fsync'd atomic sidecar swap (the catalog.write_sketch_index
     publish protocol, minus the Spark-side data fsync: a lost snapshot
     version here is recoverable by replaying the checkpointed stream,
@@ -344,7 +347,7 @@ def _publish(state_dir, meta: dict) -> None:
     import os
     from pathlib import Path
 
-    pfile = Path(state_dir) / _SNAP_SIDECAR
+    pfile = Path(state_dir) / name
     tmp = pfile.with_suffix(".json.tmp")
     with open(tmp, "w") as fh:
         fh.write(json.dumps(meta, sort_keys=True))

