@@ -11,7 +11,7 @@
 # ROUND stamps the artifact names so each round's certification is
 # committed alongside the code it certifies.
 
-ROUND ?= r8
+ROUND ?= r9
 PY ?= python
 
 .PHONY: test certify bench verify

@@ -182,6 +182,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_ngram_jaccard_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Instrumentation twin (scale ladder, r9): the deduped, size-pruned,
+    suffix-filtered candidate set the jaccard verify join consumes —
+    lets a ladder rung attribute wall growth to candidate growth vs
+    plan pathology, the same attribution the containment arc carries."""
+    docs = _docs_spread(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        docs, block_cols=("lang",), shingle_n=1, threshold=0.9,
+        candidates_only=True,
+    )
+
+
 ORACLE_DEDUP_NGRAM_JACCARD = f"""
 WITH d AS (
   SELECT doc_id, lang, list_distinct({_TOKS}) AS sh FROM documents
