@@ -435,14 +435,15 @@ def run_sketch_index_update_stream(
         )
     with proc.catalog.sketch_index_lock():
         p_end = proc.catalog.sketch_index_params()
-        if (
-            p_end.get("stream_checkpoint_id") is None
-            and "stream_checkpoint" in p_end
-        ):
-            # zero-batch drain: bind the minted lineage without minting
-            # a state version (sidecar-only republish is not available
-            # through write_sketch_index, so rewrite the params file
-            # via the same atomic protocol)
+        if p_end.get("stream_checkpoint_id") is None:
+            # zero-batch drain: bind the minted lineage (and the
+            # checkpoint path, which a drain with no applied batch never
+            # recorded either — without it a legitimate resume of the
+            # same now-lineaged checkpoint would be refused by the
+            # pre-start guard) WITHOUT minting a state version:
+            # sidecar-only republish is not available through
+            # write_sketch_index, so rewrite the params file via the
+            # same atomic protocol
             import json
             import os
 
@@ -456,6 +457,7 @@ def run_sketch_index_update_stream(
                 fh.write(json.dumps(
                     {
                         **p_end,
+                        "stream_checkpoint": ckpt_path,
                         "stream_checkpoint_id": _ckpt_query_id(
                             checkpoint_dir
                         ),

@@ -411,10 +411,15 @@ def test_sharded_sketch_build_reuses_one_corpus_exchange(spark):
     every leg must read an InMemoryTableScan and exactly ONE cached
     RDD may exist (one tokenize total, not one per leg)."""
     spark.catalog.clearCache()
+    sc = spark.sparkContext._jsc.sc()
+    # delta, not absolute: the shared test session can hold unrelated
+    # storage entries (earlier tests' localCheckpoint RDDs survive
+    # clearCache) — only what THIS plan materializes is under test
+    before = {c.id() for c in sc.getRDDStorageInfo()}
     df = QUERIES["sketch_index_update"].spark(spark, SF)
     df.collect()  # caching + AQE restructure at runtime, not in dry plan
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in final
-    cached = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    assert len(cached) == 1, [c.name() for c in cached]
+    new = [c for c in sc.getRDDStorageInfo() if c.id() not in before]
+    assert len(new) == 1, [c.name() for c in new]
     spark.catalog.clearCache()

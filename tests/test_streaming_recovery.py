@@ -526,3 +526,69 @@ def test_sketch_index_stream_recovers_exactly_once(spark, tmp_path):
             stream, proc, str(tmp_path / "ckpt_other"),
             query_name="t_sketch_idx_foreign",
         )
+
+
+def test_sketch_index_stream_zero_batch_drain_binds_lineage(
+    spark, tmp_path
+):
+    """A first drain that applies ZERO batches must still record the
+    streaming lineage in the params sidecar — both so a swapped
+    checkpoint is refused later AND so a legitimate resume of the same
+    (now-lineaged) checkpoint is accepted (review find: the binding was
+    only attached when stream_checkpoint already existed, which a
+    zero-batch drain never wrote)."""
+    import json
+
+    from exness_data_preprocess_spark.processor import SparkDataProcessor
+    from exness_data_preprocess_spark.sources.catalog import (
+        SKETCH_INDEX_PARAMS_FILE,
+    )
+    from exness_data_preprocess_spark.streaming.sketch_stream import (
+        run_sketch_index_update_stream,
+    )
+
+    schema = "source string, tok string"
+    proc = SparkDataProcessor(spark, tmp_path / "db")
+    proc.build_sketch_index(
+        spark.createDataFrame(
+            [("web", f"t{i}") for i in range(120)], schema
+        )
+    )
+    stage = str(tmp_path / "in")  # stays empty for the first drain
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stage)
+
+    def drain(ckpt_dir):
+        stream = (
+            spark.readStream.format("parquet").schema(schema).load(stage)
+        )
+        run_sketch_index_update_stream(
+            stream, proc, ckpt_dir, query_name="t_sketch_idx_zero"
+        )
+
+    drain(ckpt)
+    p = json.loads(
+        (tmp_path / "db" / SKETCH_INDEX_PARAMS_FILE).read_text()
+    )
+    assert p["stream_checkpoint_id"] is not None
+    assert p["stream_checkpoint"].endswith("ckpt")
+    v0 = p["_version"]
+
+    # swapped checkpoint now refused...
+    with pytest.raises(ValueError, match="lineage"):
+        drain(str(tmp_path / "ckpt_other"))
+    # ...while resuming the SAME checkpoint works and applies new data
+    _stage_file(
+        spark,
+        [("web", f"n{i}") for i in range(80)],
+        schema,
+        stage,
+        "n.parquet",
+        time.time() - 50,
+    )
+    drain(ckpt)
+    p2 = json.loads(
+        (tmp_path / "db" / SKETCH_INDEX_PARAMS_FILE).read_text()
+    )
+    assert p2["_version"] == v0 + 1
+    assert p2["stream_last_batch_id"] == 0
