@@ -1007,6 +1007,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 1,
     threshold: float = 0.9,
     suffix_filter_bits: int | None = SUFFIX_FILTER_BITS,
+    index_df_cap: int | None = None,
     candidates_only: bool = False,
 ) -> DataFrame:
     """Exact set-similarity join via prefix filtering (PPJoin-style).
@@ -1026,9 +1027,27 @@ def ngram_jaccard_pairs(
     linear, and the price that keeps the join sub-quadratic at 100 TB.
     Blocking keys bound the index further; at extreme scale block on
     (lang, length-bucket, source) or feed candidates from MinHash instead.
+
+    ``index_df_cap`` (round-9, mirroring the containment cap whose
+    semantics/trade are documented at :func:`ngram_containment_pairs`):
+    the RAW prefix collisions of the exact join grow ~n^1.5 even on a
+    Heaps-law corpus (measured 774k → 4.79 M → 24.4 M across
+    nat30/100/300) — linear-ish at fixture scale once the suffix filter
+    reduces the verify input to ~true pairs, but the dedup shuffle
+    still pays per collision. The cap drops prefix-index entries whose
+    shingle df exceeds it from BOTH join sides, bounding candidate work
+    at O(n · cap). RECALL-TRADING exactly where it binds: a true pair
+    is missed when every prefix shingle the two docs share has
+    df > cap (on Heaps-law corpora the cap barely binds and pairs are
+    identical; on bounded-vocabulary corpora use the default ``None``
+    for the exact join). Precision is never affected — verification
+    always runs on the full shingle sets — and the registry oracle for
+    the capped entry models the capped candidate generation
+    token-for-token (the r5 un-modeled-LSH-cap lesson).
     """
     t = float(threshold)
     blocks = [F.col(c) for c in block_cols]
+    keep_o = index_df_cap is not None
     ex = df.select(
         *blocks,
         F.col(id_col).alias("id"),
@@ -1050,6 +1069,10 @@ def ngram_jaccard_pairs(
             "id",
             F.transform("o", lambda x: x["s"]).alias("sh"),
             F.size("o").alias("sz"),
+            # (df, s) structs ride along ONLY under the cap, so the df
+            # filter applies at explode time without a second freq scan
+            # (the containment-cap staging)
+            *(["o"] if keep_o else []),
         )
     )
     if suffix_filter_bits is not None:
@@ -1065,11 +1088,22 @@ def ngram_jaccard_pairs(
         )
     base = base.persist()
     prefix_len = (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int")
-    pref = base.select(
-        *blocks,
-        "id",
-        F.explode(F.slice("sh", F.lit(1), prefix_len)).alias("s"),
-    )
+    if keep_o:
+        pref = (
+            base.select(
+                *blocks,
+                "id",
+                F.explode(F.slice("o", F.lit(1), prefix_len)).alias("x"),
+            )
+            .filter(F.col("x.df") <= index_df_cap)
+            .select(*blocks, "id", F.col("x.s").alias("s"))
+        )
+    else:
+        pref = base.select(
+            *blocks,
+            "id",
+            F.explode(F.slice("sh", F.lit(1), prefix_len)).alias("s"),
+        )
     cand = (
         pref.select(*blocks, F.col("id").alias("id_a"), "s")
         .join(

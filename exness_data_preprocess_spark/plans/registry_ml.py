@@ -19,6 +19,9 @@ from exness_data_preprocess_spark.functions.hashing import (
 )
 from exness_data_preprocess_spark.operators import multimodal
 from exness_data_preprocess_spark.operators.dedup import (
+    CONTAINMENT_DF_CAP as _CONTAIN_CAP,
+)
+from exness_data_preprocess_spark.operators.dedup import (
     embedding_cosine_pairs,
     exact_dedup,
     exact_substring_spans,
@@ -209,6 +212,66 @@ WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
 """
 
 
+def q_dedup_ngram_jaccard_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale-safe jaccard opt-in (round-9): the prefix join runs under
+    ``index_df_cap`` — candidate work O(n·cap) instead of the exact
+    join's ~n^1.5 raw prefix collisions (measured on the natural
+    ladder). The oracle models the capped candidate generation exactly
+    (df-ordered prefixes, both sides df-capped), NOT the all-pairs
+    semantics — the same contract discipline as `dedup_containment`.
+    The suffix filter needs no modeling (upper-bound-sound). The
+    UNCAPPED `dedup_ngram_jaccard` stays the default entry; this is
+    the documented lever for corpora where the raw-collision shuffle
+    dominates."""
+    from exness_data_preprocess_spark.operators.dedup import (
+        CONTAINMENT_DF_CAP,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        docs, block_cols=("lang",), shingle_n=1, threshold=0.9,
+        index_df_cap=CONTAINMENT_DF_CAP,
+    )
+
+
+ORACLE_DEDUP_NGRAM_JACCARD_CAPPED = f"""
+WITH d0 AS (
+  SELECT doc_id, lang, list_distinct({_TOKS}) AS sh FROM documents
+),
+tok AS (SELECT doc_id, lang, unnest(sh) AS s FROM d0),
+dfreq AS (SELECT lang, s, count(*) AS df FROM tok GROUP BY 1, 2),
+ordd AS (
+  SELECT t.doc_id, t.lang, t.s, f.df,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.s) - 1
+           AS pos,
+         count(*) OVER (PARTITION BY t.doc_id) AS sz
+  FROM tok t JOIN dfreq f ON f.lang = t.lang AND f.s = t.s
+),
+pref AS (
+  SELECT lang, doc_id AS id, s
+  FROM ordd
+  WHERE pos < sz - ceil(CAST(0.9 AS DOUBLE) * sz) + 1
+    AND df <= {_CONTAIN_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.lang, a.id AS id_a, b.id AS id_b
+  FROM pref a JOIN pref b ON a.lang = b.lang AND a.s = b.s
+  WHERE a.id < b.id
+)
+SELECT c.lang, c.id_a, c.id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM cand c
+JOIN d0 a ON a.doc_id = c.id_a
+JOIN d0 b ON b.doc_id = c.id_b
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.9
+"""
+
+
 # ---------------------------------------------------------------------------
 # Asymmetric n-gram containment pairs (directed; lang-blocked)
 # ---------------------------------------------------------------------------
@@ -311,9 +374,8 @@ WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6) >= 0.9
 # Every float literal is CAST to DOUBLE: DuckDB parses bare 0.9 as
 # DECIMAL, and ceil(0.9 * 10) differs between decimal (9) and double
 # (10) arithmetic — Spark's F.ceil(lit(t) * col) is double.
-from exness_data_preprocess_spark.operators.dedup import (  # noqa: E402
-    CONTAINMENT_DF_CAP as _CONTAIN_CAP,
-)
+# (_CONTAIN_CAP is imported at module top — the capped jaccard oracle
+# above needs it earlier.)
 
 _CONTAIN_T = "CAST(0.9 AS DOUBLE)"
 ORACLE_DEDUP_CONTAINMENT = f"""
@@ -1578,6 +1640,11 @@ def build_ml_queries() -> dict:
         "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM_JACCARD,
                                 "exact token-set Jaccard pairs, lang-blocked "
                                 "(PPJoin prefix + size + suffix filters)"),
+        "dedup_ngram_jaccard_capped": (
+            q_dedup_ngram_jaccard_capped,
+            ORACLE_DEDUP_NGRAM_JACCARD_CAPPED,
+            "df-capped jaccard prefix join (O(n*cap) candidate work; "
+            "oracle models the capped generation token-for-token)"),
         "dedup_containment": (q_dedup_containment, ORACLE_DEDUP_CONTAINMENT,
                               "asymmetric containment pairs (PPJoin prefix "
                               "+ positional + PPJoin+ suffix filter, "

@@ -47,6 +47,7 @@ QUERY_TABLE = {
     "sketch_index_update": "documents",
     "dedup_minhash_lsh": "documents",
     "dedup_ngram_jaccard": "documents",
+    "dedup_ngram_jaccard_capped": "documents",
     "dedup_simhash": "documents",
     "dedup_exact_substring": "documents",
     "contamination_spans": "documents",
@@ -161,6 +162,10 @@ NATURAL_QUERIES = [
     # the exact plan's candidate growth are both on the committed ladder
     "dedup_containment_exact",
     "dedup_ngram_jaccard",
+    # round-9: the df-capped opt-in, measured alongside so the capped
+    # O(n*cap) candidate bound and the exact join's raw-collision curve
+    # are both on the committed ladder (the containment duo's pattern)
+    "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_levenshtein",
@@ -617,9 +622,17 @@ def write_md_natural(path: Path, payload: dict, tags: list[str]) -> None:
         "  paid here as a narrow-row dedup shuffle + O(16) long-ANDs,",
         "  never as two-array verifies, and small enough at 1.5 M docs",
         "  that the idle wall stays linear. Containment bounds the same",
-        "  term by its DEFAULT index_df_cap=1000 (O(n·cap)); adopting",
-        "  the oracle-modeled cap for jaccard is the known lever if the",
-        "  raw-collision term ever dominates at cluster scale.",
+        "  term by its DEFAULT index_df_cap=1000 (O(n·cap)); that lever",
+        "  is now IMPLEMENTED for jaccard too —",
+        "  `dedup_ngram_jaccard_capped` (123rd registry entry, oracle",
+        "  models the capped generation token-for-token, hash-green at",
+        "  three sf) measures alpha 0.91/0.95 at nat100x/nat300x and is",
+        "  pair-identical to the exact join at nat10x and nat100x; at",
+        "  nat300x the cap begins to bind, trading exactly 3 of 21,871",
+        "  pairs (the documented recall contract, pinned by",
+        "  test_jaccard_index_df_cap_trades_recall_never_precision and",
+        "  a deterministic count gate in test_scale_counts). The exact",
+        "  join stays the registry default.",
         "",
         NAT_END,
     ]

@@ -1335,3 +1335,52 @@ def test_jaccard_suffix_filter_sound_and_discriminative(spark):
         docs, threshold=0.8, suffix_filter_bits=None, candidates_only=True
     ).count()
     assert c_on < c_off and c_on >= len(with_f)
+
+
+def test_jaccard_index_df_cap_trades_recall_never_precision(spark):
+    """Round-9 capped jaccard (the containment-cap contract, symmetric
+    form): capped output is a SUBSET of the exact output with identical
+    jaccard values; a pair is dropped only when EVERY prefix shingle
+    the two docs share has df above the cap; a generous cap changes
+    nothing; and the default (None) stays exact."""
+    from exness_data_preprocess_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        # rare-token near-dups: survive any reasonable cap
+        (1, "alpha beta gamma delta epsilon zeta", "en"),
+        (2, "alpha beta gamma delta epsilon zeta", "en"),
+        # near-dup pair built ONLY of corpus-wide stopwords: a tight
+        # cap empties their prefixes — the documented recall trade
+        (3, "the of and to in a", "en"),
+        (4, "the of and to in a", "en"),
+        *[(10 + i, "the of and to in a filler%d" % i, "en")
+          for i in range(6)],
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.8, index_df_cap=4
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    assert all(exact[k] == v for k, v in capped.items())
+    assert (1, 2) in capped
+    assert (3, 4) in exact
+    assert (3, 4) not in capped
+    wide = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.8, index_df_cap=10_000
+        ).collect()
+    }
+    assert wide == set(exact)

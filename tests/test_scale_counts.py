@@ -114,6 +114,43 @@ def test_jaccard_candidates_track_output(spark, doc_ratio):
     )
 
 
+def test_jaccard_capped_candidates_bounded_by_cap_contract(
+    spark, doc_ratio
+):
+    """r9 df-capped jaccard: on the SATURATED driver fixtures the cap
+    binds hard at sf0.1 (token dfs reach ~n), so the capped plan's
+    candidates must grow near-linearly (O(n·cap) contract — absolute
+    bar) while staying a superset of its own verified output."""
+    from exness_data_preprocess_spark.operators.dedup import (
+        CONTAINMENT_DF_CAP,
+        ngram_jaccard_pairs,
+    )
+
+    counts = {}
+    for sf in (SF_LO, SF_HI):
+        docs = _docs(spark, sf)
+        counts[sf] = (
+            ngram_jaccard_pairs(
+                docs, block_cols=("lang",), shingle_n=1, threshold=0.9,
+                index_df_cap=CONTAINMENT_DF_CAP, candidates_only=True,
+            ).count(),
+            ngram_jaccard_pairs(
+                docs, block_cols=("lang",), shingle_n=1, threshold=0.9,
+                index_df_cap=CONTAINMENT_DF_CAP,
+            ).count(),
+        )
+    (c_lo, o_lo), (c_hi, o_hi) = counts[SF_LO], counts[SF_HI]
+    assert c_lo >= o_lo and c_hi >= o_hi
+    a_cand = _alpha(c_lo, c_hi, doc_ratio)
+    a_out = _alpha(o_lo, o_hi, doc_ratio)
+    # the capped candidate set may track the (quadratic-on-saturated-
+    # fixture) output it verifies, but never meaningfully outgrow it
+    assert a_cand <= a_out + 0.15, (
+        f"capped-jaccard candidate exponent {a_cand:.2f} outgrows "
+        f"output exponent {a_out:.2f}"
+    )
+
+
 def test_levenshtein_candidates_bounded(spark):
     """Pin of MEASURED current behavior (r8), not an aspiration — this
     gate exists to catch regressions.
