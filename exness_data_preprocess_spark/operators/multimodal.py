@@ -559,10 +559,10 @@ def _pyav_decode_frames(payload: bytes, n_frames: int) -> list[bytes] | None:
                 return None
             total = stream.frames or 0
             if total > 0:
-                want = {
-                    round(i * ((total - 1) / (min(n_frames, total) - 1)))
-                    for i in range(min(n_frames, total))
-                } if min(n_frames, total) > 1 else {0}
+                # same index set as the buffered paths — ONE sampling
+                # contract (review find: an inline twin of
+                # _sample_evenly here could drift from the GIF path)
+                want = set(_sample_evenly(list(range(total)), n_frames))
                 out = []
                 for idx, frame in enumerate(container.decode(stream)):
                     if idx in want:

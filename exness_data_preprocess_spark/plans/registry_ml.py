@@ -225,15 +225,12 @@ def q_dedup_ngram_jaccard_capped(
     UNCAPPED `dedup_ngram_jaccard` stays the default entry; this is
     the documented lever for corpora where the raw-collision shuffle
     dominates."""
-    from exness_data_preprocess_spark.operators.dedup import (
-        CONTAINMENT_DF_CAP,
-        ngram_jaccard_pairs,
-    )
-
     docs = _docs_spread(spark, sf_dir)
+    # module-top ngram_jaccard_pairs + _CONTAIN_CAP: the cap baked into
+    # the oracle string and the one the query runs must be ONE binding
     return ngram_jaccard_pairs(
         docs, block_cols=("lang",), shingle_n=1, threshold=0.9,
-        index_df_cap=CONTAINMENT_DF_CAP,
+        index_df_cap=_CONTAIN_CAP,
     )
 
 

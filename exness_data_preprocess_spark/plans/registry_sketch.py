@@ -310,6 +310,10 @@ ORACLE_STREAMING_HLL = (
 
 SKETCH_INDEX_PROBES = ["spark", "window", "zz_absent_probe"]
 
+# last invocation's persisted token frame per session (see
+# q_sketch_index_update: bounded-leak guard, review find)
+_PERSISTED_TOKS: dict = {}
+
 
 def q_sketch_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental sketch-state maintenance (judge r6 task 6, the
@@ -341,6 +345,16 @@ def q_sketch_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = _docs_spread(spark, sf_dir)
+    # Bound the cache held by repeated invocations (review find: a
+    # certification sweep calls this once per scale and each persisted
+    # token frame outlived its query): drop the PREVIOUS call's frame —
+    # its results are long materialized — so at most one stays resident.
+    # MUST happen BEFORE the new persist: unpersist unregisters by plan
+    # EQUALITY, so running it after would also deregister a same-plan
+    # fresh frame (same fixture twice = identical analyzed plans).
+    prev = _PERSISTED_TOKS.pop(spark, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
     shard = F.pmod(F.xxhash64("doc_id"), F.lit(3))
     toks = docs.withColumn("_shard", shard).select(
         "_shard",
@@ -349,6 +363,7 @@ def q_sketch_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(tokens_col(F.col("text")), lambda t: t != "")
         ).alias("tok"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED_TOKS[spark] = toks
     idx = build_sharded_merged_state(toks, "_shard", "source", "tok")
     return sketch_index_estimates(
         idx, "source", SKETCH_INDEX_PROBES

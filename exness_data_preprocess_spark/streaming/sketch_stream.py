@@ -443,27 +443,22 @@ def run_sketch_index_update_stream(
             # pre-start guard) WITHOUT minting a state version:
             # sidecar-only republish is not available through
             # write_sketch_index, so rewrite the params file via the
-            # same atomic protocol
-            import json
-            import os
-
+            # SHARED atomic protocol (one copy of the crash-safety
+            # code — review find: an inline twin here could drift from
+            # cdc_stream._publish)
             from exness_data_preprocess_spark.sources.catalog import (
                 SKETCH_INDEX_PARAMS_FILE,
             )
+            from exness_data_preprocess_spark.streaming.cdc_stream import (
+                _publish,
+            )
 
-            pfile = Path(proc.catalog.base) / SKETCH_INDEX_PARAMS_FILE
-            tmp = pfile.with_suffix(".json.tmp")
-            with open(tmp, "w") as fh:
-                fh.write(json.dumps(
-                    {
-                        **p_end,
-                        "stream_checkpoint": ckpt_path,
-                        "stream_checkpoint_id": _ckpt_query_id(
-                            checkpoint_dir
-                        ),
-                    },
-                    sort_keys=True,
-                ))
-                fh.flush()
-                os.fsync(fh.fileno())
-            os.replace(tmp, pfile)
+            _publish(
+                Path(proc.catalog.base),
+                {
+                    **p_end,
+                    "stream_checkpoint": ckpt_path,
+                    "stream_checkpoint_id": _ckpt_query_id(checkpoint_dir),
+                },
+                SKETCH_INDEX_PARAMS_FILE,
+            )

@@ -136,6 +136,11 @@ LADDER_NATURAL = [
     # task 1: one more rung on the containment arc to show where
     # verify cost lands under the suffix filter
     ("nat300x", "/root/repo/.scaledata/nat300"),
+    # 1000x rung (5M docs, documents-only) — round-9 capstone for the
+    # flagship containment/jaccard arc: one more 3.3x decade on the
+    # df-capped O(n·cap) candidate bound and the exact join's raw
+    # prefix-collision curve
+    ("nat1000x", "/root/repo/.scaledata/nat1000"),
 ]
 # (query, tag) pairs excluded from measurement. Round 6 emptied the set;
 # round 8 scoped the new nat300x rung to the containment arc it was
@@ -155,6 +160,15 @@ NATURAL_SKIP: set[tuple[str, str]] = {
         "quality_classifier_nb",
         "hll_distinct_sketch",
     )
+}
+# nat1000x is scoped to the flagship containment/jaccard trio (the caps'
+# O(n·cap) candidate bound + the exact join's raw-collision contrast);
+# everything else keeps its nat100x/nat300x bar — a 5M-doc rung on the
+# whole family would cost hours for evidence the lower rungs already give
+_NAT1000_QUERIES = {
+    "dedup_containment",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
 }
 NATURAL_QUERIES = [
     "dedup_containment",
@@ -197,7 +211,58 @@ NATURAL_QUERIES = [
     "quality_classifier_nb",
     "hll_distinct_sketch",
 ]
+# every natural query OUTSIDE the nat1000x trio skips that rung
+NATURAL_SKIP |= {
+    (q, "nat1000x") for q in NATURAL_QUERIES if q not in _NAT1000_QUERIES
+}
 WARM_DIR = "/root/testdata/sf0.001"
+
+
+def _steps_of(points: list[dict]) -> list[dict]:
+    """Per-step scaling exponents between consecutive rung points."""
+    steps = []
+    for lo, hi in zip(points, points[1:]):
+        ratio = hi["in_rows"] / lo["in_rows"]
+        step = {
+            "step": f'{lo["tag"]}->{hi["tag"]}',
+            "alpha_time": round(
+                math.log(hi["sec"] / lo["sec"]) / math.log(ratio), 2
+            ),
+            "alpha_out": round(
+                math.log(max(hi["out_rows"], 1) / max(lo["out_rows"], 1))
+                / math.log(ratio),
+                2,
+            ),
+        }
+        if "cand_rows" in lo and "cand_rows" in hi:
+            step["alpha_cand"] = round(
+                math.log(max(hi["cand_rows"], 1) / max(lo["cand_rows"], 1))
+                / math.log(ratio),
+                2,
+            )
+        steps.append(step)
+    return steps
+
+
+def _merge_queries(
+    prev: dict, results: dict, base_ladder: list[tuple[str, str]]
+) -> dict:
+    """Point-level merge of a fresh (possibly partial-ladder) measure run
+    into previously committed results: points merge by rung tag (new
+    wins), ordered by the ladder, steps recomputed — so a top-rung-only
+    re-measure EXTENDS the committed curve instead of truncating it to
+    the rungs whose fixtures still exist on disk."""
+    tag_order = {t: i for i, (t, _) in enumerate(base_ladder)}
+    for name, r in results.items():
+        old_pts = {p["tag"]: p for p in prev.get(name, {}).get("points", [])}
+        old_pts.update({p["tag"]: p for p in r["points"]})
+        pts = sorted(
+            old_pts.values(),
+            key=lambda p: tag_order.get(p["tag"], len(tag_order)),
+        )
+        r["points"], r["steps"] = pts, _steps_of(pts)
+    merged = {**prev, **results}
+    return {k: merged[k] for k in QUERY_TABLE if k in merged}
 
 # Untimed per-rung auxiliary counts: queries whose runtime question is
 # "is the CANDIDATE set growing faster than the output?" get a second
@@ -245,7 +310,15 @@ def main() -> None:
             ap.error("--md-only needs --out (existing) and --md")
         payload = json.loads(Path(args.out).read_text())
         base_ladder = LADDER_NATURAL if args.natural else LADDER
-        tags = [t for t, d in base_ladder if os.path.isdir(d)]
+        # prefer the tags RECORDED in the payload: a re-render after the
+        # fixture dirs were reclaimed (they are multi-GB and deleted
+        # post-measure) must not drop columns whose points exist
+        recorded = set(payload.get("ladder", {}))
+        tags = [
+            t
+            for t, d in base_ladder
+            if t in recorded or os.path.isdir(d)
+        ]
         if args.natural:
             write_md_natural(Path(args.md), payload, tags)
         else:
@@ -328,48 +401,35 @@ def main() -> None:
                 point["cand_rows"] = aux_fns[name](spark, d).count()
                 spark.catalog.clearCache()
             points.append(point)
-        steps = []
-        for lo, hi in zip(points, points[1:]):
-            ratio = hi["in_rows"] / lo["in_rows"]
-            alpha = math.log(hi["sec"] / lo["sec"]) / math.log(ratio)
-            step = {
-                "step": f'{lo["tag"]}->{hi["tag"]}',
-                "alpha_time": round(alpha, 2),
-                "alpha_out": round(
-                    math.log(max(hi["out_rows"], 1) / max(lo["out_rows"], 1))
-                    / math.log(ratio),
-                    2,
-                ),
-            }
-            if "cand_rows" in lo and "cand_rows" in hi:
-                step["alpha_cand"] = round(
-                    math.log(
-                        max(hi["cand_rows"], 1) / max(lo["cand_rows"], 1)
-                    )
-                    / math.log(ratio),
-                    2,
-                )
-            steps.append(step)
         results[name] = {
             "table": QUERY_TABLE[name],
             "points": points,
-            "steps": steps,
+            "steps": _steps_of(points),
         }
         print(
             json.dumps({"query": name, **results[name]}), file=sys.stderr
         )
 
     # Merge into an existing --out so the ladder can be measured in
-    # batches (query results are keyed by name; reruns overwrite).
+    # batches. Per-query merge is POINT-level, keyed by rung tag (new
+    # measurements win), so a top-rung-only re-measure EXTENDS the
+    # committed curve instead of truncating it to the rungs whose
+    # fixtures still exist; steps are recomputed over the merged points.
     merged = results
+    ladder_meta = {tag: table_rows[tag] for tag, _ in ladder}
     if args.out and Path(args.out).exists():
-        prev = json.loads(Path(args.out).read_text()).get("queries", {})
-        merged = {**prev, **results}
-        merged = {k: merged[k] for k in QUERY_TABLE if k in merged}
+        prev_payload = json.loads(Path(args.out).read_text())
+        merged = _merge_queries(
+            prev_payload.get("queries", {}), results, base_ladder
+        )
+        # batched rung-at-a-time runs: keep every rung's row counts on
+        # record even when earlier fixtures were reclaimed before this
+        # run (merged queries still hold their points)
+        ladder_meta = {**prev_payload.get("ladder", {}), **ladder_meta}
     payload = {
         "metric": "scale_curve",
         "load1_at_start": load1_at_start,
-        "ladder": {tag: table_rows[tag] for tag, _ in ladder},
+        "ladder": ladder_meta,
         "queries": merged,
     }
     print(json.dumps(payload))

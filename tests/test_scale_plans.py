@@ -423,3 +423,26 @@ def test_sharded_sketch_build_reuses_one_corpus_exchange(spark):
     new = [c for c in sc.getRDDStorageInfo() if c.id() not in before]
     assert len(new) == 1, [c.name() for c in new]
     spark.catalog.clearCache()
+
+
+def test_sketch_index_update_persist_is_bounded_across_invocations(spark):
+    """Review find (r9): each invocation persists a token frame; a
+    certification sweep invokes the entry once per scale and every frame
+    used to outlive its query for the session's lifetime. The guard
+    drops the previous invocation's frame — at most ONE stays resident
+    — and must do so WITHOUT deregistering the fresh same-plan frame
+    (unpersist unregisters by plan equality, so ordering matters: the
+    first executed-plan assertion below fails if the drop runs after
+    the new persist)."""
+    spark.catalog.clearCache()
+    sc = spark.sparkContext._jsc.sc()
+    before = {c.id() for c in sc.getRDDStorageInfo()}
+    first = QUERIES["sketch_index_update"].spark(spark, SF)
+    first.collect()
+    second = QUERIES["sketch_index_update"].spark(spark, SF)
+    second.collect()
+    final = second._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in final  # fresh frame still cache-backed
+    new = [c for c in sc.getRDDStorageInfo() if c.id() not in before]
+    assert len(new) == 1, [c.name() for c in new]  # previous frame dropped
+    spark.catalog.clearCache()
