@@ -1389,19 +1389,26 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = scored.filter(
         (F.col("quality_flag") == 1) & (F.col("repetition_flag") == 1)
     )
-    uniq = exact_dedup(clean)
-    train = deterministic_split(uniq).filter(F.col("split") == "train")
+    uniq = deterministic_split(exact_dedup(clean))
 
-    def per_lang(df: DataFrame, name: str) -> DataFrame:
-        return df.groupBy("lang").agg(F.count("*").alias(name))
-
-    out = (
-        per_lang(docs, "n_docs")
-        .join(per_lang(scored.filter("quality_flag = 1"), "n_quality"), "lang", "left")
-        .join(per_lang(clean, "n_clean"), "lang", "left")
-        .join(per_lang(uniq, "n_unique"), "lang", "left")
-        .join(per_lang(train, "n_train"), "lang", "left")
+    # Plan economy (r9): the original five per-stage groupBy branches
+    # each re-derived their upstream (the quality+repetition scoring ran
+    # three times, the docs scan five). The funnel's first three counts
+    # are conditional aggregates over ONE scored pass; the post-dedup
+    # counts need the dedup shuffle anyway but share one branch. Same
+    # exact ints, two derivations of the scoring instead of five.
+    pre = scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(F.col("quality_flag") == 1).alias("n_quality"),
+        F.count_if(
+            (F.col("quality_flag") == 1) & (F.col("repetition_flag") == 1)
+        ).alias("n_clean"),
     )
+    post = uniq.groupBy("lang").agg(
+        F.count("*").alias("n_unique"),
+        F.count_if(F.col("split") == "train").alias("n_train"),
+    )
+    out = pre.join(post, "lang", "left")
     return out.select(
         "lang",
         "n_docs",
