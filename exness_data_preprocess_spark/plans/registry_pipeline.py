@@ -1624,6 +1624,138 @@ FROM p GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# PII detection / redaction (privacy-scrub stage of a curation pipeline)
+# ---------------------------------------------------------------------------
+# The synthetic documents fixture contains no organic PII (its texts are
+# Zipf words), so both PII entries run over a deterministically AUGMENTED
+# corpus: docs with doc_id % 5 in {0,1,2,3} get one appended contact
+# line (email / phone / IPv4 / SSN-shaped id) derived arithmetically
+# from doc_id. The CASE below is rendered for both engines from one
+# template (only `div` vs `//` and string-cast spelling differ), so the
+# operator's regex machinery is exercised on real matches while the
+# oracle reproduces every augmented byte. The operators themselves
+# (operators/pii.py) take any text column — augmentation is fixture
+# adaptation, not operator semantics.
+_PII_AUG_CASE = (
+    "CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN concat(text, ' contact user', cast(doc_id as {st}), "
+    "'@example.com') "
+    "WHEN 1 THEN concat(text, ' call 555-', "
+    "lpad(cast(doc_id % 1000 as {st}), 3, '0'), '-', "
+    "lpad(cast(doc_id % 10000 as {st}), 4, '0')) "
+    "WHEN 2 THEN concat(text, ' host 10.', cast(doc_id % 256 as {st}), "
+    "'.', cast((doc_id {div} 7) % 256 as {st}), '.1') "
+    "WHEN 3 THEN concat(text, ' id ', "
+    "lpad(cast(doc_id % 1000 as {st}), 3, '0'), '-', "
+    "lpad(cast(doc_id % 100 as {st}), 2, '0'), '-', "
+    "lpad(cast(doc_id % 10000 as {st}), 4, '0')) "
+    "ELSE text END"
+)
+_PII_AUG_SPARK = _PII_AUG_CASE.format(st="string", div="div")
+_PII_AUG_DUCK = _PII_AUG_CASE.format(st="varchar", div="//")
+
+
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
+
+    docs = _docs_spread(spark, sf_dir)
+    return docs.select(
+        "doc_id", "source", F.expr(_PII_AUG_SPARK).alias("text")
+    )
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-token PII redaction over the augmented corpus. Map-only
+    chained ``regexp_replace`` (JVM regex under codegen, no shuffle);
+    ``n_pii_redacted`` counts the tokens inserted."""
+    from exness_data_preprocess_spark.operators.pii import redact_pii
+
+    return redact_pii(_pii_augmented(spark, sf_dir)).select(
+        "doc_id", "text_redacted", "n_pii_redacted"
+    )
+
+
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII audit rollup (the privacy-review report): doc
+    counts, docs with any PII, per-kind totals. One partial-aggregated
+    shuffle on the low-cardinality source key."""
+    from exness_data_preprocess_spark.operators.pii import pii_report
+
+    r = pii_report(_pii_augmented(spark, sf_dir))
+    return r.select(
+        "source", "n_docs", "docs_with_pii", "total_pii",
+        "total_email", "total_ipv4", "total_ssn", "total_phone",
+    )
+
+
+# Disjoint-count CTE chain mirroring operators/pii.py: each kind counted
+# on text with all PRIOR kinds' matches space-masked, redaction applied
+# in the same order with typed tokens. Patterns are byte-identical to
+# PII_PATTERNS (Java-regex ∩ RE2 subset).
+_PII_ORACLE_BASE = r"""
+WITH aug AS (
+  SELECT doc_id, source, {aug} AS text FROM documents
+), m AS (
+  SELECT doc_id, source, text,
+    len(regexp_extract_all(text, '{em}')) AS n_email,
+    regexp_replace(text, '{em}', ' ', 'g') AS t1
+  FROM aug
+), m2 AS (
+  SELECT *, len(regexp_extract_all(t1, '{ip}')) AS n_ipv4,
+    regexp_replace(t1, '{ip}', ' ', 'g') AS t2
+  FROM m
+), m3 AS (
+  SELECT *, len(regexp_extract_all(t2, '{ssn}')) AS n_ssn,
+    regexp_replace(t2, '{ssn}', ' ', 'g') AS t3
+  FROM m2
+), feats AS (
+  SELECT *, len(regexp_extract_all(t3, '{ph}')) AS n_phone
+  FROM m3
+)
+"""
+
+
+def _pii_oracle_base() -> str:
+    from exness_data_preprocess_spark.operators.pii import PII_PATTERNS
+
+    pats = {kind: pat for kind, pat, _tok in PII_PATTERNS}
+    return _PII_ORACLE_BASE.format(
+        aug=_PII_AUG_DUCK,
+        em=pats["email"],
+        ip=pats["ipv4"],
+        ssn=pats["ssn"],
+        ph=pats["phone"],
+    )
+
+
+def _pii_redaction_oracle() -> str:
+    from exness_data_preprocess_spark.operators.pii import PII_PATTERNS
+
+    red = "text"
+    for _kind, pat, tok in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return _pii_oracle_base() + f"""
+SELECT doc_id, {red} AS text_redacted,
+       (n_email + n_ipv4 + n_ssn + n_phone)::INT AS n_pii_redacted
+FROM feats
+"""
+
+
+def _pii_stats_oracle() -> str:
+    return _pii_oracle_base() + """
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN n_email + n_ipv4 + n_ssn + n_phone > 0
+           THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii,
+       sum(n_email + n_ipv4 + n_ssn + n_phone)::BIGINT AS total_pii,
+       sum(n_email)::BIGINT AS total_email,
+       sum(n_ipv4)::BIGINT AS total_ipv4,
+       sum(n_ssn)::BIGINT AS total_ssn,
+       sum(n_phone)::BIGINT AS total_phone
+FROM feats GROUP BY source
+"""
+
+
 def build_pipeline_queries() -> dict:
     """name → (spark_fn, oracle_sql, description, bench).
 
@@ -1757,5 +1889,13 @@ def build_pipeline_queries() -> dict:
         "curation_pipeline": (
             q_curation_pipeline, _curation_oracle(),
             "per-language curation funnel: quality→repetition→dedup→split",
+            True),
+        "pii_redaction": (
+            q_pii_redaction, _pii_redaction_oracle(),
+            "typed-token PII scrub (email/IP/SSN/phone), map-only",
+            True),
+        "pii_stats": (
+            q_pii_stats, _pii_stats_oracle(),
+            "per-source PII audit rollup (privacy-review report)",
             True),
     }
