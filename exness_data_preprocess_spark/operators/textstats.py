@@ -379,6 +379,46 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "wsample-v1",
+) -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, algorithm A-ES) — the data-mixing primitive behind
+    "sample 10M docs proportional to quality score". Each row gets the
+    key u^(1/w) with u a deterministic (seed, id)-hashed uniform in
+    (0,1); the k largest keys are the sample, and the selection is
+    provably distributed as sequential weighted draws without
+    replacement.
+
+    Deterministic: membership depends only on (seed, id, w) — the same
+    reproducibility contract as deterministic_split/stratified_sample.
+    Comparison uses ln(u)/w (monotone in u^(1/w)), one `ln` per row —
+    the single-transcendental determinism discipline collocation_pmi
+    uses; ties broken by id. The top-k is `orderBy(...).limit(k)` which
+    Spark executes as TakeOrderedAndProject: per-partition bounded
+    heaps + one k-row merge at the driver — no global sort, no shuffle
+    of the losers, at any corpus size.
+
+    Rows with NULL or non-positive weight never qualify (u^(1/w) is
+    undefined there); filtered scan-side.
+    """
+    u_num = md5_h60(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    # u in (0,1): (h60 + 1) / (2^60 + 1) — never 0 (ln safe), never 1.
+    u = (u_num + F.lit(1)).cast("double") / F.lit(float(2**60 + 1))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__wkey", key)
+        .orderBy(F.col("__wkey").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__wkey")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 128,

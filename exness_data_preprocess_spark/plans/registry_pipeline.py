@@ -1756,6 +1756,267 @@ FROM feats GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Line-level dedup / boilerplate removal (operators/lines.py). The
+# synthetic fixture is single-line, so the entries run over a
+# deterministically line-shaped corpus: the token stream regrouped into
+# 6-token lines, plus boilerplate header/footer lines at fixed doc_id
+# residues (CCNet dedups paragraphs corpus-wide; C4 strips lines that
+# repeat across many pages). Both engines render the same shaping.
+# ---------------------------------------------------------------------------
+_LINES_GROUP = 6
+_BOILER_MIN_DOCS = 25
+
+_LINES_HDR = "subscribe to our newsletter today"
+_LINES_FTR0 = "all rights reserved example news network"
+_LINES_FTR1 = "follow us for more updates"
+
+
+def _lines_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
+
+    docs = _docs_spread(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    g = F.lit(_LINES_GROUP)
+    n_groups = F.ceil(F.size(toks) / g.cast("double")).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_groups - F.lit(1)),
+            lambda i: F.array_join(F.slice(toks, i * g + 1, g), " "),
+        ),
+        "\n",
+    )
+    hdr = F.when(
+        F.col("doc_id") % 3 == 0, F.lit(_LINES_HDR + "\n")
+    ).otherwise(F.lit(""))
+    ftr = (
+        F.when(F.col("doc_id") % 2 == 0, F.lit("\n" + _LINES_FTR0))
+        .when(F.col("doc_id") % 5 == 1, F.lit("\n" + _LINES_FTR1))
+        .otherwise(F.lit(""))
+    )
+    return docs.select(
+        "doc_id", F.concat(hdr, body, ftr).alias("text")
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-line removal, keep-first (CCNet §4.1):
+    partial-aggregated min-(doc,pos) per normalized-line key + equi-join
+    back — the skew-safe shape for boilerplate-hot keys."""
+    from exness_data_preprocess_spark.operators.lines import line_dedup
+
+    return line_dedup(_lines_augmented(spark, sf_dir)).select(
+        "doc_id", "text_kept", "n_lines", "n_lines_kept"
+    )
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal: every occurrence of a line present
+    in ≥ 25 distinct docs is dropped (nav menus, footers)."""
+    from exness_data_preprocess_spark.operators.lines import (
+        strip_boilerplate,
+    )
+
+    return strip_boilerplate(
+        _lines_augmented(spark, sf_dir), _BOILER_MIN_DOCS
+    ).select("doc_id", "text_kept", "n_lines", "n_lines_kept")
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate audit: normalized lines by document frequency, the
+    report a curator reads before picking the strip threshold."""
+    from exness_data_preprocess_spark.operators.lines import (
+        line_doc_frequency,
+    )
+
+    return line_doc_frequency(_lines_augmented(spark, sf_dir)).where(
+        F.col("n_docs") >= _BOILER_MIN_DOCS
+    ).select("line_norm", "n_docs", "n_occurrences")
+
+
+# Shared oracle CTE chain: line-shaped corpus → positional line explode
+# → CCNet normalization. list_slice is 1-based inclusive-end (== Spark
+# slice(start, length) for length 6); range(0, n) is end-exclusive
+# (== Spark sequence(0, n-1)).
+_LINES_ORACLE_BASE = f"""
+WITH aug AS (
+  SELECT doc_id,
+    concat(
+      CASE WHEN doc_id % 3 = 0
+           THEN '{_LINES_HDR}' || chr(10) ELSE '' END,
+      array_to_string(
+        list_transform(
+          range(0, cast(ceil(len(string_split(text, ' ')) / {_LINES_GROUP}.0)
+                        AS int)),
+          i -> array_to_string(
+                 list_slice(string_split(text, ' '),
+                            i * {_LINES_GROUP} + 1,
+                            i * {_LINES_GROUP} + {_LINES_GROUP}), ' ')),
+        chr(10)),
+      CASE WHEN doc_id % 2 = 0 THEN chr(10) || '{_LINES_FTR0}'
+           WHEN doc_id % 5 = 1 THEN chr(10) || '{_LINES_FTR1}'
+           ELSE '' END) AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, i AS line_no, ls[i + 1] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+       unnest(range(0, len(ls))) AS u(i)
+), keyed AS (
+  SELECT doc_id, line_no, line,
+         trim(regexp_replace(lower(line), '[^a-z]+', ' ', 'g')) AS nrm
+  FROM lines
+)"""
+
+_LINES_ORACLE_TAIL = """
+, docs_out AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text_kept,
+         count(*) AS n_lines_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id, coalesce(d.text_kept, '') AS text_kept,
+       len(string_split(a.text, chr(10)))::INT AS n_lines,
+       coalesce(d.n_lines_kept, 0)::INT AS n_lines_kept
+FROM aug a LEFT JOIN docs_out d USING (doc_id)
+"""
+
+ORACLE_LINE_DEDUP = _LINES_ORACLE_BASE + """
+, kept AS (
+  SELECT doc_id, line_no, line FROM (
+    SELECT doc_id, line_no, line, nrm,
+           row_number() OVER (PARTITION BY nrm
+                              ORDER BY doc_id, line_no) AS rn
+    FROM keyed WHERE nrm <> ''
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, line_no, line FROM keyed WHERE nrm = ''
+)""" + _LINES_ORACLE_TAIL
+
+ORACLE_BOILERPLATE_STRIP = _LINES_ORACLE_BASE + f"""
+, hot AS (
+  SELECT nrm FROM keyed WHERE nrm <> ''
+  GROUP BY nrm HAVING count(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+), kept AS (
+  SELECT doc_id, line_no, line FROM keyed
+  WHERE nrm = '' OR nrm NOT IN (SELECT nrm FROM hot)
+)""" + _LINES_ORACLE_TAIL
+
+ORACLE_BOILERPLATE_LINES = _LINES_ORACLE_BASE + f"""
+SELECT nrm AS line_norm, count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences
+FROM keyed WHERE nrm <> ''
+GROUP BY nrm HAVING count(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL/domain analytics (operators/urls.py) + weighted sampling
+# (textstats.weighted_sample). The fixture has no URLs, so the domain
+# entries run over a deterministically URL-augmented corpus rendered
+# from one CASE template for both engines (the PII-entry pattern).
+# ---------------------------------------------------------------------------
+_URL_AUG_CASE = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN concat(text, ' see https://news-', "
+    "cast(doc_id % 7 as {st}), '.example.com/a/', cast(doc_id as {st})) "
+    "WHEN 1 THEN concat(text, ' via http://blog.example.org/p/', "
+    "cast(doc_id as {st}), ' and https://ads.tracker.example/x') "
+    "WHEN 2 THEN concat(text, ' ref https://Cdn.Assets.example.net/i.png') "
+    "ELSE text END"
+)
+_URL_AUG_SPARK = _URL_AUG_CASE.format(st="string")
+_URL_AUG_DUCK = _URL_AUG_CASE.format(st="varchar")
+_URL_BLOCKLIST = ["tracker.example", "blog.example.org"]
+_WSAMPLE_K = 100
+
+
+def _url_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
+
+    docs = _docs_spread(spark, sf_dir)
+    return docs.select("doc_id", F.expr(_URL_AUG_SPARK).alias("text"))
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain provenance audit: one codegen'd regexp extract, one
+    partial-aggregated shuffle on the (Zipfian) domain key."""
+    from exness_data_preprocess_spark.operators.urls import domain_stats
+
+    return domain_stats(_url_augmented(spark, sf_dir))
+
+
+def q_url_blocklist_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb URL-filter stage, audit variant: per-doc blocked
+    flag from a literal suffix-matching predicate — map-only, no join,
+    no shuffle (subdomains of blocked domains count as blocked)."""
+    from exness_data_preprocess_spark.operators.urls import (
+        domain_blocklist_filter,
+    )
+
+    return domain_blocklist_filter(
+        _url_augmented(spark, sf_dir), _URL_BLOCKLIST, keep_flagged=True
+    ).select("doc_id", "blocked_domain")
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sample without replacement (Efraimidis-Spirakis
+    A-ES keys on a seeded-hash uniform); TakeOrderedAndProject top-k —
+    per-partition bounded heaps, no global sort."""
+    from exness_data_preprocess_spark.operators.textstats import (
+        weighted_sample,
+    )
+    from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
+
+    docs = _docs_spread(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return weighted_sample(docs, _WSAMPLE_K, "n_chars")
+
+
+_URL_ORACLE_BASE = f"""
+WITH aug AS (
+  SELECT doc_id, {_URL_AUG_DUCK} AS text FROM documents
+)"""
+
+ORACLE_DOMAIN_STATS = _URL_ORACLE_BASE + """
+, ex AS (
+  SELECT doc_id,
+         lower(unnest(regexp_extract_all(
+           text, 'https?://([A-Za-z0-9.-]+)', 1))) AS domain
+  FROM aug
+)
+SELECT domain, count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_urls
+FROM ex GROUP BY domain
+"""
+
+_URL_BLOCKED_PRED = " OR ".join(
+    f"d = '{b}' OR d LIKE '%.{b}'" for b in sorted(_URL_BLOCKLIST)
+)
+
+ORACLE_URL_BLOCKLIST_AUDIT = _URL_ORACLE_BASE + f"""
+SELECT doc_id,
+       CASE WHEN len(list_filter(
+              list_transform(regexp_extract_all(
+                text, 'https?://([A-Za-z0-9.-]+)', 1), x -> lower(x)),
+              d -> {_URL_BLOCKED_PRED})) > 0
+            THEN 1 ELSE 0 END AS blocked_domain
+FROM aug
+"""
+
+# A-ES key: ln(u)/w with u = (md5_h60(seed||id)+1)/(2^60+1); ORDER BY
+# key DESC, id — byte-identical key derivation in both engines.
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         ln((('0x' || substr(md5('wsample-v1' ||
+               CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)::DOUBLE
+            / {float(2**60 + 1)!r}) / n_chars::DOUBLE AS wkey
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, lang, n_chars FROM w
+ORDER BY wkey DESC, doc_id LIMIT {_WSAMPLE_K}
+"""
+
+
 def build_pipeline_queries() -> dict:
     """name → (spark_fn, oracle_sql, description, bench).
 
@@ -1897,5 +2158,29 @@ def build_pipeline_queries() -> dict:
         "pii_stats": (
             q_pii_stats, _pii_stats_oracle(),
             "per-source PII audit rollup (privacy-review report)",
+            True),
+        "line_dedup": (
+            q_line_dedup, ORACLE_LINE_DEDUP,
+            "corpus-wide duplicate-line removal, keep-first (CCNet §4.1)",
+            True),
+        "boilerplate_strip": (
+            q_boilerplate_strip, ORACLE_BOILERPLATE_STRIP,
+            "C4-style boilerplate-line removal (doc-frequency ≥ 25)",
+            True),
+        "boilerplate_lines": (
+            q_boilerplate_lines, ORACLE_BOILERPLATE_LINES,
+            "boilerplate audit: lines by document frequency",
+            True),
+        "domain_stats": (
+            q_domain_stats, ORACLE_DOMAIN_STATS,
+            "per-domain provenance audit (URL extraction + rollup)",
+            True),
+        "url_blocklist_audit": (
+            q_url_blocklist_audit, ORACLE_URL_BLOCKLIST_AUDIT,
+            "URL blocklist screening flags (suffix-matched, map-only)",
+            True),
+        "weighted_sample": (
+            q_weighted_sample, ORACLE_WEIGHTED_SAMPLE,
+            "exact-k weighted sample without replacement (A-ES)",
             True),
     }

@@ -1,0 +1,121 @@
+"""Line-level dedup / boilerplate removal (operators/lines.py).
+
+Semantics pinned here: corpus-wide keep-first ordering by (doc_id,
+line_no) including within-doc repeats, CCNet normalization (case /
+punctuation / digit insensitivity) deciding line identity while the KEPT
+line keeps its original bytes, blank lines never dedup'd, boilerplate
+stripping removing ALL occurrences (first included), one output row per
+input doc even when everything was dropped, and the skew-safe plan shape
+(agg+join, no window over the line key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.operators.lines import (
+    line_dedup,
+    line_doc_frequency,
+    split_lines,
+    strip_boilerplate,
+)
+
+
+def _df(spark, *texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+
+
+def _by_id(df):
+    return {r["doc_id"]: r for r in df.collect()}
+
+
+def test_split_lines_positions_and_blank_key(spark):
+    rows = (
+        split_lines(_df(spark, "alpha\n\nbeta"))
+        .orderBy("line_no")
+        .collect()
+    )
+    assert [(r["line_no"], r["line"]) for r in rows] == [
+        (0, "alpha"), (1, ""), (2, "beta"),
+    ]
+    assert rows[0]["line_key"] is not None
+    assert rows[1]["line_key"] is None  # blank: never a dedup candidate
+
+
+def test_line_dedup_keeps_first_occurrence_corpus_wide(spark):
+    out = _by_id(line_dedup(_df(
+        spark,
+        "shared line\nunique a",
+        "unique b\nshared line",
+    )))
+    assert out[0]["text_kept"] == "shared line\nunique a"
+    assert out[1]["text_kept"] == "unique b"
+    assert (out[1]["n_lines"], out[1]["n_lines_kept"]) == (2, 1)
+
+
+def test_line_dedup_drops_within_doc_repeats(spark):
+    out = _by_id(line_dedup(_df(spark, "echo\nmid\necho")))
+    assert out[0]["text_kept"] == "echo\nmid"
+    assert out[0]["n_lines_kept"] == 2
+
+
+def test_line_identity_is_normalized_but_kept_bytes_are_original(spark):
+    # "Hello, World 42!" and "hello world" normalize identically; the
+    # FIRST occurrence keeps its raw bytes.
+    out = _by_id(line_dedup(_df(
+        spark,
+        "Hello, World 42!",
+        "hello  world",
+    )))
+    assert out[0]["text_kept"] == "Hello, World 42!"
+    assert out[1]["text_kept"] == ""
+    assert out[1]["n_lines_kept"] == 0  # row still present
+
+
+def test_blank_lines_survive_dedup_everywhere(spark):
+    out = _by_id(line_dedup(_df(spark, "a\n\nb", "c\n\nd")))
+    assert out[0]["text_kept"] == "a\n\nb"
+    assert out[1]["text_kept"] == "c\n\nd"
+
+
+def test_strip_boilerplate_removes_all_occurrences(spark):
+    docs = _df(
+        spark,
+        "cookie banner\ncontent one",
+        "cookie banner\ncontent two",
+        "cookie banner\ncontent three",
+        "content four",
+    )
+    out = _by_id(strip_boilerplate(docs, min_docs=3))
+    assert out[0]["text_kept"] == "content one"  # first occurrence gone too
+    assert out[1]["text_kept"] == "content two"
+    assert out[3]["text_kept"] == "content four"
+    # below threshold: untouched
+    out2 = _by_id(strip_boilerplate(docs, min_docs=4))
+    assert out2[0]["text_kept"] == "cookie banner\ncontent one"
+
+
+def test_line_doc_frequency_counts_docs_not_occurrences(spark):
+    freq = {
+        r["line_norm"]: (r["n_docs"], r["n_occurrences"])
+        for r in line_doc_frequency(
+            _df(spark, "x\nx\ny", "x", "z")
+        ).collect()
+    }
+    assert freq["x"] == (2, 3)
+    assert freq["y"] == (1, 1)
+    assert freq["z"] == (1, 1)
+
+
+def test_dedup_plan_has_no_window_over_line_key(spark):
+    """Keep-first must be the partial-aggregable agg+join shape: a hot
+    boilerplate key would serialize a window sort on one task."""
+    plan = line_dedup(
+        _df(spark, "a\nb", "b\nc")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    assert any("partial_min" in ln or "partial" in ln for ln in agg_lines)

@@ -1,0 +1,118 @@
+"""URL/domain analytics (operators/urls.py) and weighted sampling
+(textstats.weighted_sample).
+
+Semantics pinned here: host extraction + lowercasing, subdomain suffix
+matching (blocked `tracker.example` catches `ads.tracker.example` but
+NOT `nottracker.example`), docs without URLs never blocked, the map-only
+plan shape of the blocklist filter, and A-ES invariants (determinism,
+exact k, weight monotonicity, zero/NULL weights excluded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from exness_data_preprocess_spark.operators.textstats import weighted_sample
+from exness_data_preprocess_spark.operators.urls import (
+    domain_blocklist_filter,
+    domain_stats,
+    extract_domains,
+)
+
+
+def _docs(spark, *texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+
+
+def test_extract_domains_lowercases_and_keeps_order(spark):
+    out = extract_domains(
+        _docs(spark, "a https://News.Example.COM/x b http://cdn.example.net/y")
+    ).collect()[0]
+    assert out["domains"] == ["news.example.com", "cdn.example.net"]
+
+
+def test_domain_stats_counts_docs_vs_urls(spark):
+    docs = _docs(
+        spark,
+        "https://a.example/1 and https://a.example/2",
+        "https://a.example/3",
+        "https://b.example/",
+        "no links here",
+    )
+    stats = {r["domain"]: (r["n_docs"], r["n_urls"])
+             for r in domain_stats(docs).collect()}
+    assert stats["a.example"] == (2, 3)
+    assert stats["b.example"] == (1, 1)
+
+
+def test_blocklist_suffix_matches_subdomains_only(spark):
+    docs = _docs(
+        spark,
+        "x https://tracker.example/p",        # exact
+        "x https://ads.tracker.example/p",    # subdomain
+        "x https://nottracker.example/p",     # NOT a subdomain
+        "x https://clean.example/p",
+        "no urls",
+    )
+    kept = {r["doc_id"] for r in
+            domain_blocklist_filter(docs, ["tracker.example"]).collect()}
+    assert kept == {2, 3, 4}
+    flags = {r["doc_id"]: r["blocked_domain"] for r in
+             domain_blocklist_filter(
+                 docs, ["Tracker.Example"], keep_flagged=True
+             ).collect()}
+    assert flags == {0: 1, 1: 1, 2: 0, 3: 0, 4: 0}  # blocklist lowercased
+
+
+def test_blocklist_filter_is_map_only(spark):
+    plan = (
+        domain_blocklist_filter(_docs(spark, "a"), ["x.example"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def _weighted(spark):
+    # ids 0..199, weight 1 for even ids, 50 for odd ids
+    return spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 1, F.lit(50.0)).otherwise(1.0).alias("w"),
+    )
+
+
+def test_weighted_sample_exact_k_and_deterministic(spark):
+    a = weighted_sample(_weighted(spark), 30, "w")
+    b = weighted_sample(_weighted(spark), 30, "w")
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(r["doc_id"] for r in b.collect())
+    assert len(ids_a) == 30 and ids_a == ids_b
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    ids = [r["doc_id"] for r in
+           weighted_sample(_weighted(spark), 30, "w").collect()]
+    n_heavy = sum(1 for i in ids if i % 2 == 1)
+    # 100 heavy (w=50) vs 100 light (w=1): the sample should be
+    # overwhelmingly heavy; a uniform sampler would give ~15.
+    assert n_heavy >= 25
+
+
+def test_weighted_sample_excludes_nonpositive_and_null_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "doc_id long, w double",
+    )
+    ids = sorted(r["doc_id"] for r in weighted_sample(df, 10, "w").collect())
+    assert ids == [1, 5]
+
+
+def test_weighted_sample_seed_changes_selection(spark):
+    base = _weighted(spark)
+    a = {r["doc_id"] for r in weighted_sample(base, 30, "w").collect()}
+    b = {r["doc_id"] for r in
+         weighted_sample(base, 30, "w", seed="other-seed").collect()}
+    assert a != b
