@@ -42,6 +42,7 @@ __all__ = [
     "line_dedup",
     "line_doc_frequency",
     "strip_boilerplate",
+    "incremental_line_dedup",
 ]
 
 
@@ -135,6 +136,56 @@ def line_dedup(
         F.size(F.split(F.col(text_col), "\n")).cast("int").alias("n_lines")
     )
     doc_ids = df.select(F.col(id_col), n_lines)
+    return _reassemble(kept_keyed.unionByName(blanks), doc_ids, id_col)
+
+
+def incremental_line_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line-dedup a NEW batch against an EXISTING corpus (the ingest
+    shape: the corpus is already line-deduped, the batch arrives
+    later). A batch line is dropped if its normalized form occurs
+    anywhere in the corpus (left-anti join on ``line_key`` — the
+    corpus side reduces to its DISTINCT key set, one partial-agg
+    shuffle, never a corpus self-join), then keep-first WITHIN the
+    batch for lines new to the corpus. Returns one row per batch doc:
+    ``(id, text_kept, n_lines, n_lines_kept)``.
+
+    Composes with :func:`line_dedup`: running it on the corpus first
+    and this on each increment equals one :func:`line_dedup` over
+    corpus+batch, restricted to the batch rows.
+    """
+    corpus_keys = (
+        split_lines(corpus, text_col, id_col)
+        .where(F.col("line_key").isNotNull())
+        .select("line_key")
+        .distinct()
+    )
+    lines = split_lines(batch, text_col, id_col)
+    fresh = lines.where(F.col("line_key").isNotNull()).join(
+        corpus_keys, "line_key", "left_anti"
+    )
+    firsts = fresh.groupBy("line_key").agg(
+        F.min(F.struct(F.col(id_col), F.col("line_no"))).alias("first")
+    )
+    kept_keyed = (
+        fresh.join(firsts, "line_key")
+        .where(
+            (F.col(id_col) == F.col("first")[id_col])
+            & (F.col("line_no") == F.col("first.line_no"))
+        )
+        .select(id_col, "line_no", "line")
+    )
+    blanks = lines.where(F.col("line_key").isNull()).select(
+        id_col, "line_no", "line"
+    )
+    n_lines = (
+        F.size(F.split(F.col(text_col), "\n")).cast("int").alias("n_lines")
+    )
+    doc_ids = batch.select(F.col(id_col), n_lines)
     return _reassemble(kept_keyed.unionByName(blanks), doc_ids, id_col)
 
 

@@ -941,16 +941,17 @@ _DRIVER_PRIORITY = [
     "boilerplate_lines",  # NEW this round — must certify first
     "domain_stats", "url_blocklist_audit",  # NEW — must certify first
     "weighted_sample",  # NEW this round — must certify first
+    "incremental_line_dedup",  # NEW this round — must certify first
     "rolling_user_stats", "streaming_cdc_snapshot", "cdc_apply",
     "dedup_levenshtein", "dedup_minhash_lsh", "dedup_exact",
     "dedup_keep_best", "dup_connected_components", "incremental_dedup",
     "decontamination", "distinct_users_skew_safe",
     "events_window_dedup", "interval_join_events", "sessionize_events",
-    "analyze_events",
     # still r7-green after this round, scheduled to lead the r10
-    # rotation: asof_join, asof_tolerance, coverage_stats, gap_months,
-    # keyset_pagination, flag_filters (displaced by the six new
-    # line-dedup/domain/weighted-sample slots),
+    # rotation: analyze_events, asof_join, asof_tolerance,
+    # coverage_stats, gap_months, keyset_pagination, flag_filters
+    # (displaced by the seven new line-dedup/domain/weighted-sample
+    # slots),
     # full_outer_diff and minute_bucket_join (displaced from
     # this round's 50 by the two new PII slots), plus
     # autocorr_lag1, blocklist_filter, chunk_documents,

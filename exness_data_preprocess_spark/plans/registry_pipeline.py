@@ -1900,6 +1900,53 @@ ORACLE_BOILERPLATE_STRIP = _LINES_ORACLE_BASE + f"""
   WHERE nrm = '' OR nrm NOT IN (SELECT nrm FROM hot)
 )""" + _LINES_ORACLE_TAIL
 
+def q_incremental_line_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ingest-shaped line dedup: the batch (doc_id % 10 == 0) loses
+    every line already present in the corpus (the rest), then
+    keep-first within the batch. Corpus side reduces to its distinct
+    key set — one partial-agg shuffle, no corpus self-join."""
+    from exness_data_preprocess_spark.operators.lines import (
+        incremental_line_dedup,
+    )
+
+    aug = _lines_augmented(spark, sf_dir)
+    batch = aug.where(F.col("doc_id") % 10 == 0)
+    corpus = aug.where(F.col("doc_id") % 10 != 0)
+    return incremental_line_dedup(batch, corpus).select(
+        "doc_id", "text_kept", "n_lines", "n_lines_kept"
+    )
+
+
+ORACLE_INCREMENTAL_LINE_DEDUP = _LINES_ORACLE_BASE + """
+, corpus_keys AS (
+  SELECT DISTINCT nrm FROM keyed WHERE doc_id % 10 <> 0 AND nrm <> ''
+), kept AS (
+  SELECT doc_id, line_no, line FROM (
+    SELECT doc_id, line_no, line,
+           row_number() OVER (PARTITION BY nrm
+                              ORDER BY doc_id, line_no) AS rn
+    FROM keyed
+    WHERE doc_id % 10 = 0 AND nrm <> ''
+      AND nrm NOT IN (SELECT nrm FROM corpus_keys)
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, line_no, line FROM keyed
+  WHERE doc_id % 10 = 0 AND nrm = ''
+), docs_out AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text_kept,
+         count(*) AS n_lines_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id, coalesce(d.text_kept, '') AS text_kept,
+       len(string_split(a.text, chr(10)))::INT AS n_lines,
+       coalesce(d.n_lines_kept, 0)::INT AS n_lines_kept
+FROM aug a LEFT JOIN docs_out d USING (doc_id)
+WHERE a.doc_id % 10 = 0
+"""
+
+
 ORACLE_BOILERPLATE_LINES = _LINES_ORACLE_BASE + f"""
 SELECT nrm AS line_norm, count(DISTINCT doc_id) AS n_docs,
        count(*) AS n_occurrences
@@ -2170,6 +2217,10 @@ def build_pipeline_queries() -> dict:
         "boilerplate_lines": (
             q_boilerplate_lines, ORACLE_BOILERPLATE_LINES,
             "boilerplate audit: lines by document frequency",
+            True),
+        "incremental_line_dedup": (
+            q_incremental_line_dedup, ORACLE_INCREMENTAL_LINE_DEDUP,
+            "batch-vs-corpus line dedup (ingest shape, keep-first)",
             True),
         "domain_stats": (
             q_domain_stats, ORACLE_DOMAIN_STATS,

@@ -155,6 +155,71 @@ def _queries():
                                n_salts=32)
         return left.join(user_dim(spark, d), "user_id")
 
+    # --- line-dedup pair (r9): the registry agg+join shape vs the
+    # window twin, on an IN-MEMORY boilerplate fixture (no parquet
+    # needed): 100k docs x 10 lines. Uniform: every line unique.
+    # Skew: half the docs consist ENTIRELY of the same 5 boilerplate
+    # lines -> 5 hot line keys with 100k occurrences each (50% of all
+    # lines), the cookie-banner distribution line_dedup exists for.
+    def _line_docs(spark, d):
+        skewed = d == SKEW_DIR
+        df = spark.range(100_000).select(F.col("id").alias("doc_id"))
+        per_pos = []
+        for p in range(10):
+            uniq = F.concat(
+                F.lit(f"w{p} tok "), F.col("doc_id").cast("string"),
+                F.lit(f" filler p{p}"),
+            )
+            if skewed:
+                line = F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.lit(f"hot boilerplate banner line {p % 5}"),
+                ).otherwise(uniq)
+            else:
+                line = uniq
+            per_pos.append(line)
+        return df.select(
+            "doc_id", F.concat_ws("\n", *per_pos).alias("text")
+        )
+
+    from exness_data_preprocess_spark.operators.lines import (
+        line_dedup,
+        split_lines,
+    )
+
+    def line_dedup_aggjoin(spark, d):
+        return line_dedup(_line_docs(spark, d))
+
+    def line_dedup_window(spark, d):
+        # value-identical naive twin: row_number over the line key —
+        # the hot banner key's full occurrence list sorts on one task
+        docs = _line_docs(spark, d)
+        lines = split_lines(docs)
+        w = Window.partitionBy("line_key").orderBy("doc_id", "line_no")
+        kept = (
+            lines.where(F.col("line_key").isNotNull())
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("doc_id", "line_no", "line")
+            .unionByName(
+                lines.where(F.col("line_key").isNull()).select(
+                    "doc_id", "line_no", "line"
+                )
+            )
+        )
+        return kept.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_no", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_kept"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+
     return {
         "distinct_safe": distinct_safe,
         "distinct_naive": distinct_naive,
@@ -167,6 +232,8 @@ def _queries():
         "rolling_frame": rolling_frame,
         "rolling_adaptive": rolling_adaptive,
         "sessionize": QUERIES["sessionize_events"].spark,
+        "line_dedup_aggjoin": line_dedup_aggjoin,
+        "line_dedup_window": line_dedup_window,
     }
 
 
@@ -175,6 +242,7 @@ PAIRS = [
     ("topk", "topk_salted", "topk_naive"),
     ("join", "join_salted", "join_naive"),
     ("rolling", "rolling_bucketed", "rolling_frame"),
+    ("lines", "line_dedup_aggjoin", "line_dedup_window"),
 ]
 # adaptive rows (judge r8 tasks 2/5): probe-gated plan choice, expected
 # ≈ best-of-both on each fixture (probe cost included in the timing)
@@ -186,6 +254,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--md", default=None)
+    ap.add_argument(
+        "--only",
+        nargs="*",
+        default=None,
+        help="re-measure only these queries and MERGE into the existing "
+        "--out JSON (the scale_curve point-merge contract: a pair-at-a-"
+        "time re-run extends the committed record instead of truncating "
+        "it to whatever fixtures are still on disk)",
+    )
     args = ap.parse_args()
 
     from exness_data_preprocess_spark import get_spark
@@ -199,6 +276,11 @@ def main() -> None:
     )
 
     qs = _queries()
+    if args.only is not None:
+        unknown = set(args.only) - set(qs)
+        if unknown:
+            ap.error(f"unknown --only queries: {sorted(unknown)}")
+        qs = {n: f for n, f in qs.items() if n in args.only}
     for fn in qs.values():  # compile warm-up at the small fixture
         try:
             fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
@@ -222,6 +304,10 @@ def main() -> None:
         row["skew_penalty"] = round(row["skew"] / row["uniform"], 2)
         results[name] = row
         print(json.dumps({"query": name, **row}), file=sys.stderr)
+
+    if args.only is not None and args.out and Path(args.out).exists():
+        prior = json.loads(Path(args.out).read_text()).get("queries", {})
+        results = {**prior, **results}
 
     payload = {
         "metric": "skew_bench",
@@ -254,6 +340,8 @@ def _write_md(path: Path, results: dict[str, dict]) -> None:
     ]
     for pair, safe, naive in PAIRS:
         for q in (safe, naive):
+            if q not in results:
+                continue
             r = results[q]
             lines.append(
                 f"| {pair} | `{q}` | {r['uniform']} | {r['skew']} "
@@ -268,6 +356,8 @@ def _write_md(path: Path, results: dict[str, dict]) -> None:
             f"| {r['skew_penalty']}x |"
         )
     for q in WINDOW_ONLY:
+        if q not in results:
+            continue
         r = results[q]
         lines.append(
             f"| window | `{q}` | {r['uniform']} | {r['skew']} "

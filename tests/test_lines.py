@@ -110,6 +110,42 @@ def test_line_doc_frequency_counts_docs_not_occurrences(spark):
     assert freq["z"] == (1, 1)
 
 
+def test_incremental_line_dedup_drops_corpus_lines(spark):
+    from exness_data_preprocess_spark.operators.lines import (
+        incremental_line_dedup,
+    )
+
+    corpus = _df(spark, "old line\nstays here")
+    batch = spark.createDataFrame(
+        [(10, "old line\nnew line"), (11, "new line\nother new")],
+        "doc_id long, text string",
+    )
+    out = _by_id(incremental_line_dedup(batch, corpus))
+    assert out[10]["text_kept"] == "new line"  # 'old line' in corpus
+    assert out[11]["text_kept"] == "other new"  # keep-first within batch
+
+
+def test_incremental_equals_full_dedup_restricted_to_batch(spark):
+    """Composability contract: line_dedup(corpus ∪ batch) restricted to
+    batch rows == incremental_line_dedup(batch, corpus) — provided the
+    corpus ids order before the batch ids (keep-first tie-break)."""
+    from exness_data_preprocess_spark.operators.lines import (
+        incremental_line_dedup,
+        line_dedup,
+    )
+
+    corpus = _df(spark, "a\nb", "b\nc")               # ids 0,1
+    batch = spark.createDataFrame(
+        [(10, "c\nd"), (11, "d\ne\n\nf")],
+        "doc_id long, text string",
+    )
+    inc = _by_id(incremental_line_dedup(batch, corpus))
+    full = _by_id(line_dedup(corpus.unionByName(batch)))
+    for i in (10, 11):
+        assert inc[i]["text_kept"] == full[i]["text_kept"]
+        assert inc[i]["n_lines_kept"] == full[i]["n_lines_kept"]
+
+
 def test_dedup_plan_has_no_window_over_line_key(spark):
     """Keep-first must be the partial-aggregable agg+join shape: a hot
     boilerplate key would serialize a window sort on one task."""
