@@ -48,6 +48,7 @@ QUERY_TABLE = {
     "dedup_minhash_lsh": "documents",
     "dedup_ngram_jaccard": "documents",
     "dedup_ngram_jaccard_capped": "documents",
+    "line_dedup": "documents",
     "dedup_simhash": "documents",
     "dedup_exact_substring": "documents",
     "contamination_spans": "documents",
@@ -210,6 +211,11 @@ NATURAL_QUERIES = [
     "kmv_distinct_sketch",
     "quality_classifier_nb",
     "hll_distinct_sketch",
+    # round-9: corpus-wide line dedup — linear by construction (explode,
+    # key-agg, key-join, doc regroup); measured to nat300x because the
+    # boilerplate-hot line keys are exactly what melts naive shapes at
+    # scale (documents-only fixture suffices — no embeddings read)
+    "line_dedup",
 ]
 # every natural query OUTSIDE the nat1000x trio skips that rung
 NATURAL_SKIP |= {
@@ -693,6 +699,30 @@ def write_md_natural(path: Path, payload: dict, tags: list[str]) -> None:
         "  test_jaccard_index_df_cap_trades_recall_never_precision and",
         "  a deterministic count gate in test_scale_counts). The exact",
         "  join stays the registry default.",
+        "- Round-9 capstone MEASURED (nat1000x, 5M docs, documents-only;",
+        "  SPARK_GRAFT_DRIVER_MEM=64g — the 16g default local heap OOMs",
+        "  at this rung's gram explode; on a cluster this is ordinary",
+        "  executor sizing, not a plan property): `dedup_ngram_jaccard`",
+        "  141.4 s, wall alpha 0.85, suffix-filtered verify input",
+        "  EXACTLY the true pairs at all seven rungs (cand == out,",
+        "  66 → 73,669); the capped twin 146.1 s, alpha 1.07, trading 8",
+        "  of 73,669 pairs at 5M docs (the documented recall contract).",
+        "  `dedup_containment` 445.2 s with alpha 1.13 over a COHERENT",
+        "  same-session nat300x pair (113.5 s) and alpha_cand 1.01 —",
+        "  the df-capped O(n·cap) candidate bound holds a full decade",
+        "  past nat100x (147,328 candidates vs 147,322 pairs at 5M",
+        "  docs). Measurement note: containment's nat30x point read",
+        "  ~22 s in all three of this session's passes vs 10.3 s in the",
+        "  prior session's record (nat100x/300x moved the OTHER way) —",
+        "  a mid-rung AQE/caching wobble worth recording, not a curve",
+        "  property; the last-step alphas quoted here come from",
+        "  back-to-back same-session pairs.",
+        "- Round-9: `line_dedup` joined the ladder — the boilerplate-hot",
+        "  keep-first agg+join shape holds nat300x (1.5M docs, ~20M",
+        "  exploded lines, header/footer lines hot in 33-50% of docs)",
+        "  at 35.0 s with last-step alpha 0.68 and alpha_out 1.0;",
+        "  the skew ladder's `lines` pair measures the window twin this",
+        "  shape replaces.",
         "",
         NAT_END,
     ]

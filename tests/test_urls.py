@@ -110,6 +110,17 @@ def test_weighted_sample_excludes_nonpositive_and_null_weights(spark):
     assert ids == [1, 5]
 
 
+def test_weighted_sample_plan_is_bounded_topk_not_global_sort(spark):
+    """orderBy().limit(k) must compile to TakeOrderedAndProject —
+    per-partition bounded heaps — not a full Sort of the corpus."""
+    plan = (
+        weighted_sample(_weighted(spark), 30, "w")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_weighted_sample_seed_changes_selection(spark):
     base = _weighted(spark)
     a = {r["doc_id"] for r in weighted_sample(base, 30, "w").collect()}
