@@ -155,25 +155,38 @@ def _queries():
                                n_salts=32)
         return left.join(user_dim(spark, d), "user_id")
 
-    # --- line-dedup pair (r9): the registry agg+join shape vs the
-    # window twin, on an IN-MEMORY boilerplate fixture (no parquet
-    # needed): 100k docs x 10 lines. Uniform: every line unique.
-    # Skew: half the docs consist ENTIRELY of the same 5 boilerplate
-    # lines -> 5 hot line keys with 100k occurrences each (50% of all
-    # lines), the cookie-banner distribution line_dedup exists for.
+    # --- line-dedup trio (r9, fixed + made adaptive r10): keep-first
+    # plans on an IN-MEMORY boilerplate fixture: 100k docs x 10 lines.
+    # r10 fixture fix: the CCNet normalization strips DIGITS, so the r9
+    # "unique" lines (w{p} tok {doc_id} filler p{p}) all collapsed to
+    # ONE normalized key — both r9 columns actually measured a total-
+    # skew corpus, which is why the window twin "didn't melt". Identity
+    # must be spelled in letters: doc_id is translated to a-j digits
+    # and the position letter varies, so uniform now really is
+    # all-unique keys. Skew: half the docs consist ENTIRELY of the same
+    # 5 banner lines (letter-suffixed — digit suffixes collapse to one
+    # key) -> 5 hot keys with 100k occurrences each (50% of all lines),
+    # the cookie-banner distribution line_dedup exists for.
     def _line_docs(spark, d):
         skewed = d == SKEW_DIR
         df = spark.range(100_000).select(F.col("id").alias("doc_id"))
+        doc_letters = F.translate(
+            F.col("doc_id").cast("string"), "0123456789", "abcdefghij"
+        )
         per_pos = []
         for p in range(10):
+            pos_letter = "abcdefghij"[p]
             uniq = F.concat(
-                F.lit(f"w{p} tok "), F.col("doc_id").cast("string"),
-                F.lit(f" filler p{p}"),
+                F.lit(f"w{pos_letter} tok "), doc_letters,
+                F.lit(f" filler p{pos_letter}"),
             )
             if skewed:
                 line = F.when(
                     F.col("doc_id") % 2 == 0,
-                    F.lit(f"hot boilerplate banner line {p % 5}"),
+                    F.lit(
+                        "hot boilerplate banner line "
+                        + "abcde"[p % 5]
+                    ),
                 ).otherwise(uniq)
             else:
                 line = uniq
@@ -182,43 +195,20 @@ def _queries():
             "doc_id", F.concat_ws("\n", *per_pos).alias("text")
         )
 
-    from exness_data_preprocess_spark.operators.lines import (
-        line_dedup,
-        split_lines,
-    )
+    from exness_data_preprocess_spark.operators.lines import line_dedup
 
+    # all three rows run the REAL operator (incl. _reassemble — the r9
+    # window twin skipped it and did slightly less work, advisor find),
+    # differing only in the forced/probed keep-first plan
     def line_dedup_aggjoin(spark, d):
-        return line_dedup(_line_docs(spark, d))
+        return line_dedup(_line_docs(spark, d), plan="aggjoin")
 
     def line_dedup_window(spark, d):
-        # value-identical naive twin: row_number over the line key —
-        # the hot banner key's full occurrence list sorts on one task
-        docs = _line_docs(spark, d)
-        lines = split_lines(docs)
-        w = Window.partitionBy("line_key").orderBy("doc_id", "line_no")
-        kept = (
-            lines.where(F.col("line_key").isNotNull())
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("doc_id", "line_no", "line")
-            .unionByName(
-                lines.where(F.col("line_key").isNull()).select(
-                    "doc_id", "line_no", "line"
-                )
-            )
-        )
-        return kept.groupBy("doc_id").agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("line_no", "line"))
-                    ),
-                    lambda s: s["line"],
-                ),
-                "\n",
-            ).alias("text_kept"),
-            F.count(F.lit(1)).alias("n_lines_kept"),
-        )
+        return line_dedup(_line_docs(spark, d), plan="window")
+
+    def line_dedup_adaptive(spark, d):
+        # probe cost inside the timed window, as for rolling_adaptive
+        return line_dedup(_line_docs(spark, d))
 
     return {
         "distinct_safe": distinct_safe,
@@ -234,6 +224,7 @@ def _queries():
         "sessionize": QUERIES["sessionize_events"].spark,
         "line_dedup_aggjoin": line_dedup_aggjoin,
         "line_dedup_window": line_dedup_window,
+        "line_dedup_adaptive": line_dedup_adaptive,
     }
 
 
@@ -242,11 +233,11 @@ PAIRS = [
     ("topk", "topk_salted", "topk_naive"),
     ("join", "join_salted", "join_naive"),
     ("rolling", "rolling_bucketed", "rolling_frame"),
-    ("lines", "line_dedup_aggjoin", "line_dedup_window"),
+    ("lines", "line_dedup_window", "line_dedup_aggjoin"),
 ]
 # adaptive rows (judge r8 tasks 2/5): probe-gated plan choice, expected
 # ≈ best-of-both on each fixture (probe cost included in the timing)
-ADAPTIVE = ["rolling_adaptive", "join_adaptive"]
+ADAPTIVE = ["rolling_adaptive", "join_adaptive", "line_dedup_adaptive"]
 WINDOW_ONLY = ["sessionize"]
 
 
@@ -416,18 +407,28 @@ def _write_md(path: Path, results: dict[str, dict]) -> None:
         "  routes to `salted_join`.",
         "- `sessionize` (keyed lag/cumsum) degrades only 1.6x: linear",
         "  per-partition work, bounded by the hot key's row share.",
-        "- **`lines` pair (r9, in-memory fixture: 100k docs x 10 lines;",
-        "  skew = half the docs are the SAME 5 banner lines, so 5 line",
-        "  keys own 50% of 1M lines)**: the naive window twin does NOT",
-        "  melt here (1.05x — a 100k-row one-task sort is ~cheap) and",
-        "  undercuts the registry agg+join shape ~4x on uniform data.",
-        "  Recorded as the honest premium, same verdict as naive",
-        "  distinct/topk: the window's hot-key cost is ONE task sorting",
-        "  the banner's full occurrence list, fine at 1M lines, hours",
-        "  at the 10^9-occurrence boilerplate a web corpus actually",
-        "  has — which is the very premise of line dedup. The agg+join",
-        "  stays the operator shape; the premium is what the insurance",
-        "  costs at toy scale.",
+        "- **`lines` trio (fixture fixed + plan made adaptive, r10)**:",
+        "  the r9 fixture was degenerate — CCNet normalization strips",
+        "  digits, so the 'unique' lines all collapsed to ONE key and",
+        "  both r9 columns measured a total-skew corpus. With identity",
+        "  spelled in letters (uniform = 1M truly unique keys; skew =",
+        "  5 banner keys x 100k rows), the window keep-first still wins",
+        "  BOTH fixtures: one shuffle + partition-local sort vs the",
+        "  agg+join's agg shuffle PLUS a join-back that re-shuffles the",
+        "  hot key's full occurrence list by line_key anyway. Pushing a",
+        "  single hot key to 20M rows (4M docs, separate probe run)",
+        "  still left the window ahead: 11.2 s vs 24.0 s — AQE's",
+        "  skew-join split helps the agg+join less than its two extra",
+        "  shuffles cost at any scale one local task can sort. The",
+        "  window's real failure mode is STATE, not speed: a window",
+        "  partition is always one task, so a 10^9-occurrence banner",
+        "  key is an unsplittable multi-GB sort (AQE can split a join",
+        "  partition, never a window partition). `line_dedup` therefore",
+        "  now probes the hottest key (share > 5% AND > 20M est. rows,",
+        "  ~2 GB of one-task state) and buys agg+join only past that",
+        "  bound — `line_dedup_adaptive` ≈ the window row + probe cost",
+        "  on both fixtures here, and routes to agg+join exactly where",
+        "  one task's sort state stops fitting an executor.",
         "",
         MD_END,
     ]

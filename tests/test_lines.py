@@ -5,12 +5,14 @@ line_no) including within-doc repeats, CCNet normalization (case /
 punctuation / digit insensitivity) deciding line identity while the KEPT
 line keeps its original bytes, blank lines never dedup'd, boilerplate
 stripping removing ALL occurrences (first included), one output row per
-input doc even when everything was dropped, and the skew-safe plan shape
-(agg+join, no window over the line key).
+input doc even when everything was dropped, and the adaptive keep-first
+plan selection (window unless the hottest key is both relatively hot and
+absolutely one-task-breaking; explicit overrides honored).
 """
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from exness_data_preprocess_spark.operators.lines import (
@@ -146,12 +148,68 @@ def test_incremental_equals_full_dedup_restricted_to_batch(spark):
         assert inc[i]["n_lines_kept"] == full[i]["n_lines_kept"]
 
 
-def test_dedup_plan_has_no_window_over_line_key(spark):
-    """Keep-first must be the partial-aggregable agg+join shape: a hot
-    boilerplate key would serialize a window sort on one task."""
-    plan = line_dedup(
-        _df(spark, "a\nb", "b\nc")
-    )._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan
-    agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+def test_dedup_plan_selection_is_adaptive(spark):
+    """Plan guard for the adaptive keep-first (judge r9 task 2): the
+    probe picks the one-shuffle window plan unless the hottest line key
+    is BOTH relatively hot and absolutely one-task-breaking; an
+    explicit ``plan=`` overrides. Both twins are value-identical (the
+    equality test below and the registry oracle pin that)."""
+
+    def planstr(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    docs = _df(spark, "a\nb", "b\nc")
+    # tiny fixture: hot share trips (duplicate key 'b') but the absolute
+    # bound cannot -> window plan
+    adaptive = planstr(line_dedup(docs))
+    assert "Window" in adaptive
+    # forcing the thresholds to zero models the one-task-breaking key:
+    # agg+join, no window anywhere, partial (map-side) min aggregation
+    forced = planstr(
+        line_dedup(docs, skew_threshold=0.0, min_hot_rows=0)
+    )
+    assert "Window" not in forced
+    agg_lines = [ln for ln in forced.splitlines() if "HashAggregate" in ln]
     assert any("partial_min" in ln or "partial" in ln for ln in agg_lines)
+    # explicit overrides bypass the probe
+    assert "Window" not in planstr(line_dedup(docs, plan="aggjoin"))
+    assert "Window" in planstr(line_dedup(docs, plan="window"))
+    with pytest.raises(ValueError, match="plan must be one of"):
+        line_dedup(docs, plan="nope")
+
+
+def test_dedup_plans_are_value_identical(spark):
+    """The two keep-first twins (and hence any adaptive choice) must
+    produce byte-identical output, including intra-doc repeats, blank
+    lines, and fully-deduped docs."""
+    docs = _df(
+        spark,
+        "dup line\nunique a\n\ndup line",
+        "dup line\nunique b",
+        "dup line",
+    )
+    cols = ["doc_id", "text_kept", "n_lines", "n_lines_kept"]
+    a = line_dedup(docs, plan="window").orderBy("doc_id").select(cols)
+    b = line_dedup(docs, plan="aggjoin").orderBy("doc_id").select(cols)
+    assert a.collect() == b.collect()
+
+
+def test_probe_line_key_skew_estimates(spark):
+    """The doc-granularity probe: share of the hottest normalized key,
+    total-line extrapolation, and the empty-input zero case."""
+    from exness_data_preprocess_spark.operators.lines import (
+        probe_line_key_skew,
+    )
+
+    hot = _df(spark, *[f"banner\nuniq {chr(97 + i)}" for i in range(8)])
+    g = probe_line_key_skew(hot, sample_docs=1000)
+    assert g["n_docs"] == 8
+    assert g["est_total_lines"] == 16
+    assert abs(g["max_share"] - 0.5) < 1e-6  # 'banner' in all 8 docs
+    assert g["est_hot_rows"] == 8
+    empty = hot.where(F.lit(False))
+    z = probe_line_key_skew(empty)
+    assert z == {
+        "max_share": 0.0, "est_total_lines": 0,
+        "est_hot_rows": 0, "n_docs": 0,
+    }
