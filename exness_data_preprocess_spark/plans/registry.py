@@ -916,52 +916,35 @@ def _register_extra_queries() -> None:
 # set at sf0.1); rotation widens cumulative external coverage, it does
 # not narrow what is checked.
 _DRIVER_PRIORITY = [
-    # round-9 (judge r8 task 1): cms_heavy_hitters leads — it is the one
-    # entry the r8 50-cap squeezed out (last driver-green r6) — followed
-    # by the rest of the r6-certification window (26 entries total whose
-    # most recent driver-green row is CORRECTNESS_r06: the sketch family,
-    # resample variants, eventflow, retrieval/text-stats, NB classifier)
-    "cms_heavy_hitters", "bloom_membership", "bm25_topk",
-    "cohort_retention", "collocation_pmi", "contamination_spans",
-    "doc_fingerprint", "funnel_daily", "histogram_quantiles",
-    "kmv_source_overlap", "lang_id", "lm_fluency_score",
-    "ohlc_resample_15m", "ohlc_resample_30m", "ohlc_resample_4h",
-    "ohlc_resample_5m", "quality_classifier_nb", "realized_volatility",
-    "streaming_hll_sketch", "streaming_kmv_sketch", "text_quality",
-    "tfidf_top_terms", "train_val_test_split", "twap_hourly",
-    "video_frame_sample", "zipf_fit",
-    # the remaining 24 slots of the driver's 50-sample go to the oldest
-    # (r7-window) entries, plans-touched-this-round and scale-risky
-    # families first: rolling_user_stats (adaptive plan selection this
-    # round), streaming_cdc_snapshot (cdc_stream seeding-guard fixes),
-    # the dedup/cluster family on the natural ladder, then joins/windows
-    "dedup_ngram_jaccard_capped",  # NEW this round — must certify first
-    "pii_redaction", "pii_stats",  # NEW this round — must certify first
-    "line_dedup", "boilerplate_strip",  # NEW this round — certify first
-    "boilerplate_lines",  # NEW this round — must certify first
-    "domain_stats", "url_blocklist_audit",  # NEW — must certify first
-    "weighted_sample",  # NEW this round — must certify first
-    "incremental_line_dedup",  # NEW this round — must certify first
-    "rolling_user_stats", "streaming_cdc_snapshot", "cdc_apply",
-    "dedup_levenshtein", "dedup_minhash_lsh", "dedup_exact",
-    "dedup_keep_best", "dup_connected_components", "incremental_dedup",
-    "decontamination", "distinct_users_skew_safe",
-    "events_window_dedup", "interval_join_events", "sessionize_events",
-    # still r7-green after this round, scheduled to lead the r10
-    # rotation: analyze_events, asof_join, asof_tolerance,
-    # coverage_stats, gap_months, keyset_pagination, flag_filters
-    # (displaced by the seven new line-dedup/domain/weighted-sample
-    # slots),
-    # full_outer_diff and minute_bucket_join (displaced from
-    # this round's 50 by the two new PII slots), plus
-    # autocorr_lag1, blocklist_filter, chunk_documents,
-    # corpus_rollup, corpus_stats, curation_pipeline, daily_quantiles,
-    # distinct_instruments, doc_entropy, embedding_quantize,
-    # hourly_count_corr, json_extract_stats, jsonl_roundtrip,
-    # lag_lead_features (displaced from this round's 50 by the new
-    # capped-jaccard slot), max_drawdown, quality_percentile_filter,
-    # repetition_quality, sample_k_per_group, sequence_packing,
-    # stratified_sample, text_clean, training_shards, validate_events
+    # round-10 (judge r9 task 3): the r7-certification window leads —
+    # all 32 entries whose most recent driver-green row is
+    # CORRECTNESS_r07 (the joins/pagination/coverage core plus the
+    # r7-green batch analytics), so after this round no entry's last
+    # driver certification is older than r8.
+    "analyze_events", "asof_join", "asof_tolerance", "autocorr_lag1",
+    "blocklist_filter", "chunk_documents", "corpus_rollup",
+    "corpus_stats", "coverage_stats", "curation_pipeline",
+    "daily_quantiles", "distinct_instruments", "doc_entropy",
+    "embedding_quantize", "flag_filters", "full_outer_diff",
+    "gap_months", "hourly_count_corr", "json_extract_stats",
+    "jsonl_roundtrip", "keyset_pagination", "lag_lead_features",
+    "max_drawdown", "minute_bucket_join", "quality_percentile_filter",
+    "repetition_quality", "sample_k_per_group", "sequence_packing",
+    "stratified_sample", "text_clean", "training_shards",
+    "validate_events",
+    # the remaining 18 slots: entries whose PLAN changed this round
+    # (cache-lifecycle fix / adaptive keep-first — hashes unchanged
+    # locally, but the driver should re-certify the shipped plans)...
+    "sketch_index_update", "line_dedup", "incremental_line_dedup",
+    # ...then the scale-riskiest r8-window entries (pair-mining dedup,
+    # ANN, streaming twins, the OHLC core); the ~35 r8-window entries
+    # displaced here are scheduled to lead the r11 rotation
+    "dedup_containment", "dedup_containment_exact",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_exact_substring",
+    "dedup_embedding_cosine", "dedup_embedding_cosine_srp",
+    "ann_ivf_topk", "ann_lsh_bucketed", "pq_ann_adc_trained",
+    "streaming_incremental_dedup", "streaming_dedup",
+    "streaming_ohlc_1m", "ohlc_1m", "catalog_ohlc_1m",
 ]
 
 
