@@ -403,15 +403,33 @@ def weighted_sample(
     heaps + one k-row merge at the driver — no global sort, no shuffle
     of the losers, at any corpus size.
 
-    Rows with NULL or non-positive weight never qualify (u^(1/w) is
-    undefined there); filtered scan-side.
+    Rows with NULL, NaN, or non-positive weight never qualify (u^(1/w)
+    is undefined there); filtered scan-side. The NaN exclusion is
+    explicit (advisor find): Spark orders NaN ABOVE all doubles, so
+    ``NaN > 0`` is true and a NaN weight would yield key = ln(u)/NaN =
+    NaN, which sorts first under ``desc`` and hijacks the sample.
+
+    Cross-engine determinism caveat: the key is ``ln(u)/w`` computed by
+    java.lang.Math.log on the Spark side and the C library's log in the
+    DuckDB oracle. Both are correctly-rounded in practice on these
+    platforms, but a 1-ulp divergence at the exact k-th/(k+1)-th key
+    boundary would flip one membership — a latent cross-engine flake,
+    not a wrong sample (either answer is a valid draw). Integer-weight
+    pipelines that need a transcendental-free key can rank by the
+    order-equivalent pair (w, u^(1/w)) only within equal weights; here
+    the measured fixtures are divergence-free at all three scales.
     """
     u_num = md5_h60(F.concat(F.lit(seed), F.col(id_col).cast("string")))
     # u in (0,1): (h60 + 1) / (2^60 + 1) — never 0 (ln safe), never 1.
     u = (u_num + F.lit(1)).cast("double") / F.lit(float(2**60 + 1))
-    key = F.log(u) / F.col(weight_col).cast("double")
+    wd = F.col(weight_col).cast("double")
+    key = F.log(u) / wd
     return (
-        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        df.where(
+            F.col(weight_col).isNotNull()
+            & ~F.isnan(wd)
+            & (F.col(weight_col) > 0)
+        )
         .withColumn("__wkey", key)
         .orderBy(F.col("__wkey").desc(), F.col(id_col))
         .limit(k)

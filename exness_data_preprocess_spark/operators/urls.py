@@ -30,9 +30,13 @@ from pyspark.sql import functions as F
 __all__ = ["URL_PATTERN", "extract_domains", "domain_stats",
            "domain_blocklist_filter"]
 
-# Group 1 captures the host. No lookaround, no lazy quantifiers —
-# identical semantics in java.util.regex and RE2 (DuckDB).
-URL_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+# Group 1 captures the host; the optional non-capturing prefix skips a
+# userinfo component (advisor find: without it, 'https://foo@evil.example'
+# captured 'foo' and the blocked host was never seen — a trivial
+# blocklist bypass). Underscores are accepted in hostnames (seen in the
+# wild despite RFC 952). No lookaround, no lazy quantifiers — identical
+# semantics in java.util.regex and RE2 (DuckDB).
+URL_PATTERN = r"https?://(?:[^/@\s]*@)?([A-Za-z0-9._-]+)"
 
 
 def extract_domains(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -63,13 +67,71 @@ def domain_stats(
     )
 
 
+#: above this many blocklist entries the literal predicate is replaced
+#: by a broadcast join (advisor find: a chained boolean expression with
+#: thousands of comparisons can exceed whole-stage-codegen limits and
+#: costs O(entries x domains) per row; the join is O(labels) per domain)
+BLOCKLIST_JOIN_THRESHOLD = 256
+
+
 def _blocked_expr(domain: Column, blocked: list[str]) -> Column:
     """True when ``domain`` equals a blocked entry or is a subdomain of
-    one. Pure literal predicate — evaluates scan-side."""
+    one. Pure literal predicate — evaluates scan-side. Small-list path
+    only; see :func:`_flag_blocked_via_join` for large lists."""
     hit = F.lit(False)
     for b in sorted({d.lower() for d in blocked}):
         hit = hit | (domain == b) | domain.endswith("." + b)
     return hit
+
+
+def _domain_suffixes(domain: Column) -> Column:
+    """All dot-suffixes of a host, longest first: ``a.b.c`` →
+    ``[a.b.c, b.c, c]`` — suffix-match against a blocklist becomes an
+    equi-join on these (bounded by the label count, ≤127 by RFC)."""
+    parts = F.split(domain, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(
+            F.slice(parts, i, n - i + F.lit(1)), "."
+        ),
+    )
+
+
+def _flag_blocked_via_join(
+    flagged_base: DataFrame, blocked: list[str], id_cols: list[str]
+) -> DataFrame:
+    """Large-blocklist path: explode each doc's domain suffixes and
+    broadcast-equi-join the deduped blocklist — O(labels) candidate
+    rows per domain instead of O(entries) comparisons, and the hot
+    (Zipfian) domains hash across the join's partitions. Returns the
+    input columns plus ``blocked_domain``."""
+    spark = flagged_base.sparkSession
+    bl = F.broadcast(
+        spark.createDataFrame(
+            [(b,) for b in sorted({d.lower() for d in blocked})],
+            ["_blocked_entry"],
+        )
+    )
+    hits = (
+        flagged_base.select(
+            *id_cols, F.explode_outer("domains").alias("_dom")
+        )
+        .select(
+            *id_cols,
+            F.explode_outer(_domain_suffixes(F.col("_dom"))).alias(
+                "_suf"
+            ),
+        )
+        .join(bl, F.col("_suf") == F.col("_blocked_entry"), "left")
+        .groupBy(*id_cols)
+        .agg(
+            F.max(
+                F.when(F.col("_blocked_entry").isNotNull(), 1).otherwise(0)
+            ).alias("blocked_domain")
+        )
+    )
+    return flagged_base.drop("domains").join(hits, id_cols)
 
 
 def domain_blocklist_filter(
@@ -77,22 +139,34 @@ def domain_blocklist_filter(
     blocked: list[str],
     text_col: str = "text",
     keep_flagged: bool = False,
+    id_cols: list[str] | None = None,
 ) -> DataFrame:
     """Drop documents that link to any blocked domain (subdomains
     included) — the C4/RefinedWeb URL-filter stage. With
     ``keep_flagged=True`` returns all docs with a ``blocked_domain``
     flag instead of filtering (the audit variant).
 
-    The blocklist becomes one literal boolean expression over the
-    extracted domain array (`exists`), so the whole filter is map-only:
-    no join, no shuffle, pushdown-friendly.
+    Small blocklists (≤ :data:`BLOCKLIST_JOIN_THRESHOLD` entries)
+    become one literal boolean expression over the extracted domain
+    array (`exists`) — map-only, no join, no shuffle, pushdown-
+    friendly. Larger lists switch to a broadcast equi-join on the
+    domain's dot-suffixes (``id_cols`` names the doc key for the
+    flag regroup, default ``["doc_id"]``) — a chained literal
+    predicate at that size would fall out of whole-stage codegen and
+    cost O(entries) per extracted domain.
     """
-    flagged = extract_domains(df, text_col).withColumn(
-        "blocked_domain",
-        F.exists("domains", lambda d: _blocked_expr(d, blocked)).cast(
-            "int"
-        ),
-    ).drop("domains")
+    flagged_base = extract_domains(df, text_col)
+    if len({d.lower() for d in blocked}) > BLOCKLIST_JOIN_THRESHOLD:
+        flagged = _flag_blocked_via_join(
+            flagged_base, blocked, id_cols or ["doc_id"]
+        )
+    else:
+        flagged = flagged_base.withColumn(
+            "blocked_domain",
+            F.exists("domains", lambda d: _blocked_expr(d, blocked)).cast(
+                "int"
+            ),
+        ).drop("domains")
     if keep_flagged:
         return flagged
     return flagged.where(F.col("blocked_domain") == 0).drop(

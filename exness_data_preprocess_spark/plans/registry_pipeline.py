@@ -1973,6 +1973,12 @@ _URL_AUG_CASE = (
 _URL_AUG_SPARK = _URL_AUG_CASE.format(st="string")
 _URL_AUG_DUCK = _URL_AUG_CASE.format(st="varchar")
 _URL_BLOCKLIST = ["tracker.example", "blog.example.org"]
+
+# oracle regex interpolated from the operator's pattern so the two can
+# never drift (r10: pattern gained a userinfo skip + underscore hosts)
+from exness_data_preprocess_spark.operators.urls import (  # noqa: E402
+    URL_PATTERN as _URL_PATTERN_SQL,
+)
 _WSAMPLE_K = 100
 
 
@@ -2022,11 +2028,11 @@ WITH aug AS (
   SELECT doc_id, {_URL_AUG_DUCK} AS text FROM documents
 )"""
 
-ORACLE_DOMAIN_STATS = _URL_ORACLE_BASE + """
+ORACLE_DOMAIN_STATS = _URL_ORACLE_BASE + f"""
 , ex AS (
   SELECT doc_id,
          lower(unnest(regexp_extract_all(
-           text, 'https?://([A-Za-z0-9.-]+)', 1))) AS domain
+           text, '{_URL_PATTERN_SQL}', 1))) AS domain
   FROM aug
 )
 SELECT domain, count(DISTINCT doc_id) AS n_docs,
@@ -2042,7 +2048,7 @@ ORACLE_URL_BLOCKLIST_AUDIT = _URL_ORACLE_BASE + f"""
 SELECT doc_id,
        CASE WHEN len(list_filter(
               list_transform(regexp_extract_all(
-                text, 'https?://([A-Za-z0-9.-]+)', 1), x -> lower(x)),
+                text, '{_URL_PATTERN_SQL}', 1), x -> lower(x)),
               d -> {_URL_BLOCKED_PRED})) > 0
             THEN 1 ELSE 0 END AS blocked_domain
 FROM aug
@@ -2057,7 +2063,8 @@ WITH w AS (
                CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)::DOUBLE
             / {float(2**60 + 1)!r}) / n_chars::DOUBLE AS wkey
   FROM documents
-  WHERE n_chars IS NOT NULL AND n_chars > 0
+  WHERE n_chars IS NOT NULL AND NOT isnan(n_chars::DOUBLE)
+    AND n_chars > 0
 )
 SELECT doc_id, lang, n_chars FROM w
 ORDER BY wkey DESC, doc_id LIMIT {_WSAMPLE_K}

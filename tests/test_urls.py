@@ -127,3 +127,72 @@ def test_weighted_sample_seed_changes_selection(spark):
     b = {r["doc_id"] for r in
          weighted_sample(base, 30, "w", seed="other-seed").collect()}
     assert a != b
+
+
+def test_userinfo_component_does_not_hide_the_host(spark):
+    """Advisor find: 'https://foo@tracker.example/x' must extract the
+    HOST, not the userinfo — otherwise a trivial blocklist bypass.
+    Underscore hostnames are also accepted."""
+    out = extract_domains(
+        _docs(
+            spark,
+            "a https://foo@tracker.example/x b http://u:p@evil.example/y "
+            "c https://some_host.example/z",
+        )
+    ).collect()[0]
+    assert out["domains"] == [
+        "tracker.example", "evil.example", "some_host.example",
+    ]
+    flags = {r["doc_id"]: r["blocked_domain"] for r in
+             domain_blocklist_filter(
+                 _docs(spark, "see https://x@ads.tracker.example/p"),
+                 ["tracker.example"], keep_flagged=True,
+             ).collect()}
+    assert flags == {0: 1}
+
+
+def test_large_blocklist_switches_to_broadcast_join(spark):
+    """Above BLOCKLIST_JOIN_THRESHOLD entries the literal predicate is
+    replaced by a broadcast suffix-set join; flags must be identical to
+    the literal path on the same docs (incl. no-URL and multi-URL)."""
+    from exness_data_preprocess_spark.operators.urls import (
+        BLOCKLIST_JOIN_THRESHOLD,
+    )
+
+    docs = _docs(
+        spark,
+        "x https://tracker.example/p",
+        "x https://ads.tracker.example/p and https://ok.example/q",
+        "x https://nottracker.example/p",
+        "no urls",
+        "x https://blocked50.example/z",
+    )
+    big = ["tracker.example"] + [
+        f"blocked{i}.example" for i in range(BLOCKLIST_JOIN_THRESHOLD + 10)
+    ]
+    joined = domain_blocklist_filter(docs, big, keep_flagged=True)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    small_equiv = domain_blocklist_filter(
+        docs, ["tracker.example", "blocked50.example"], keep_flagged=True
+    )
+    cols = ["doc_id", "blocked_domain"]
+    assert (
+        joined.select(cols).orderBy("doc_id").collect()
+        == small_equiv.select(cols).orderBy("doc_id").collect()
+    )
+    # filter variant drops the same docs
+    kept = {r["doc_id"] for r in domain_blocklist_filter(docs, big).collect()}
+    assert kept == {2, 3}
+
+
+def test_weighted_sample_nan_weight_cannot_hijack(spark):
+    """Advisor find: NaN > 0 is TRUE under Spark's ordering, and
+    ln(u)/NaN = NaN sorts first under desc — a NaN weight must be
+    excluded like NULL/non-positive ones."""
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, float("nan")), (3, 2.0)],
+        "doc_id long, w double",
+    )
+    ids = sorted(r["doc_id"] for r in weighted_sample(df, 10, "w").collect())
+    assert ids == [1, 3]
