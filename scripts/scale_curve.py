@@ -150,12 +150,13 @@ LADDER_NATURAL = [
 # 1.5M-doc rung shows where that bound lands. The remaining skips keep
 # the ladder's wall-clock sane: those families' nat100x evidence is the
 # committed bar.
+# round 10 (judge r9 task 6): dedup_minhash_lsh and dedup_levenshtein
+# graduate from their nat100x bar to the full nat300x/nat1000x arc — the
+# fixtures already exist, so the marginal cost is wall-time only
 NATURAL_SKIP: set[tuple[str, str]] = {
     (q, "nat300x")
     for q in (
-        "dedup_minhash_lsh",
         "dedup_simhash",
-        "dedup_levenshtein",
         "dedup_exact_substring",
         "kmv_distinct_sketch",
         "quality_classifier_nb",
@@ -170,6 +171,9 @@ _NAT1000_QUERIES = {
     "dedup_containment",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
+    # round 10: the banded-LSH and PassJoin pair-miners join the capstone
+    "dedup_minhash_lsh",
+    "dedup_levenshtein",
 }
 NATURAL_QUERIES = [
     "dedup_containment",
@@ -700,9 +704,9 @@ def write_md_natural(path: Path, payload: dict, tags: list[str]) -> None:
         "  a deterministic count gate in test_scale_counts). The exact",
         "  join stays the registry default.",
         "- Round-9 capstone MEASURED (nat1000x, 5M docs, documents-only;",
-        "  SPARK_GRAFT_DRIVER_MEM=64g — the 16g default local heap OOMs",
-        "  at this rung's gram explode; on a cluster this is ordinary",
-        "  executor sizing, not a plan property): `dedup_ngram_jaccard`",
+        "  r9 needed SPARK_GRAFT_DRIVER_MEM=64g; round 10 removed that",
+        "  requirement — see the default-heap row below):",
+        "  `dedup_ngram_jaccard`",
         "  141.4 s, wall alpha 0.85, suffix-filtered verify input",
         "  EXACTLY the true pairs at all seven rungs (cand == out,",
         "  66 → 73,669); the capped twin 146.1 s, alpha 1.07, trading 8",
@@ -717,6 +721,24 @@ def write_md_natural(path: Path, payload: dict, tags: list[str]) -> None:
         "  a mid-rung AQE/caching wobble worth recording, not a curve",
         "  property; the last-step alphas quoted here come from",
         "  back-to-back same-session pairs.",
+        "- **Round-10: the nat1000x rung completes on the DEFAULT 16g",
+        "  heap** (judge r9 task 5). Root cause of the r9 OOM, found by",
+        "  stack trace: the columnar cache build of the prefix-join",
+        "  `base` frame (wide rows: each doc's full token + (df,s)",
+        "  struct arrays) — ColumnBuilder batches of 10,000 such rows",
+        "  are hundreds of MB in flight, times 32 concurrent tasks.",
+        "  Two fixes: cache batch size 1,000 in session defaults, and",
+        "  the base persist replaced by ReuseExchange-backed shuffle",
+        "  reuse (every consumer shares the same canonicalized",
+        "  aggregation exchange, so 'recompute' re-reads shuffle files",
+        "  from disk; SPARK_GRAFT_DEDUP_PERSIST_BASE=1 re-enables the",
+        "  serialized cache for storage-budgeted executors). Measured",
+        "  on 16g default: `dedup_containment` 682.4 s / 147,322 pairs",
+        "  (vs 445.2 s at 64g — degrades to disk instead of dying),",
+        "  `dedup_ngram_jaccard` 250.8 s / 73,669 pairs (the r9 persist",
+        "  plan survived 16g only by spilling the cache at 428.5 s —",
+        "  exchange reuse beats it 1.7x at this heap). Pair counts",
+        "  identical to the 64g record at every rung checked.",
         "- Round-9: `line_dedup` joined the ladder — the boilerplate-hot",
         "  keep-first agg+join shape holds nat300x (1.5M docs, ~20M",
         "  exploded lines, header/footer lines hot in 33-50% of docs)",
