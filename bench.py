@@ -118,13 +118,19 @@ def main() -> None:
             spread[name].append(round(time.time() - t0, 4))
         spark.catalog.clearCache()
     timings = {n: round(min(s), 4) for n, s in spread.items()}
-    spread = {n: sorted(s) for n, s in spread.items()}
 
     steal1, total1 = _read_cpu_times()
     dt = total1 - total0
     steal_pct = round(100.0 * (steal1 - steal0) / dt, 3) if dt > 0 else 0.0
+    # noise band over the two STEADY-STATE passes only: pass 1 is the
+    # first target-scale execution (cold shuffle paths, one-time trained
+    # fits) and is systematically slower — including it measured warm-up
+    # as "noise" (the first A-snapshot read 30% wide on an idle host;
+    # passes 2-3 alone read ~5%)
     n_noisy = sum(
-        1 for s in spread.values() if s[0] > 0 and s[-1] / s[0] > 1.4
+        1
+        for s in spread.values()
+        if min(s[1:]) > 0 and max(s[1:]) / min(s[1:]) > 1.4
     )
     noisy_frac = round(n_noisy / len(spread), 4) if spread else 0.0
     noise_flag = noisy_frac > 0.10
@@ -162,8 +168,9 @@ def main() -> None:
             {
                 "metric": "headline_queries_total",
                 "unit": "sec",
-                # per-query [min, mid, max] of the three samples —
-                # regression-vs-jitter evidence (r7 hygiene item)
+                # per-query samples in PASS ORDER (pass 1 = first
+                # target-scale run, includes cold-path costs; passes
+                # 2-3 = steady state) — regression-vs-jitter evidence
                 "queries_spread": spread,
                 "queries": timings,
                 "excluded": excluded,
