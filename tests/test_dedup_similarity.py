@@ -1384,3 +1384,40 @@ def test_jaccard_index_df_cap_trades_recall_never_precision(spark):
         ).collect()
     }
     assert wide == set(exact)
+
+
+def test_prefix_join_base_persist_is_size_adaptive(spark, monkeypatch):
+    """r10: the base cache is bought only when its estimated bytes fit
+    the heap budget — a tiny parquet-backed corpus persists (2x at
+    bench scale), a corpus past the bound takes the exchange-reuse
+    plan (the nat1000x OOM lesson), and the env flag forces either."""
+    import exness_data_preprocess_spark.operators.dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(50)],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en"))
+
+    def persisted(df):
+        return "InMemoryRelation" in (
+            df._jdf.queryExecution().withCachedData().toString()
+        )
+
+    # in-memory source: stats default to a huge size -> safe reuse side
+    assert not persisted(dd.ngram_containment_pairs(docs))
+    spark.catalog.clearCache()
+    monkeypatch.setenv("SPARK_GRAFT_DEDUP_PERSIST_BASE", "1")
+    assert persisted(dd.ngram_containment_pairs(docs))
+    spark.catalog.clearCache()
+    monkeypatch.setenv("SPARK_GRAFT_DEDUP_PERSIST_BASE", "0")
+    assert not persisted(dd.ngram_containment_pairs(docs))
+    spark.catalog.clearCache()
+    monkeypatch.delenv("SPARK_GRAFT_DEDUP_PERSIST_BASE")
+    # parquet-backed source with real (tiny) stats -> persist
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.mode("overwrite").parquet(f"{td}/docs.parquet")
+        pq_docs = spark.read.parquet(f"{td}/docs.parquet")
+        assert persisted(dd.ngram_containment_pairs(pq_docs))
+        spark.catalog.clearCache()
