@@ -1226,3 +1226,217 @@ def zipf_fit(
         F.round(cov / varx, 6).alias("zipf_slope"),
         F.round((cov * cov) / (varx * vary), 6).alias("r2"),
     )
+
+
+# Gopher rule set (Rae et al. 2021, table A1 — public): the document-level
+# heuristic gates applied before model-based quality scoring. The
+# repetition rules of the same table live in repetition_features().
+GOPHER_STOPWORDS = ["and", "be", "have", "of", "that", "the", "to", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher quality-rule flags per document (Rae et al. 2021):
+
+    * ``flag_word_count`` — word count in [min_words, max_words]
+    * ``flag_mean_word_len`` — mean word length in [3, 10]
+    * ``flag_symbol_ratio`` — (# '#' + ellipsis occurrences) / words < 0.1
+    * ``flag_bullet`` — < 90% of lines start with a bullet mark
+    * ``flag_ellipsis`` — < 30% of lines end with an ellipsis
+    * ``flag_alpha`` — ≥ 80% of words contain an alphabetic character
+    * ``flag_stopword`` — ≥ 2 distinct Gopher stopwords present
+    * ``gopher_pass`` — every flag passes
+
+    (The two repetition rules of the same table are
+    :func:`repetition_features` — compose both for the full gate.)
+
+    Map-only: one pass of higher-order array expressions under
+    whole-stage codegen — no shuffle, no UDF; a 100 TB corpus gate runs
+    at scan speed. Ratios are exact small-int IEEE divisions rounded to
+    6 dp, reproducible across engines; a doc with zero words fails the
+    word-dependent rules and zero-line docs pass the line rules (both
+    directions pinned in the DuckDB oracle).
+    """
+    toks = F.filter(tokens_col(F.col(text_col)), lambda t: t != "")
+    n_words = F.size(toks)
+    nw = F.when(n_words > 0, n_words.cast("double"))
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    mean_len = sum_len.cast("double") / nw
+    n_symbols = F.regexp_count(
+        F.col(text_col), F.lit(r"#|\.\.\.|…")
+    ).cast("double")
+    symbol_ratio = n_symbols / nw
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != ""
+    )
+    n_lines = F.size(lines)
+    nl = F.when(n_lines > 0, n_lines.cast("double"))
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))).cast(
+            "double"
+        )
+        / nl
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+        ).cast("double")
+        / nl
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
+        / nw
+    )
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(toks, s),
+        )
+    )
+
+    def _flag(cond) -> Column:
+        return F.when(cond, 1).otherwise(0)
+
+    flags = {
+        "flag_word_count": _flag(
+            (n_words >= min_words) & (n_words <= max_words)
+        ),
+        "flag_mean_word_len": _flag((mean_len >= 3.0) & (mean_len <= 10.0)),
+        "flag_symbol_ratio": _flag(symbol_ratio < 0.1),
+        "flag_bullet": _flag(F.coalesce(bullet_frac, F.lit(0.0)) < 0.9),
+        "flag_ellipsis": _flag(F.coalesce(ellipsis_frac, F.lit(0.0)) < 0.3),
+        "flag_alpha": _flag(alpha_frac >= 0.8),
+        "flag_stopword": _flag(n_stop >= 2),
+    }
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(F.coalesce(bullet_frac, F.lit(0.0)), 6).alias("bullet_frac"),
+        F.round(F.coalesce(ellipsis_frac, F.lit(0.0)), 6).alias(
+            "ellipsis_frac"
+        ),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+        *[c.alias(n) for n, c in flags.items()],
+    )
+    pass_expr = None
+    for n in flags:
+        pass_expr = (
+            F.col(n) if pass_expr is None else pass_expr * F.col(n)
+        )
+    return out.withColumn("gopher_pass", pass_expr)
+
+
+def ccnet_fluency_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet head/middle/tail buckets (Wenzek et al. 2020 §4.3): rank
+    each language's documents by LM fluency and split into terciles —
+    the signature CCNet move (train on "head", inspect "tail").
+
+    Fluency is the corpus-trained bigram score of
+    :func:`bigram_logprob_score` (mean log-prob, rounded to 6 dp; ties
+    break on doc id). Bucket boundaries are PURE INTEGER math on the
+    per-language rank — ``3·(r−1) < n`` → head, ``< 2n`` → middle —
+    so no float threshold can straddle engines. Docs with < 2 tokens
+    are labeled ``unscored`` and excluded from the tercile counts.
+
+    Scale note: the per-language rank is a keyed window — one ordered
+    pass per language partition (the `quality_percentile_filter`
+    precedent). A 100 TB corpus with few languages should swap the
+    exact rank for sampled per-language score thresholds (CCNet itself
+    buckets against thresholds from a sample); the tercile CONTRACT
+    here — integer boundaries on an ordered rank — is unchanged by
+    that substitution.
+    """
+    scored = bigram_logprob_score(df, text_col, id_col).select(
+        id_col,
+        "n_transitions",
+        F.round(F.col("logprob_avg"), 6).alias("fluency"),
+    )
+    langs = df.select(F.col(id_col), F.col(lang_col))
+    joined = langs.join(scored, id_col)
+    ranked = joined.where(F.col("n_transitions") > 0)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.desc("fluency"), F.asc(id_col)
+    )
+    wc = Window.partitionBy(lang_col)
+    r = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wc)
+    bucketed = ranked.select(
+        id_col,
+        lang_col,
+        "fluency",
+        F.when(3 * (r - 1) < n, "head")
+        .when(3 * (r - 1) < 2 * n, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    unscored = joined.where(F.col("n_transitions") == 0).select(
+        id_col,
+        lang_col,
+        F.lit(None).cast("double").alias("fluency"),
+        F.lit("unscored").alias("bucket"),
+    )
+    return bucketed.unionByName(unscored)
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide adjacent-character-pair frequencies — the first BPE
+    merge step (Sennrich et al. 2016), i.e. tokenizer training over the
+    training corpus itself. Returns the top-k ``(left, right,
+    pair_count)`` by weighted frequency (ties on the pair strings).
+
+    Scale shape: the corpus collapses to its VOCABULARY first (one
+    token-key shuffle with map-side combine), pairs explode over the
+    vocabulary only — O(|V| · word_len), corpus-size-independent —
+    then one partial-aggregable shuffle on the pair key and a bounded
+    ``TakeOrderedAndProject`` top-k. Hot pairs ('e','r'…) combine
+    map-side; the corpus text is scanned exactly once.
+    """
+    words = df.select(
+        F.explode(
+            F.filter(tokens_col(F.col(text_col)), lambda t: t != "")
+        ).alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        wc.where(F.length("word") >= 2)
+        .select(
+            "c",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.struct(
+                        F.substring(F.col("word"), i, 1).alias("left"),
+                        F.substring(F.col("word"), i + 1, 1).alias(
+                            "right"
+                        ),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("p.left", "p.right", "c")
+    )
+    return (
+        pairs.groupBy("left", "right")
+        .agg(F.sum("c").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+        .limit(k)
+    )

@@ -27,8 +27,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["URL_PATTERN", "extract_domains", "domain_stats",
-           "domain_blocklist_filter"]
+__all__ = ["URL_PATTERN", "FULL_URL_PATTERN", "extract_domains",
+           "domain_stats", "domain_blocklist_filter", "normalize_url",
+           "url_dedup", "TRACKING_PARAM_PATTERN"]
 
 # Group 1 captures the host; the optional non-capturing prefix skips a
 # userinfo component (advisor find: without it, 'https://foo@evil.example'
@@ -37,6 +38,102 @@ __all__ = ["URL_PATTERN", "extract_domains", "domain_stats",
 # wild despite RFC 952). No lookaround, no lazy quantifiers — identical
 # semantics in java.util.regex and RE2 (DuckDB).
 URL_PATTERN = r"https?://(?:[^/@\s]*@)?([A-Za-z0-9._-]+)"
+
+
+# Whole-URL variant of URL_PATTERN (group 0 = the full URL up to
+# whitespace / angle bracket / double quote). Same Java∩RE2 discipline;
+# (?i) catches uppercase schemes (HTTPS://…) — an inline flag both
+# engines support identically.
+FULL_URL_PATTERN = r'(?i)https?://[^\s<>"]+'
+
+# Query parameters that never identify content — the strip list CC-style
+# pipelines apply before URL-keyed dedup (utm_* campaign tags plus the
+# big ad-click ids). Anchored to the parameter NAME position by the
+# split-param normalization below, not by regex context.
+TRACKING_PARAM_PATTERN = r"^(utm_[a-z0-9_]+|gclid|fbclid|msclkid)="
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form of one URL for identity comparison:
+
+    * fragment dropped; trailing prose punctuation ``).,;:!`` dropped
+    * scheme+host lowercased (path case preserved — it is significant),
+      a leading ``www.`` label dropped, trailing ``/`` on the path
+      dropped
+    * query string split on ``&``; tracking parameters
+      (:data:`TRACKING_PARAM_PATTERN`) removed; survivors SORTED and
+      re-joined — parameter order never distinguishes two URLs
+
+    Pure column expressions (split / filter / array_sort / array_join /
+    regexp ops), map-only under codegen; every regex stays in the
+    Java ∩ RE2 subset with no backreference replacements, so a DuckDB
+    oracle reproduces the normalization byte-for-byte.
+    """
+    u = F.regexp_replace(url, r"[).,;:!]+$", "")
+    base = F.regexp_replace(u, r"[?#].*", "")
+    head = F.regexp_replace(
+        F.lower(F.regexp_extract(base, r"^(?i)https?://[^/]*", 0)),
+        r"://www\.",
+        "://",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(base, r"^(?i)https?://[^/]*(.*)", 1), r"/+$", ""
+    )
+    params = F.filter(
+        F.split(F.regexp_extract(u, r"\?([^#]*)", 1), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
+    )
+    query = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        head,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+
+
+def url_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-keyed keep-first document dedup — the Common-Crawl front door
+    (dedup by canonical source URL before any content pass).
+
+    Each document's FIRST URL, normalized by :func:`normalize_url`, is
+    its identity key; documents with no URL have no key and always pass.
+    Output: ``(doc_id, url_norm, n_url_dupes)`` — the kept (minimum-id)
+    document of every URL group with the group size, plus every keyless
+    document with ``n_url_dupes = 1``.
+
+    Scale shape: one map-only extract+normalize pass, then ONE
+    partial-aggregable shuffle on the URL key (``min(id), count``) —
+    the same digest-groupBy shape as exact dedup; no window, no join,
+    no skew risk beyond the key histogram itself (hot canonical URLs
+    combine map-side)."""
+    keyed = df.select(
+        F.col(id_col),
+        F.when(
+            F.regexp_extract(F.col(text_col), FULL_URL_PATTERN, 0) == "",
+            F.lit(None),
+        )
+        .otherwise(
+            normalize_url(
+                F.regexp_extract(F.col(text_col), FULL_URL_PATTERN, 0)
+            )
+        )
+        .alias("url_norm"),
+    )
+    kept = (
+        keyed.where(F.col("url_norm").isNotNull())
+        .groupBy("url_norm")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_url_dupes"),
+        )
+        .select(id_col, "url_norm", "n_url_dupes")
+    )
+    keyless = keyed.where(F.col("url_norm").isNull()).select(
+        id_col, "url_norm", F.lit(1).cast("long").alias("n_url_dupes")
+    )
+    return kept.unionByName(keyless)
 
 
 def extract_domains(df: DataFrame, text_col: str = "text") -> DataFrame:

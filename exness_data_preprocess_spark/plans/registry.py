@@ -936,6 +936,8 @@ _DRIVER_PRIORITY = [
     # (cache-lifecycle fix / adaptive keep-first — hashes unchanged
     # locally, but the driver should re-certify the shipped plans)...
     "sketch_index_update", "line_dedup", "incremental_line_dedup",
+    # ...then the three NEW round-10 entries (never driver-certified)...
+    "url_dedup", "gopher_quality_filter", "hybrid_retrieval_rrf",
     # ...then the scale-riskiest r8-window entries (pair-mining dedup,
     # ANN, streaming twins, the OHLC core); the ~35 r8-window entries
     # displaced here are scheduled to lead the r11 rotation
@@ -944,7 +946,9 @@ _DRIVER_PRIORITY = [
     "dedup_embedding_cosine", "dedup_embedding_cosine_srp",
     "ann_ivf_topk", "ann_lsh_bucketed", "pq_ann_adc_trained",
     "streaming_incremental_dedup", "streaming_dedup",
-    "streaming_ohlc_1m", "ohlc_1m", "catalog_ohlc_1m",
+    # (streaming_ohlc_1m / ohlc_1m / catalog_ohlc_1m ceded their r10
+    # slots to the three new entries above; they join the ~35 r8-window
+    # entries leading the r11 rotation)
 ]
 
 

@@ -606,11 +606,13 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
 
 
-def _bm25_oracle() -> str:
+def _bm25_cte() -> str:
+    """Shared BM25 CTE chain ending in ``bm(doc_id, bm25, n_terms)`` —
+    one rendering used by both the standalone oracle and the hybrid-RRF
+    oracle so the two can never drift."""
     terms = ", ".join(f"('{t}')" for t in _BM25_TERMS)
     k1, b = _BM25_K1, _BM25_B
-    return f"""
-WITH d AS (
+    return f"""d AS (
   SELECT doc_id AS doc, list_filter({_TOKS}, t -> t <> '') AS tk,
          len(list_filter({_TOKS}, t -> t <> ''))::DOUBLE AS dl
   FROM documents
@@ -629,14 +631,92 @@ WITH d AS (
               * ((tf * {k1 + 1.0}) / (tf + {k1} * (1.0 - {b} + ({b} * dl) / avgdl)))
            AS DECIMAL(20,10)) AS term_score
   FROM hit JOIN dfreq USING (term) CROSS JOIN stats
-)
-SELECT doc AS doc_id,
-       round(CAST(sum(term_score) AS DOUBLE), 6) AS bm25,
-       count(*) AS n_terms
-FROM scored
-GROUP BY doc
+), bm AS (
+  SELECT doc AS doc_id,
+         round(CAST(sum(term_score) AS DOUBLE), 6) AS bm25,
+         count(*) AS n_terms
+  FROM scored
+  GROUP BY doc
+)"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+WITH {_bm25_cte()}
+SELECT doc_id, bm25, n_terms FROM bm
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT {_BM25_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 ⊕ dense cosine
+# ---------------------------------------------------------------------------
+_RRF_K0, _RRF_K, _RRF_LEG_N = 60, 10, 50
+
+
+def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard RAG hybrid-search shape: a sparse BM25 leg over
+    `documents` and a dense cosine leg over `embeddings` (doc_id ==
+    vec_id in the fixture), fused by reciprocal rank. Each leg is a
+    bounded top-N with its own scale-safe corpus plan; the fusion join
+    and rank windows touch ≤ N rows per leg."""
+    from exness_data_preprocess_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sparse = bm25_topk(
+        docs, _BM25_TERMS, k=_RRF_LEG_N, k1=_BM25_K1, b=_BM25_B
+    )
+    dense = cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=_RRF_LEG_N
+    ).select(F.col("neighbor_id").alias("doc_id"), "cosine")
+    return rrf_fuse(
+        [sparse, dense],
+        id_col="doc_id",
+        score_cols=["bm25", "cosine"],
+        k0=_RRF_K0,
+        k=_RRF_K,
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    return f"""
+WITH {_bm25_cte()}, sparse AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+  FROM bm QUALIFY r <= {_RRF_LEG_N}
+), e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), nn AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+), q0 AS (
+  SELECT v AS qv, nrm AS qnrm FROM nn WHERE vec_id = 0
+), dsc AS (
+  SELECT c.vec_id AS doc_id,
+         round(list_sum(list_transform(generate_series(1, len(qv)),
+                                       i -> qv[i] * c.v[i]))
+               / (qnrm * c.nrm), 6) AS cosine
+  FROM nn c CROSS JOIN q0
+  WHERE c.vec_id <> 0
+), dense AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
+  FROM dsc QUALIFY r <= {_RRF_LEG_N}
+)
+SELECT COALESCE(s.doc_id, de.doc_id) AS doc_id,
+       CAST(s.r AS INT) AS rank_0,
+       CAST(de.r AS INT) AS rank_1,
+       round(COALESCE(1.0 / ({float(_RRF_K0)} + s.r), 0.0)
+             + COALESCE(1.0 / ({float(_RRF_K0)} + de.r), 0.0), 6) AS rrf
+FROM sparse s FULL OUTER JOIN dense de ON s.doc_id = de.doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {_RRF_K}
 """
 
 
@@ -1653,6 +1733,9 @@ def build_ml_queries() -> dict:
             "candidates track df² — the bounded-vocabulary path)"),
         "bm25_topk": (q_bm25_topk, _bm25_oracle(),
                       "Okapi BM25 top-k retrieval (decimal-exact term sums)"),
+        "hybrid_retrieval_rrf": (
+            q_hybrid_retrieval_rrf, _hybrid_rrf_oracle(),
+            "reciprocal-rank fusion of BM25 ⊕ dense cosine legs"),
         "pivot_lang_source": (q_pivot_lang_source, _pivot_oracle(),
                               "PIVOT cross-tab (explicit value list)"),
         "semantic_decontamination": (q_semantic_decontamination,

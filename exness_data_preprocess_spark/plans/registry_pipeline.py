@@ -2010,6 +2010,189 @@ def q_url_blocklist_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "blocked_domain")
 
 
+# URL-keyed dedup fixture: six variants per doc keyed off doc_id so every
+# normalization rule is exercised WITH real duplicate groups — cases 0/1/2
+# normalize to the same canonical URL (case+punct, www+trailing-slash,
+# tracking-only query), cases 3/4 to another (param sort + fragment vs
+# tracking-param strip), case 5 has no URL (keyless pass-through).
+_URLD_AUG_CASE = (
+    "CASE CAST(doc_id % 6 AS INT) "
+    "WHEN 0 THEN concat(text, ' read https://Example.com/item/', "
+    "cast(doc_id % 20 as {st}), '.') "
+    "WHEN 1 THEN concat(text, ' read https://www.example.com/item/', "
+    "cast(doc_id % 20 as {st}), '/') "
+    "WHEN 2 THEN concat(text, ' read https://example.com/item/', "
+    "cast(doc_id % 20 as {st}), '?utm_source=feed&utm_medium=rss') "
+    "WHEN 3 THEN concat(text, ' read https://example.com/item/', "
+    "cast(doc_id % 20 as {st}), '?b=2&a=1#frag') "
+    "WHEN 4 THEN concat(text, ' read https://example.com/item/', "
+    "cast(doc_id % 20 as {st}), '?a=1&b=2&utm_campaign=x') "
+    "ELSE text END"
+)
+_URLD_AUG_SPARK = _URLD_AUG_CASE.format(st="string")
+_URLD_AUG_DUCK = _URLD_AUG_CASE.format(st="varchar")
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed keep-first dedup (the Common-Crawl front door): one
+    map-only extract+normalize pass, one partial-aggregable shuffle on
+    the canonical-URL key — the exact-dedup shape, no window/join."""
+    from exness_data_preprocess_spark.operators.urls import url_dedup
+    from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
+
+    docs = _docs_spread(spark, sf_dir)
+    return url_dedup(
+        docs.select("doc_id", F.expr(_URLD_AUG_SPARK).alias("text"))
+    )
+
+
+def _url_dedup_oracle() -> str:
+    from exness_data_preprocess_spark.operators.urls import (
+        FULL_URL_PATTERN,
+        TRACKING_PARAM_PATTERN,
+    )
+
+    full = FULL_URL_PATTERN.replace("'", "''")
+    return f"""
+WITH aug AS (
+  SELECT doc_id, {_URLD_AUG_DUCK} AS text FROM documents
+), u AS (
+  SELECT doc_id, regexp_extract(text, '{full}', 0) AS u0 FROM aug
+), u1 AS (
+  SELECT doc_id, regexp_replace(u0, '[).,;:!]+$', '') AS uu FROM u
+  WHERE u0 <> ''
+), np AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_extract(
+             regexp_replace(uu, '[?#].*', ''),
+             '^(?i)https?://[^/]*', 0)), '://www\\.', '://')
+         || regexp_replace(regexp_extract(
+             regexp_replace(uu, '[?#].*', ''),
+             '^(?i)https?://[^/]*(.*)', 1), '/+$', '')
+         || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url_norm
+  FROM (
+    SELECT doc_id, uu,
+           -- DuckDB: array_to_string of an EMPTY list is NULL (Spark's
+           -- array_join is '') — coalesce restores the Spark semantics
+           coalesce(array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(uu, '\\?([^#]*)', 1), '&'),
+             p -> p <> '' AND NOT regexp_matches(
+               p, '{TRACKING_PARAM_PATTERN}'))), '&'), '') AS qs
+    FROM u1
+  )
+)
+SELECT min(doc_id) AS doc_id, url_norm, count(*) AS n_url_dupes
+FROM np GROUP BY url_norm
+UNION ALL
+SELECT doc_id, NULL AS url_norm, 1 AS n_url_dupes
+FROM u WHERE u0 = ''
+"""
+
+
+# Gopher-rule fixture: five variants keyed off doc_id so every rule fires
+# in both directions — 0: stopword-enriched prose (passes or fails only on
+# word count), 1: pure bullet list, 2: ellipsis-terminated lines, 3:
+# symbol-heavy header prefix, 4: unmodified (usually fails the stopword
+# rule — the synthetic vocabulary carries only 'the').
+_GOPHER_AUG_CASE = (
+    "CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN concat(text, ' and so the story of it goes with that') "
+    "WHEN 1 THEN concat('- alpha beta gamma', chr(10), "
+    "'- delta epsilon zeta', chr(10), '- eta theta iota', chr(10), "
+    "'- kappa lambda mu') "
+    "WHEN 2 THEN concat('the results kept improving...', chr(10), "
+    "'we shall see more of that soon...', chr(10), 'to be continued...') "
+    "WHEN 3 THEN concat('# # heading # of # the # hash # marks # and # "
+    "with # that # be # to # ', text) "
+    "ELSE text END"
+)
+
+
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-set document gates (Rae et al. 2021 table A1):
+    map-only higher-order array expressions under codegen — a 100 TB
+    corpus gate at scan speed, no shuffle, no UDF."""
+    from exness_data_preprocess_spark.operators.textstats import (
+        gopher_quality_flags,
+    )
+    from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
+
+    docs = _docs_spread(spark, sf_dir)
+    return gopher_quality_flags(
+        docs.select("doc_id", F.expr(_GOPHER_AUG_CASE).alias("text"))
+    )
+
+
+def _gopher_oracle() -> str:
+    from exness_data_preprocess_spark.operators.textstats import (
+        GOPHER_STOPWORDS,
+    )
+
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH aug AS (
+  SELECT doc_id, {_GOPHER_AUG_CASE} AS text FROM documents
+), t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS tk,
+         list_filter(string_split(text, chr(10)),
+                     l -> trim(l) <> '') AS ln
+  FROM aug
+), m AS (
+  SELECT doc_id,
+         CAST(len(tk) AS INT) AS n_words,
+         CASE WHEN len(tk) > 0 THEN
+           list_sum(list_transform(tk, t -> len(t)))::DOUBLE / len(tk)
+         END AS mean_word_len,
+         CASE WHEN len(tk) > 0 THEN
+           len(regexp_extract_all(text, '#|\\.\\.\\.|…'))::DOUBLE / len(tk)
+         END AS symbol_ratio,
+         CASE WHEN len(ln) > 0 THEN
+           len(list_filter(ln,
+               l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE / len(ln)
+         ELSE 0.0 END AS bullet_frac,
+         CASE WHEN len(ln) > 0 THEN
+           len(list_filter(ln,
+               l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))::DOUBLE / len(ln)
+         ELSE 0.0 END AS ellipsis_frac,
+         CASE WHEN len(tk) > 0 THEN
+           len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+             / len(tk)
+         END AS alpha_frac,
+         CAST(len(list_filter([{stop_list}],
+                              s -> list_contains(tk, s))) AS INT)
+           AS n_stopwords
+  FROM t
+)
+SELECT doc_id, n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       round(bullet_frac, 6) AS bullet_frac,
+       round(ellipsis_frac, 6) AS ellipsis_frac,
+       round(alpha_frac, 6) AS alpha_frac,
+       n_stopwords,
+       CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+         AS flag_word_count,
+       CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            THEN 1 ELSE 0 END AS flag_mean_word_len,
+       CASE WHEN symbol_ratio < 0.1 THEN 1 ELSE 0 END AS flag_symbol_ratio,
+       CASE WHEN bullet_frac < 0.9 THEN 1 ELSE 0 END AS flag_bullet,
+       CASE WHEN ellipsis_frac < 0.3 THEN 1 ELSE 0 END AS flag_ellipsis,
+       CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS flag_alpha,
+       CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END AS flag_stopword,
+       (CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+       * (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+               THEN 1 ELSE 0 END)
+       * (CASE WHEN symbol_ratio < 0.1 THEN 1 ELSE 0 END)
+       * (CASE WHEN bullet_frac < 0.9 THEN 1 ELSE 0 END)
+       * (CASE WHEN ellipsis_frac < 0.3 THEN 1 ELSE 0 END)
+       * (CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END)
+       * (CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END) AS gopher_pass
+FROM m
+"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k weighted sample without replacement (Efraimidis-Spirakis
     A-ES keys on a seeded-hash uniform); TakeOrderedAndProject top-k —
@@ -2236,6 +2419,14 @@ def build_pipeline_queries() -> dict:
         "url_blocklist_audit": (
             q_url_blocklist_audit, ORACLE_URL_BLOCKLIST_AUDIT,
             "URL blocklist screening flags (suffix-matched, map-only)",
+            True),
+        "url_dedup": (
+            q_url_dedup, _url_dedup_oracle(),
+            "canonical-URL keep-first dedup (normalize + one key shuffle)",
+            True),
+        "gopher_quality_filter": (
+            q_gopher_quality_filter, _gopher_oracle(),
+            "Gopher rule-set document gates (map-only, codegen)",
             True),
         "weighted_sample": (
             q_weighted_sample, ORACLE_WEIGHTED_SAMPLE,

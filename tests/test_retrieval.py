@@ -106,3 +106,39 @@ def test_tfidf_gdf_counts_groups_below_min_tf(spark):
     # shared survives min_tf only in x, but its gdf=2 → idf=ln(2/2)=0
     assert out[("x", "shared")]["score"] == 0.0
     assert ("y", "shared") not in out
+
+
+def test_rrf_fuse_known_ranks_and_missing_leg(spark):
+    """RRF arithmetic pinned by hand: ids ranked by both legs sum two
+    reciprocal terms; ids in one leg get exactly one; ordering breaks
+    rrf ties on id asc; limit applies after fusion."""
+    from exness_data_preprocess_spark.operators.retrieval import rrf_fuse
+
+    leg_a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double"
+    )
+    leg_b = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8)], "doc_id long, score double"
+    )
+    out = rrf_fuse([leg_a, leg_b], k0=60, k=10).collect()
+    got = {r["doc_id"]: (r["rank_0"], r["rank_1"], r["rrf"]) for r in out}
+    assert got[2] == (2, 1, round(1 / 62 + 1 / 61, 6))  # both legs, tops
+    assert got[1] == (1, None, round(1 / 61, 6))
+    assert got[4] == (None, 2, round(1 / 62, 6))
+    assert got[3] == (3, None, round(1 / 63, 6))
+    # doc 1 and doc 4 tie at... they don't: 1/61 > 1/62; full order:
+    assert [r["doc_id"] for r in out] == [2, 1, 4, 3]
+
+
+def test_rrf_fuse_limit_and_tie_break_on_id(spark):
+    from exness_data_preprocess_spark.operators.retrieval import rrf_fuse
+
+    leg_a = spark.createDataFrame(
+        [(7, 1.0), (5, 2.0)], "doc_id long, score double"
+    )
+    leg_b = spark.createDataFrame(
+        [(9, 3.0), (8, 4.0)], "doc_id long, score double"
+    )
+    out = rrf_fuse([leg_a, leg_b], k0=60, k=2).collect()
+    # rank-1 of each leg ties at 1/61 → id asc: 5 before 8
+    assert [r["doc_id"] for r in out] == [5, 8]

@@ -196,3 +196,46 @@ def test_weighted_sample_nan_weight_cannot_hijack(spark):
     )
     ids = sorted(r["doc_id"] for r in weighted_sample(df, 10, "w").collect())
     assert ids == [1, 3]
+
+
+def test_normalize_url_canonical_rules(spark):
+    """Each normalization rule pinned on a literal: case of scheme+host
+    (not path), www label, trailing slash, fragment, tracking params,
+    param sorting, trailing prose punctuation."""
+    from exness_data_preprocess_spark.operators.urls import normalize_url
+
+    cases = [
+        ("HTTPS://Example.COM/Path/", "https://example.com/Path"),
+        ("https://www.example.com/a", "https://example.com/a"),
+        ("https://example.com/a#frag", "https://example.com/a"),
+        ("https://example.com/a?utm_source=x&utm_medium=y",
+         "https://example.com/a"),
+        ("https://example.com/a?b=2&a=1", "https://example.com/a?a=1&b=2"),
+        ("https://example.com/a?gclid=1&z=9&fbclid=2",
+         "https://example.com/a?z=9"),
+        ("https://example.com/a).,", "https://example.com/a"),
+        ("https://example.com", "https://example.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r["n"] for r in
+           df.select(normalize_url(F.col("u")).alias("n")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_keep_first_and_keyless_passthrough(spark):
+    from exness_data_preprocess_spark.operators.urls import url_dedup
+
+    docs = _docs(
+        spark,
+        "see https://Example.com/x?utm_source=a",   # 0 ┐ same canonical
+        "see https://www.example.com/x/",           # 1 ┘ keep doc 0
+        "see https://example.com/y",                # 2 unique
+        "no links here at all",                     # 3 keyless
+        "also nothing",                             # 4 keyless
+    )
+    out = {r["doc_id"]: (r["url_norm"], r["n_url_dupes"])
+           for r in url_dedup(docs).collect()}
+    assert set(out) == {0, 2, 3, 4}  # doc 1 deduped away
+    assert out[0] == ("https://example.com/x", 2)
+    assert out[2] == ("https://example.com/y", 1)
+    assert out[3][0] is None and out[3][1] == 1
