@@ -1347,8 +1347,14 @@ def ccnet_fluency_buckets(
     the signature CCNet move (train on "head", inspect "tail").
 
     Fluency is the corpus-trained bigram score of
-    :func:`bigram_logprob_score` (mean log-prob, rounded to 6 dp; ties
-    break on doc id). Bucket boundaries are PURE INTEGER math on the
+    :func:`bigram_logprob_score`. The rank ORDERS by the unrounded
+    mean log-prob (the decimal sum's double cast is cross-engine
+    bit-stable — the `lm_fluency_score` hash proves it — and IEEE
+    division keeps it so; ties break on doc id), while the OUTPUT
+    carries the exact decimal `logprob_sum` — a 6-dp rounded ratio
+    here split engines at a .5 boundary at sf0.1 (the known
+    round-half class), so the convenience ratio is deliberately NOT
+    emitted. Bucket boundaries are PURE INTEGER math on the
     per-language rank — ``3·(r−1) < n`` → head, ``< 2n`` → middle —
     so no float threshold can straddle engines. Docs with < 2 tokens
     are labeled ``unscored`` and excluded from the tercile counts.
@@ -1362,15 +1368,13 @@ def ccnet_fluency_buckets(
     that substitution.
     """
     scored = bigram_logprob_score(df, text_col, id_col).select(
-        id_col,
-        "n_transitions",
-        F.round(F.col("logprob_avg"), 6).alias("fluency"),
+        id_col, "n_transitions", "logprob_sum", "logprob_avg"
     )
     langs = df.select(F.col(id_col), F.col(lang_col))
     joined = langs.join(scored, id_col)
     ranked = joined.where(F.col("n_transitions") > 0)
     w = Window.partitionBy(lang_col).orderBy(
-        F.desc("fluency"), F.asc(id_col)
+        F.desc("logprob_avg"), F.asc(id_col)
     )
     wc = Window.partitionBy(lang_col)
     r = F.row_number().over(w)
@@ -1378,7 +1382,8 @@ def ccnet_fluency_buckets(
     bucketed = ranked.select(
         id_col,
         lang_col,
-        "fluency",
+        "n_transitions",
+        "logprob_sum",
         F.when(3 * (r - 1) < n, "head")
         .when(3 * (r - 1) < 2 * n, "middle")
         .otherwise("tail")
@@ -1387,7 +1392,8 @@ def ccnet_fluency_buckets(
     unscored = joined.where(F.col("n_transitions") == 0).select(
         id_col,
         lang_col,
-        F.lit(None).cast("double").alias("fluency"),
+        F.lit(0).cast("bigint").alias("n_transitions"),
+        F.lit(None).cast("double").alias("logprob_sum"),
         F.lit("unscored").alias("bucket"),
     )
     return bucketed.unionByName(unscored)

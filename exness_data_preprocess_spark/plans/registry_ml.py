@@ -530,8 +530,10 @@ def q_lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_LM_FLUENCY = f"""
-WITH t AS (
+# Shared bigram-LM CTE chain ending in ``s(doc_id, ssum, n)`` — one
+# rendering used by ORACLE_LM_FLUENCY and the CCNet bucket oracle so the
+# two cannot drift.
+_LM_FLUENCY_CTE = f"""t AS (
   SELECT doc_id, {_TOKS} AS tk FROM documents
 ), tr AS (
   SELECT doc_id, tk[u.i] AS w1, tk[u.i + 1] AS w2
@@ -553,11 +555,90 @@ WITH t AS (
          sum(g.m) AS n
   FROM g JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
   GROUP BY 1
-)
+)"""
+
+ORACLE_LM_FLUENCY = f"""
+WITH {_LM_FLUENCY_CTE}
 SELECT d.doc_id,
        coalesce(s.n, 0)::BIGINT AS n_transitions,
        CAST(s.ssum AS DOUBLE) AS logprob_sum
 FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail fluency terciles per language — bucket
+    boundaries are integer math on the per-language rank (no float
+    threshold can straddle engines)."""
+    from exness_data_preprocess_spark.operators.textstats import (
+        ccnet_fluency_buckets,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    return ccnet_fluency_buckets(docs)
+
+
+# The rank key is the UNROUNDED mean log-prob (bit-stable cross-engine:
+# exact decimal sum → double cast → IEEE division); the output carries
+# the exact decimal sum. A round(avg, 6) output column split engines at
+# a .5 boundary at sf0.1 (the known round-half class) — deliberately
+# not emitted.
+ORACLE_CCNET_BUCKETS = f"""
+WITH {_LM_FLUENCY_CTE}, sc AS (
+  SELECT d.doc_id, d.lang,
+         CAST(s.n AS BIGINT) AS n_transitions,
+         CAST(s.ssum AS DOUBLE) AS logprob_sum,
+         CAST(s.ssum AS DOUBLE) / s.n AS avgkey
+  FROM documents d JOIN s USING (doc_id)
+  WHERE s.n > 0
+), rk AS (
+  SELECT doc_id, lang, n_transitions, logprob_sum,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY avgkey DESC, doc_id ASC) AS r,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM sc
+)
+SELECT doc_id, lang, n_transitions, logprob_sum,
+       CASE WHEN 3 * (r - 1) < n THEN 'head'
+            WHEN 3 * (r - 1) < 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM rk
+UNION ALL
+SELECT d.doc_id, d.lang, CAST(0 AS BIGINT) AS n_transitions,
+       CAST(NULL AS DOUBLE) AS logprob_sum, 'unscored' AS bucket
+FROM documents d LEFT JOIN s USING (doc_id)
+WHERE coalesce(s.n, 0) = 0
+"""
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge step over the corpus (tokenizer-training prep):
+    corpus collapses to vocabulary, pairs explode over vocabulary only,
+    one pair-key shuffle, bounded top-k."""
+    from exness_data_preprocess_spark.operators.textstats import (
+        bpe_pair_counts,
+    )
+
+    docs = _docs_spread(spark, sf_dir)
+    return bpe_pair_counts(docs, k=20)
+
+
+ORACLE_BPE_PAIR_COUNTS = f"""
+WITH w AS (
+  SELECT unnest(list_filter({_TOKS}, t -> t <> '')) AS word
+  FROM documents
+), wc AS (
+  SELECT word, count(*) AS c FROM w GROUP BY 1
+), p AS (
+  SELECT substr(word, u.i, 1) AS "left",
+         substr(word, u.i + 1, 1) AS "right", c
+  FROM wc, unnest(range(1, len(word))) AS u(i)
+  WHERE len(word) >= 2
+)
+SELECT "left", "right", CAST(sum(c) AS BIGINT) AS pair_count
+FROM p GROUP BY 1, 2
+ORDER BY pair_count DESC, "left" ASC, "right" ASC
+LIMIT 20
 """
 
 
@@ -1777,6 +1858,12 @@ def build_ml_queries() -> dict:
         "lm_fluency_score": (q_lm_fluency_score, ORACLE_LM_FLUENCY,
                              "corpus-trained bigram-LM fluency score "
                              "(CCNet-style quality signal)"),
+        "ccnet_buckets": (q_ccnet_buckets, ORACLE_CCNET_BUCKETS,
+                          "CCNet head/middle/tail fluency terciles "
+                          "per language (integer rank boundaries)"),
+        "bpe_pair_counts": (q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS,
+                            "first BPE merge step: top char-pair "
+                            "frequencies over the vocabulary"),
         "lang_id": (q_lang_id, _lang_id_oracle(),
                     "stopword-hit language identification"),
         "text_quality": (q_text_quality, _text_quality_oracle(),

@@ -62,6 +62,12 @@ QUERY_TABLE = {
     "sample_k_per_group": "documents",
     "bm25_topk": "documents",
     "tfidf_top_terms": "documents",
+    # round-10 late additions: URL-keyed dedup, Gopher gates, CCNet
+    # buckets, BPE pair counts — the new curation/tokenizer entries
+    "url_dedup": "documents",
+    "gopher_quality_filter": "documents",
+    "ccnet_buckets": "documents",
+    "bpe_pair_counts": "documents",
     # round-6 sketch/classifier family
     "kmv_distinct_sketch": "documents",
     "cms_heavy_hitters": "documents",
@@ -220,6 +226,16 @@ NATURAL_QUERIES = [
     # boilerplate-hot line keys are exactly what melts naive shapes at
     # scale (documents-only fixture suffices — no embeddings read)
     "line_dedup",
+    # round-10 additions (documents-only, all expected ~linear):
+    # url_dedup is one map pass + one key shuffle; gopher is map-only;
+    # bpe collapses to the vocabulary before its pair explode (Heaps'
+    # law makes the pair stage SUB-linear); ccnet is the lm_fluency
+    # count-table shape plus a per-lang rank window — the window is the
+    # rung-pressure point worth measuring
+    "url_dedup",
+    "gopher_quality_filter",
+    "bpe_pair_counts",
+    "ccnet_buckets",
 ]
 # every natural query OUTSIDE the nat1000x trio skips that rung
 NATURAL_SKIP |= {

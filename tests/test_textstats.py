@@ -81,3 +81,52 @@ def test_gopher_rules_fire_individually(spark):
     for doc_id, col in fail_col.items():
         assert out[doc_id][col] == 0, (doc_id, col, out[doc_id])
         assert out[doc_id]["gopher_pass"] == 0
+
+
+def test_bpe_pair_counts_hand_computable(spark):
+    """Pair weights multiply word FREQUENCY by within-word multiplicity:
+    'ab'×3 → (a,b)=3; 'aab'×1 adds (a,a)=1 and (a,b)=1."""
+    from exness_data_preprocess_spark.operators.textstats import (
+        bpe_pair_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "ab ab cd"), (1, "ab aab"), (2, "x")],  # 'x' has no pairs
+        "doc_id long, text string",
+    )
+    out = [(r["left"], r["right"], r["pair_count"])
+           for r in bpe_pair_counts(df, k=10).collect()]
+    assert out == [("a", "b", 4), ("a", "a", 1), ("c", "d", 1)]
+
+
+def test_ccnet_buckets_integer_boundaries_and_unscored(spark):
+    """Tercile boundaries are integer math on the per-lang rank: with
+    n=4 scored docs head gets ranks {1,2}, middle {3}, tail {4}; a
+    1-token doc is 'unscored' and excluded from the counts."""
+    from exness_data_preprocess_spark.operators.textstats import (
+        ccnet_fluency_buckets,
+    )
+
+    rep = "spark spark spark spark spark spark"      # most fluent
+    docs = [
+        (0, rep, "en"),
+        (1, "spark shuffle spark shuffle spark", "en"),
+        (2, "one two three four five six", "en"),
+        (3, "zig zag quo vadis lorem ipsum", "en"),
+        (4, "solo", "en"),                            # unscored
+        (5, "alpha beta alpha beta", "de"),           # n=1 lang → head
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in ccnet_fluency_buckets(df).collect()}
+    assert out[4]["bucket"] == "unscored" and out[4]["logprob_sum"] is None
+    assert out[5]["bucket"] == "head"
+    en = [out[i] for i in (0, 1, 2, 3)]
+    assert sorted(r["bucket"] for r in en) == sorted(
+        ["head", "head", "middle", "tail"]
+    )
+    # bucket order tracks mean-log-prob order
+    ranked = sorted(
+        en,
+        key=lambda r: (-r["logprob_sum"] / r["n_transitions"], r["doc_id"]),
+    )
+    assert [r["bucket"] for r in ranked] == ["head", "head", "middle", "tail"]
