@@ -808,6 +808,18 @@ def write_md_natural(path: Path, payload: dict, tags: list[str]) -> None:
         "  at 35.0 s with last-step alpha 0.68 and alpha_out 1.0;",
         "  the skew ladder's `lines` pair measures the window twin this",
         "  shape replaces.",
+        "- Round-10 late additions: the four new documents-only",
+        "  curation/tokenizer entries joined the ladder and hold",
+        "  sub-linear curves through nat300x (1.5M docs):",
+        "  `url_dedup` 29.5 s / last-step alpha 0.52 (map pass + one",
+        "  URL-key shuffle, output tracks the fixture's dup groups),",
+        "  `gopher_quality_filter` 14.1 s / 0.79 (map-only gates),",
+        "  `bpe_pair_counts` 8.0 s / 0.57 — the vocabulary collapse",
+        "  makes pair work Heaps-law SUB-linear in corpus size, exactly",
+        "  the designed bound — and `ccnet_buckets` 91.9 s / 0.87 (the",
+        "  lm_fluency count-table shape plus the per-language rank",
+        "  window; the window holds because each language partition",
+        "  sorts doc-count rows, not token rows).",
         "",
         NAT_END,
     ]
