@@ -279,3 +279,45 @@ def test_topk_bounded_matches_sorted(spark, rows, k):
         members = sorted((s, rid) for gg, s, rid in rows if gg == g)[:k]
         want += [(g, s, rid) for s, rid in members]
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# URL normalization: idempotence over generated URLs
+# ---------------------------------------------------------------------------
+_HOST_CHARS = st.sampled_from("abXY09.-")
+_PATH_CHARS = st.sampled_from("abXY09/._-")
+_PARAM = st.sampled_from(
+    ["a=1", "b=2", "z=9", "utm_source=x", "utm_campaign=q",
+     "gclid=123", "fbclid=9", "msclkid=t", ""]
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    host=st.text(_HOST_CHARS, min_size=1, max_size=12),
+    path=st.text(_PATH_CHARS, min_size=0, max_size=12),
+    params=st.lists(_PARAM, min_size=0, max_size=4),
+    frag=st.sampled_from(["", "#x", "#a/b?c=1"]),
+    www=st.booleans(),
+    tail=st.sampled_from(["", ").", ",", "!"]),
+)
+def test_normalize_url_idempotent(spark, host, path, params, frag, www, tail):
+    """normalize(normalize(u)) == normalize(u): canonical forms are fixed
+    points — otherwise two passes over the same corpus would disagree on
+    identity keys."""
+    from pyspark.sql import functions as F
+
+    from exness_data_preprocess_spark.operators.urls import normalize_url
+
+    url = "https://" + ("www." if www else "") + host
+    if path:
+        url += "/" + path
+    if params:
+        url += "?" + "&".join(params)
+    url += frag + tail
+    df = spark.createDataFrame([(url,)], "u string")
+    once, twice = df.select(
+        normalize_url(F.col("u")).alias("n1"),
+        normalize_url(normalize_url(F.col("u"))).alias("n2"),
+    ).first()
+    assert once == twice, (url, once, twice)

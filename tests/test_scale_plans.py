@@ -463,3 +463,43 @@ def test_sketch_index_update_releases_cache_per_invocation(spark):
     assert not [c for c in sc.getRDDStorageInfo() if c.id() not in before]
     assert first == second
     spark.catalog.clearCache()
+
+
+def test_new_curation_entry_plan_shapes(spark):
+    """Round-10 additions keep their designed shuffle budgets:
+    url_dedup = ONE key shuffle (exact-dedup shape), gopher = map-only,
+    bpe = vocabulary shuffle + pair shuffle + bounded top-k, ccnet =
+    lang-partitioned windows only (never unpartitioned)."""
+    import re
+
+    from exness_data_preprocess_spark.plans.registry_ml import (
+        q_bpe_pair_counts,
+        q_ccnet_buckets,
+    )
+    from exness_data_preprocess_spark.plans.registry_pipeline import (
+        q_gopher_quality_filter,
+        q_url_dedup,
+    )
+
+    def hash_exchanges(plan):
+        # formatted explain: each shuffle is "(N) Exchange" with an
+        # "Arguments: hashpartitioning(...)" detail line
+        return len(re.findall(r"Arguments: hashpartitioning", plan))
+
+    url = plan_of(q_url_dedup(spark, SF))
+    assert hash_exchanges(url) == 1      # the url_norm key agg only
+    assert "Window" not in url
+
+    gopher = plan_of(q_gopher_quality_filter(spark, SF))
+    assert hash_exchanges(gopher) == 0   # map-only
+    assert "Join" not in gopher
+
+    bpe = plan_of(q_bpe_pair_counts(spark, SF))
+    assert hash_exchanges(bpe) == 2      # word key + pair key
+    assert "TakeOrderedAndProject" in bpe
+
+    ccnet = plan_of(q_ccnet_buckets(spark, SF))
+    # every window is lang-partitioned; an unpartitioned window here
+    # would be a corpus-sized single task
+    assert "windowspecdefinition(lang" in ccnet
+    assert re.search(r"windowspecdefinition\((?!lang)", ccnet) is None
