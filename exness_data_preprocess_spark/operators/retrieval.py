@@ -117,38 +117,48 @@ def rrf_fuse(
     score_cols: list[str] | None = None,
     k0: int = 60,
     k: int = 10,
+    query_col: str | None = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion of bounded retrieval legs (the standard
     hybrid-search combiner: BM25 ⊕ dense cosine, Cormack et al. 2009).
 
-    Each leg is ``(id, score)``; its rank is ``row_number`` over
-    (score desc, id asc) — total and engine-reproducible. Fused score =
-    Σ 1/(k0 + rank_i) over the legs that ranked the id (an id missing
-    from a leg contributes 0, the RRF convention). Output: id, one
-    ``rank_<i>`` per leg (NULL when unranked), ``rrf`` rounded to 6.
+    Each leg is ``(id, score)`` — or ``(query, id, score)`` when
+    ``query_col`` is set (the batch serving shape: every query's legs
+    fuse independently). A leg's rank is ``row_number`` over
+    (score desc, id asc), per query when batched — total and
+    engine-reproducible. Fused score = Σ 1/(k0 + rank_i) over the legs
+    that ranked the id (an id missing from a leg contributes 0, the RRF
+    convention). Output: [query,] id, one ``rank_<i>`` per leg (NULL
+    when unranked), ``rrf`` rounded to 6; top-k per query.
 
-    Scale contract: legs must already be BOUNDED top-N frames (every
-    retrieval operator here ends in a bounded top-k) — the unpartitioned
-    rank window and the fusion join run on ≤ N rows per leg, so this is
-    a driver-adjacent tail stage, never a corpus-sized shuffle. The
-    heavy lifting stays in the legs, which scan the corpus with their
-    own scale-safe plans. 1/(k0+rank) is an exact small-int IEEE
-    division, bit-identical across engines; the ≤-few-term sum is
-    ordered by coalesce chain, so the 6-dp round never straddles.
+    Scale contract: legs must already be BOUNDED top-N frames per query
+    (every retrieval operator here ends in a bounded top-k) — the rank
+    windows and the fusion join run on ≤ N rows per (leg, query), and
+    batched mode partitions every window by the query key, so per-task
+    state stays ≤ N however many queries are in flight. The heavy
+    lifting stays in the legs, which scan the corpus with their own
+    scale-safe plans. The final per-query top-k is a keyed window
+    (batched) or a global ``limit`` (single query) over ≤ legs·N rows.
+    1/(k0+rank) is an exact small-int IEEE division, bit-identical
+    across engines; the ≤-few-term sum is ordered by coalesce chain, so
+    the 6-dp round never straddles.
     """
     if score_cols is None:
         score_cols = ["score"] * len(legs)
+    keys = ([query_col] if query_col else []) + [id_col]
     fused = None
     rank_names = []
     for i, (leg, sc) in enumerate(zip(legs, score_cols)):
         rname = f"rank_{i}"
         rank_names.append(rname)
-        w = Window.orderBy(F.desc(sc), F.asc(id_col))
+        w = (
+            Window.partitionBy(query_col) if query_col else Window
+        ).orderBy(F.desc(sc), F.asc(id_col))
         ranked = leg.select(
-            F.col(id_col), F.row_number().over(w).alias(rname)
+            *keys, F.row_number().over(w).alias(rname)
         )
         fused = ranked if fused is None else fused.join(
-            ranked, id_col, "full_outer"
+            ranked, keys, "full_outer"
         )
     rrf = None
     for rname in rank_names:
@@ -157,12 +167,16 @@ def rrf_fuse(
             F.lit(1.0) / (F.lit(float(k0)) + F.col(rname).cast("double")),
         ).otherwise(F.lit(0.0))
         rrf = term if rrf is None else rrf + term
+    scored = fused.select(*keys, *rank_names, F.round(rrf, 6).alias("rrf"))
+    if query_col is None:
+        return scored.orderBy(F.desc("rrf"), F.asc(id_col)).limit(k)
+    wq = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf"), F.asc(id_col)
+    )
     return (
-        fused.select(
-            id_col, *rank_names, F.round(rrf, 6).alias("rrf")
-        )
-        .orderBy(F.desc("rrf"), F.asc(id_col))
-        .limit(k)
+        scored.withColumn("_r", F.row_number().over(wq))
+        .where(F.col("_r") <= k)
+        .drop("_r")
     )
 
 

@@ -1240,6 +1240,94 @@ QUALIFY rank <= 5
 """
 
 
+_ENSEMBLE_LEG_N, _ENSEMBLE_K = 20, 10
+
+
+def q_ann_ensemble_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-mode RRF: fuse the exact brute-force cosine leg with the
+    LSH-bucketed approximate leg PER QUERY (rrf_fuse's query_col batch
+    shape — every window partitions on the query key, per-task state
+    ≤ leg N). The production ensemble-recall pattern: an approximate
+    index vote alongside an exact re-rank vote."""
+    from exness_data_preprocess_spark.operators.retrieval import rrf_fuse
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, q, k=_ENSEMBLE_LEG_N).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+    approx = lsh_bucketed_neighbors(
+        emb, q, dim=64, n_planes=8, k=_ENSEMBLE_LEG_N
+    ).select("query_id", "neighbor_id", "cosine")
+    return rrf_fuse(
+        [exact, approx],
+        id_col="neighbor_id",
+        score_cols=["cosine", "cosine"],
+        k0=_RRF_K0,
+        k=_ENSEMBLE_K,
+        query_col="query_id",
+    )
+
+
+def _ann_ensemble_oracle() -> str:
+    """Both legs re-derived in SQL from the same constants the operators
+    use (`hyperplanes` for the LSH bits), then per-query RRF."""
+    from exness_data_preprocess_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 8, seed=42)
+    bits = " + ".join(
+        f"(CASE WHEN round(list_sum(list_transform(generate_series(1, 64), "
+        f"i -> v[i] * ([{', '.join(repr(x) for x in plane)}])[i])), 6) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+), ex AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(generate_series(1, len(q.v)),
+                                       i -> q.v[i] * c.v[i]))
+               / (q.nrm * c.nrm), 6) AS cosine
+  FROM n q JOIN n c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+), exr AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS r
+  FROM ex QUALIFY r <= {_ENSEMBLE_LEG_N}
+), sig AS (
+  SELECT vec_id, v, nrm, ({bits}) AS bucket FROM n
+), ls AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(generate_series(1, len(q.v)),
+                                       i -> q.v[i] * c.v[i]))
+               / (q.nrm * c.nrm), 6) AS cosine
+  FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+), lsr AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS r
+  FROM ls QUALIFY r <= {_ENSEMBLE_LEG_N}
+), f AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+         CAST(a.r AS INT) AS rank_0,
+         CAST(b.r AS INT) AS rank_1,
+         round(COALESCE(1.0 / ({float(_RRF_K0)} + a.r), 0.0)
+               + COALESCE(1.0 / ({float(_RRF_K0)} + b.r), 0.0), 6) AS rrf
+  FROM exr a FULL OUTER JOIN lsr b
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+)
+SELECT query_id, neighbor_id, rank_0, rank_1, rrf FROM f
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY rrf DESC, neighbor_id) <= {_ENSEMBLE_K}
+"""
+
+
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_bucketed_neighbors(
@@ -1851,6 +1939,9 @@ def build_ml_queries() -> dict:
                                   "brute-force cosine top-k neighbors"),
         "ann_lsh_bucketed": (q_ann_lsh_bucketed, _ann_lsh_oracle(),
                              "LSH-bucketed approximate neighbors"),
+        "ann_ensemble_rrf": (q_ann_ensemble_rrf, _ann_ensemble_oracle(),
+                             "per-query RRF of exact + LSH ANN legs "
+                             "(batched fusion, query-keyed windows)"),
         "contamination_spans": (q_contamination_spans,
                                 ORACLE_CONTAMINATION_SPANS,
                                 "13-gram verbatim eval-overlap spans "

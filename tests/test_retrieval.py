@@ -142,3 +142,29 @@ def test_rrf_fuse_limit_and_tie_break_on_id(spark):
     out = rrf_fuse([leg_a, leg_b], k0=60, k=2).collect()
     # rank-1 of each leg ties at 1/61 → id asc: 5 before 8
     assert [r["doc_id"] for r in out] == [5, 8]
+
+
+def test_rrf_fuse_batched_per_query_isolation(spark):
+    """query_col mode: each query's legs fuse independently — ranks,
+    sums, and the top-k never leak across queries."""
+    from exness_data_preprocess_spark.operators.retrieval import rrf_fuse
+
+    leg_a = spark.createDataFrame(
+        [("q1", 1, 9.0), ("q1", 2, 5.0), ("q2", 2, 7.0)],
+        "query_id string, doc_id long, score double",
+    )
+    leg_b = spark.createDataFrame(
+        [("q1", 2, 0.9), ("q2", 3, 0.8)],
+        "query_id string, doc_id long, score double",
+    )
+    out = rrf_fuse(
+        [leg_a, leg_b], k0=60, k=10, query_col="query_id"
+    ).collect()
+    got = {(r["query_id"], r["doc_id"]): (r["rank_0"], r["rank_1"], r["rrf"])
+           for r in out}
+    assert got[("q1", 2)] == (2, 1, round(1 / 62 + 1 / 61, 6))
+    assert got[("q1", 1)] == (1, None, round(1 / 61, 6))
+    # q2's doc 2 is its own rank 1 — q1's ranking must not bleed in
+    assert got[("q2", 2)] == (1, None, round(1 / 61, 6))
+    assert got[("q2", 3)] == (None, 1, round(1 / 61, 6))
+    assert len(out) == 4

@@ -167,6 +167,7 @@ PYTHON_OK = {
     "ann_ivf_multiprobe",
     "embedding_cosine_topk",
     "hybrid_retrieval_rrf",  # dense leg = the same cosine_topk kernel
+    "ann_ensemble_rrf",  # exact + LSH legs, both Arrow/BLAS kernels
     "ann_lsh_bucketed",
     "pq_encode",
     "pq_ann_adc",
