@@ -269,3 +269,61 @@ def domain_blocklist_filter(
     return flagged.where(F.col("blocked_domain") == 0).drop(
         "blocked_domain"
     )
+
+
+def incremental_url_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time URL dedup gate: admit a new batch against an existing
+    corpus by canonical URL (the Common-Crawl snapshot-over-snapshot
+    shape). Returns every batch document with its decision:
+
+    * ``kept`` — no URL, or first holder of a URL unseen in the corpus
+    * ``corpus_dup`` — canonical URL already in the corpus
+    * ``batch_dup`` — loses the batch-internal keep-first (min id)
+
+    Scale shape: the corpus reduces to its DISTINCT canonical-URL key
+    set before anything joins — never a corpus self-join, never corpus
+    row payloads through the shuffle (the `incremental_line_dedup`
+    contract). One batch key aggregation + two keyed equi-joins, all
+    partial-aggregable / AQE-broadcastable when the batch is small.
+    """
+
+    def _keyed(df: DataFrame) -> DataFrame:
+        first = F.regexp_extract(F.col(text_col), FULL_URL_PATTERN, 0)
+        return df.select(
+            F.col(id_col),
+            F.when(first == "", F.lit(None))
+            .otherwise(normalize_url(first))
+            .alias("url_norm"),
+        )
+
+    bk = _keyed(batch)
+    corpus_keys = (
+        _keyed(corpus)
+        .where(F.col("url_norm").isNotNull())
+        .select("url_norm")
+        .distinct()
+        .withColumn("_in_corpus", F.lit(1))
+    )
+    first_ids = (
+        bk.where(F.col("url_norm").isNotNull())
+        .groupBy("url_norm")
+        .agg(F.min(id_col).alias("_first_id"))
+    )
+    return (
+        bk.join(corpus_keys, "url_norm", "left")
+        .join(first_ids, "url_norm", "left")
+        .select(
+            id_col,
+            "url_norm",
+            F.when(F.col("url_norm").isNull(), "kept")
+            .when(F.col("_in_corpus") == 1, "corpus_dup")
+            .when(F.col(id_col) == F.col("_first_id"), "kept")
+            .otherwise("batch_dup")
+            .alias("status"),
+        )
+    )

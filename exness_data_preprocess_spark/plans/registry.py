@@ -936,16 +936,17 @@ _DRIVER_PRIORITY = [
     # (cache-lifecycle fix / adaptive keep-first — hashes unchanged
     # locally, but the driver should re-certify the shipped plans)...
     "sketch_index_update", "line_dedup", "incremental_line_dedup",
-    # ...then the six NEW round-10 entries (never driver-certified)...
+    # ...then the seven NEW round-10 entries (never driver-certified)...
     "url_dedup", "gopher_quality_filter", "hybrid_retrieval_rrf",
     "ccnet_buckets", "bpe_pair_counts", "ann_ensemble_rrf",
+    "incremental_url_dedup",
     # ...then the scale-riskiest r8-window entries (pair-mining dedup,
     # ANN, streaming twins, the OHLC core); the ~35 r8-window entries
     # displaced here are scheduled to lead the r11 rotation
     "dedup_containment", "dedup_containment_exact",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_exact_substring",
     "dedup_embedding_cosine", "dedup_embedding_cosine_srp",
-    "ann_ivf_topk", "ann_lsh_bucketed",
+    "ann_lsh_bucketed",
     # (streaming_ohlc_1m / ohlc_1m / catalog_ohlc_1m and the two
     # streaming dedup twins ceded their r10 slots to the five new
     # entries above; they join the ~35 r8-window entries leading the

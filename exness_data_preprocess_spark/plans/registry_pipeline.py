@@ -2046,22 +2046,22 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _url_dedup_oracle() -> str:
+def _url_norm_ctes(sfx: str, src: str) -> str:
+    """CTE chain ``u{sfx} → u1{sfx} → np{sfx}`` rendering the operator's
+    URL normalization over ``src(doc_id, text)`` — ONE rendering shared
+    by the url_dedup and incremental_url_dedup oracles (no drift)."""
     from exness_data_preprocess_spark.operators.urls import (
         FULL_URL_PATTERN,
         TRACKING_PARAM_PATTERN,
     )
 
     full = FULL_URL_PATTERN.replace("'", "''")
-    return f"""
-WITH aug AS (
-  SELECT doc_id, {_URLD_AUG_DUCK} AS text FROM documents
-), u AS (
-  SELECT doc_id, regexp_extract(text, '{full}', 0) AS u0 FROM aug
-), u1 AS (
-  SELECT doc_id, regexp_replace(u0, '[).,;:!]+$', '') AS uu FROM u
+    return f"""u{sfx} AS (
+  SELECT doc_id, regexp_extract(text, '{full}', 0) AS u0 FROM {src}
+), u1{sfx} AS (
+  SELECT doc_id, regexp_replace(u0, '[).,;:!]+$', '') AS uu FROM u{sfx}
   WHERE u0 <> ''
-), np AS (
+), np{sfx} AS (
   SELECT doc_id,
          regexp_replace(lower(regexp_extract(
              regexp_replace(uu, '[?#].*', ''),
@@ -2078,14 +2078,64 @@ WITH aug AS (
              string_split(regexp_extract(uu, '\\?([^#]*)', 1), '&'),
              p -> p <> '' AND NOT regexp_matches(
                p, '{TRACKING_PARAM_PATTERN}'))), '&'), '') AS qs
-    FROM u1
+    FROM u1{sfx}
   )
-)
+)"""
+
+
+def _url_dedup_oracle() -> str:
+    return f"""
+WITH aug AS (
+  SELECT doc_id, {_URLD_AUG_DUCK} AS text FROM documents
+), {_url_norm_ctes("", "aug")}
 SELECT min(doc_id) AS doc_id, url_norm, count(*) AS n_url_dupes
 FROM np GROUP BY url_norm
 UNION ALL
 SELECT doc_id, NULL AS url_norm, 1 AS n_url_dupes
 FROM u WHERE u0 = ''
+"""
+
+
+def q_incremental_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest URL gate: batch (doc_id%10 ≥ 7) admitted against the
+    corpus (doc_id%10 < 7) by canonical URL. The corpus reduces to its
+    DISTINCT key set before any join — never a corpus self-join."""
+    from exness_data_preprocess_spark.operators.urls import (
+        incremental_url_dedup,
+    )
+    from exness_data_preprocess_spark.plans.registry_ml import _docs_spread
+
+    docs = _docs_spread(spark, sf_dir).select(
+        "doc_id", F.expr(_URLD_AUG_SPARK).alias("text")
+    )
+    corpus = docs.where(F.col("doc_id") % 10 < 7)
+    batch = docs.where(F.col("doc_id") % 10 >= 7)
+    return incremental_url_dedup(batch, corpus)
+
+
+def _incremental_url_oracle() -> str:
+    return f"""
+WITH aug AS (
+  SELECT doc_id, {_URLD_AUG_DUCK} AS text FROM documents
+), corpus AS (
+  SELECT * FROM aug WHERE doc_id % 10 < 7
+), batch AS (
+  SELECT * FROM aug WHERE doc_id % 10 >= 7
+), {_url_norm_ctes("c", "corpus")}, {_url_norm_ctes("b", "batch")},
+ck AS (
+  SELECT DISTINCT url_norm FROM npc
+), fi AS (
+  SELECT url_norm, min(doc_id) AS first_id FROM npb GROUP BY 1
+)
+SELECT u.doc_id, npb.url_norm,
+       CASE WHEN npb.url_norm IS NULL THEN 'kept'
+            WHEN ck.url_norm IS NOT NULL THEN 'corpus_dup'
+            WHEN u.doc_id = fi.first_id THEN 'kept'
+            ELSE 'batch_dup' END AS status
+FROM ub u
+LEFT JOIN npb ON u.doc_id = npb.doc_id
+LEFT JOIN ck ON npb.url_norm = ck.url_norm
+LEFT JOIN fi ON npb.url_norm = fi.url_norm
 """
 
 
@@ -2427,6 +2477,10 @@ def build_pipeline_queries() -> dict:
         "gopher_quality_filter": (
             q_gopher_quality_filter, _gopher_oracle(),
             "Gopher rule-set document gates (map-only, codegen)",
+            True),
+        "incremental_url_dedup": (
+            q_incremental_url_dedup, _incremental_url_oracle(),
+            "ingest URL gate: batch vs corpus-distinct-keys anti shape",
             True),
         "weighted_sample": (
             q_weighted_sample, ORACLE_WEIGHTED_SAMPLE,

@@ -239,3 +239,26 @@ def test_url_dedup_keep_first_and_keyless_passthrough(spark):
     assert out[0] == ("https://example.com/x", 2)
     assert out[2] == ("https://example.com/y", 1)
     assert out[3][0] is None and out[3][1] == 1
+
+
+def test_incremental_url_dedup_statuses(spark):
+    """kept / corpus_dup / batch_dup decisions pinned by hand, keyless
+    docs always kept."""
+    from exness_data_preprocess_spark.operators.urls import (
+        incremental_url_dedup,
+    )
+
+    corpus = _docs(spark, "see https://example.com/a", "plain text")
+    batch = spark.createDataFrame(
+        [
+            (10, "see https://www.example.com/a/"),  # corpus dup (normed)
+            (11, "see https://example.com/b"),       # first of b → kept
+            (12, "see https://example.com/b?utm_source=x"),  # batch dup
+            (13, "no url"),                          # keyless → kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"]
+           for r in incremental_url_dedup(batch, corpus).collect()}
+    assert out == {10: "corpus_dup", 11: "kept",
+                   12: "batch_dup", 13: "kept"}
