@@ -84,10 +84,22 @@ def normalize_url(url: Column) -> Column:
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
     )
     query = F.array_join(F.array_sort(params), "&")
-    return F.concat(
-        head,
-        path,
-        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    # strip trailing prose punctuation AGAIN on the canonical form: the
+    # first strip runs before fragment/query removal, so punctuation
+    # masked by a dropped component ('https://x.#frag' → 'https://x.')
+    # would otherwise survive one pass and vanish on the next —
+    # canonical forms must be fixed points (hypothesis-found case,
+    # idempotence pinned in tests/test_pipeline_property.py)
+    return F.regexp_replace(
+        F.concat(
+            head,
+            path,
+            F.when(query == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), query)
+            ),
+        ),
+        r"[).,;:!]+$",
+        "",
     )
 
 

@@ -2062,14 +2062,18 @@ def _url_norm_ctes(sfx: str, src: str) -> str:
   SELECT doc_id, regexp_replace(u0, '[).,;:!]+$', '') AS uu FROM u{sfx}
   WHERE u0 <> ''
 ), np{sfx} AS (
+  -- outer regexp_replace: the second trailing-punct strip on the
+  -- canonical form (idempotence — mirrors normalize_url)
   SELECT doc_id,
-         regexp_replace(lower(regexp_extract(
-             regexp_replace(uu, '[?#].*', ''),
-             '^(?i)https?://[^/]*', 0)), '://www\\.', '://')
-         || regexp_replace(regexp_extract(
-             regexp_replace(uu, '[?#].*', ''),
-             '^(?i)https?://[^/]*(.*)', 1), '/+$', '')
-         || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url_norm
+         regexp_replace(
+           regexp_replace(lower(regexp_extract(
+               regexp_replace(uu, '[?#].*', ''),
+               '^(?i)https?://[^/]*', 0)), '://www\\.', '://')
+           || regexp_replace(regexp_extract(
+               regexp_replace(uu, '[?#].*', ''),
+               '^(?i)https?://[^/]*(.*)', 1), '/+$', '')
+           || CASE WHEN qs = '' THEN '' ELSE '?' || qs END,
+           '[).,;:!]+$', '') AS url_norm
   FROM (
     SELECT doc_id, uu,
            -- DuckDB: array_to_string of an EMPTY list is NULL (Spark's
