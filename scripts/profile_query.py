@@ -33,9 +33,37 @@ def main() -> int:
     from exness_data_preprocess_spark import get_spark
     from exness_data_preprocess_spark.plans.registry import QUERIES
 
-    spark = get_spark("profile")
+    spark = get_spark("profile", extra_conf={"spark.ui.enabled": "true"})
     sc = spark.sparkContext
     tracker = sc.statusTracker()
+    import urllib.request
+
+    ui_base = None
+    try:
+        ui_base = sc.uiWebUrl  # e.g. http://host:4040
+        app_id = sc.applicationId
+    except Exception:
+        pass
+
+    def _rest_stages():
+        """stageId -> (executorRunTimeMs, shuffleReadBytes,
+        shuffleWriteBytes, numCompleteTasks) from the UI REST API."""
+        out = {}
+        if not ui_base:
+            return out
+        url = f"{ui_base}/api/v1/applications/{app_id}/stages?status=complete"
+        try:
+            with urllib.request.urlopen(url, timeout=10) as fh:
+                for s in json.load(fh):
+                    out[s["stageId"]] = (
+                        s.get("executorRunTime", 0),
+                        s.get("shuffleReadBytes", 0),
+                        s.get("shuffleWriteBytes", 0),
+                        s.get("numCompleteTasks", 0),
+                    )
+        except Exception:
+            pass
+        return out
     out = {}
     for name in args.queries:
         spec = QUERIES[name]
@@ -65,22 +93,20 @@ def main() -> int:
                 ji = tracker.getJobInfo(j)
                 if ji:
                     stage_ids.update(ji.stageIds)
-            # stage metrics via REST-less API: use statusStore through jvm
-            store = spark._jsparkSession.sparkContext().statusStore()
+            # stage metrics via the UI REST API (statusStore's py4j
+            # signature churns across Spark versions)
             task_ms = 0
             shuffle_read = 0
             shuffle_write = 0
             n_tasks = 0
             n_stages = 0
-            it = store.stageList(None).iterator()
-            while it.hasNext():
-                s = it.next()
-                if s.stageId() in stage_ids:
+            for sid, (ert, srb, swb, nct) in _rest_stages().items():
+                if sid in stage_ids:
                     n_stages += 1
-                    n_tasks += s.numCompleteTasks()
-                    task_ms += s.executorRunTime()
-                    shuffle_read += s.shuffleReadBytes()
-                    shuffle_write += s.shuffleWriteBytes()
+                    n_tasks += nct
+                    task_ms += ert
+                    shuffle_read += srb
+                    shuffle_write += swb
             rec = {
                 "wall_s": round(wall, 3),
                 "n_jobs": len(job_ids),

@@ -345,11 +345,19 @@ def test_registry_entry_releases_cache(spark):
         q_sketch_index_update,
     )
 
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    # Compare RDD-id SETS, not map sizes: the ContextCleaner unpersists
+    # cached RDDs from EARLIER tests asynchronously once their references
+    # are GC'd, so a size equality race-fails when a stale entry is
+    # reaped mid-test (observed in a full-suite run: 5 before, 4 after —
+    # i.e. the count went DOWN). The leak contract is exactly "no NEW id
+    # survives the call", which the set difference pins directly.
+    jjsc = spark.sparkContext._jsc
+    before_ids = set(jjsc.getPersistentRDDs().keySet().toArray())
     out = q_sketch_index_update(spark, "/root/testdata/sf0.001")
     rows = out.collect()
-    assert jsc.getPersistentRDDs().size() == before
+    after_ids = set(jjsc.getPersistentRDDs().keySet().toArray())
+    leaked = after_ids - before_ids
+    assert not leaked, f"entry left persisted RDDs resident: {leaked}"
     assert len(rows) >= 1
     cms_cols = {f"cms_{p}" for p in SKETCH_INDEX_PROBES}
     assert cms_cols <= set(out.columns)
