@@ -48,6 +48,7 @@ def nb_train_score(
     id_col: str = "doc_id",
     n_buckets: int = NB_BUCKETS,
     alpha: float = NB_ALPHA,
+    row_source: DataFrame | None = None,
 ) -> DataFrame:
     """Train multinomial NB on ``(text, class)`` and score every doc.
 
@@ -58,37 +59,73 @@ def nb_train_score(
 
     Plan economy: Spark duplicates a referenced subtree per branch (no
     common-subexpression reuse across joins), so every frame here is
-    built from the CHEAPEST possible scan — exactly two passes pay the
-    tokenize+explode cost (the per-(class, bucket) counts and the
-    per-doc features); class totals come from ``size(split)`` without an
-    explode, and classes/priors from bare row scans. Measured dead end:
+    built from the CHEAPEST possible scan — exactly ONE pass pays the
+    tokenize+explode cost (the per-doc feature aggregation; the
+    per-(class, bucket) training counts are RE-aggregated from it,
+    c = Σ m, so both consumers sit above the same canonicalized
+    partial-aggregate + Exchange subtree and AQE stage reuse computes
+    the scan + tokenize + explode once — optimization round 10, guide
+    §2.4); class totals come from ``size(split)`` without an explode,
+    and classes/priors from bare row scans. Measured dead end:
     GROUPING SETS over (doc, cls, bucket)/(cls, bucket) does NOT fuse
     the two passes — Catalyst pushes the grouping-id filters below the
     aggregate, splitting the branches again, each now paying the Expand
-    (3.45s vs 3.09s at sf0.1; ReuseExchange never fires).
+    (3.45s vs 3.09s at sf0.1; ReuseExchange never fires). Deriving cb
+    from feat is the fusion GROUPING SETS couldn't express: the shared
+    exchange is keyed (doc, cls, bucket) and the (cls, bucket) rollup
+    is a second, vocabulary-bounded aggregation above it.
     """
+    # ``row_source``: an un-repartitioned twin of ``df`` for the frames
+    # that never tokenize (classes, priors, doc counts, the id reattach)
+    # — callers that spread ``df`` for explode parallelism would
+    # otherwise pay the round-robin exchange on every bare row scan too
+    # (optimization round 10, guide §2.4)
+    rows = df if row_source is None else row_source
     tok_arr = F.filter(tokens_col(F.col(text_col)), lambda t: t != "")
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.col(class_col).alias("cls"),
-        F.explode(tok_arr).alias("tok"),
-    ).withColumn("bucket", F.pmod(md5_h32(F.col("tok")), F.lit(n_buckets)))
+    # Explicit not-null filter on BOTH keys, deliberately: the feat
+    # frame feeds two consumers (the scoring join and the cb rollup),
+    # and constraint inference pushes a DIFFERENT IsNotNull into each
+    # copy's scan (doc_id from the reattach join, cls from the grid's
+    # class join) — canonically forking the subtrees so AQE stage
+    # reuse never fires and the corpus pays a second tokenize+explode
+    # pass. Stating both conditions up front makes the copies
+    # identical; for valid corpora (id and class are key columns,
+    # never null) the filter drops nothing. Null-key rows never
+    # reached the weight grid anyway (equi-joins drop null keys) —
+    # they now also skip feature extraction.
+    toks = (
+        df.filter(
+            F.col(id_col).isNotNull() & F.col(class_col).isNotNull()
+        )
+        .select(
+            F.col(id_col).alias("doc"),
+            F.col(class_col).alias("cls"),
+            F.explode(tok_arr).alias("tok"),
+        )
+        .withColumn("bucket", F.pmod(md5_h32(F.col("tok")), F.lit(n_buckets)))
+    )
 
-    # tokenize pass 1: training counts per (class, bucket)
-    cb = toks.groupBy("cls", "bucket").agg(F.count("*").alias("c"))
+    # the ONE tokenize+explode pass: per-doc bucket multiplicities
+    feat = toks.groupBy("doc", "cls", "bucket").agg(
+        F.count("*").alias("m")
+    )
+    # training counts per (class, bucket) re-aggregated from feat
+    # (Σ m ≡ count(*) over the raw token stream) — shares feat's
+    # exchange via AQE stage reuse instead of a second tokenize pass
+    cb = feat.groupBy("cls", "bucket").agg(F.sum("m").alias("c"))
     # class token totals WITHOUT an explode: one size(split) scan
     ct = df.groupBy(F.col(class_col).alias("cls")).agg(
         F.sum(F.size(tok_arr)).alias("t")
     )
-    classes = df.select(F.col(class_col).alias("cls")).distinct()
+    classes = rows.select(F.col(class_col).alias("cls")).distinct()
 
     # class log-priors from document counts (bare scans; the corpus total
     # is a lazy 1-row broadcast so the whole query stays ONE action with
     # parallel stages — an eager df.count() here serializes a job into
     # the critical path)
-    n_docs = df.agg(F.count("*").cast("double").alias("n_docs"))
+    n_docs = rows.agg(F.count("*").cast("double").alias("n_docs"))
     prior = (
-        df.groupBy(F.col(class_col).alias("cls"))
+        rows.groupBy(F.col(class_col).alias("cls"))
         .agg(F.count("*").alias("nd"))
         .crossJoin(F.broadcast(n_docs))
         .select(
@@ -128,11 +165,8 @@ def nb_train_score(
         )
     )
 
-    # tokenize pass 2: per-doc bucket multiplicities, scored against
-    # every class through the broadcast grid (bounded x n_classes)
-    feat = toks.groupBy("doc", "cls", "bucket").agg(
-        F.count("*").alias("m")
-    )
+    # per-doc features scored against every class through the broadcast
+    # grid (bounded x n_classes)
     doc_feat = feat.select(
         "doc", F.col("cls").alias("true_cls"), "bucket", "m"
     )
@@ -161,7 +195,7 @@ def nb_train_score(
         .limit(1)
         .select(F.col("cls").alias("bp_cls"), F.col("lp").alias("bp_lp"))
     )
-    all_docs = df.select(
+    all_docs = rows.select(
         F.col(id_col).alias("doc"), F.col(class_col).alias("true_cls")
     )
     return (

@@ -94,6 +94,43 @@ def split_lines(
     )
 
 
+def _split_lines_surrogate(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """:func:`split_lines` with blank lines keyed by a UNIQUE surrogate
+    (``"b:<id>:<line_no>"`` — disjoint from the 32-hex md5 space) instead
+    of NULL.
+
+    Optimization round 10 (guide §2.4): the dedup/boilerplate passes
+    used to split blank rows into a second branch and union them back —
+    and because the blank filter pushes below any shared exchange, the
+    corpus paid the scan + line split + normalization TWICE. With a
+    per-row surrogate key a blank line is a singleton group: keep-first
+    trivially keeps it, a doc-frequency gate counts it once (below any
+    real threshold ≥ 2), so the whole pass runs on ONE derivation.
+    No hot key is introduced — surrogates are unique by construction.
+    """
+    n = _norm(F.col("line"))
+    return df.select(
+        F.col(id_col).alias("_lid"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "line_no", "line"
+        ),
+    ).select(
+        F.col("_lid").alias(id_col),
+        "line_no",
+        "line",
+        F.when(n != "", F.md5(n)).otherwise(
+            F.concat(
+                F.lit("b:"),
+                F.col("_lid").cast("string"),
+                F.lit(":"),
+                F.col("line_no").cast("string"),
+            )
+        ).alias("line_key"),
+    )
+
+
 def _reassemble(
     kept: DataFrame, doc_ids: DataFrame, id_col: str
 ) -> DataFrame:
@@ -287,20 +324,19 @@ def line_dedup(
         df, text_col, id_col, plan, skew_threshold, min_hot_rows,
         sample_docs,
     )
-    lines = split_lines(df, text_col, id_col)
-    keyed = lines.where(F.col("line_key").isNotNull())
+    # one derivation: blanks ride through keep-first as singleton
+    # surrogate-key groups (_split_lines_surrogate) instead of a second
+    # scan+split branch union'd back
+    keyed = _split_lines_surrogate(df, text_col, id_col)
     impl = (
         _keep_first_window if chosen == "window" else _keep_first_aggjoin
     )
     kept_keyed = impl(keyed, id_col)
-    blanks = lines.where(F.col("line_key").isNull()).select(
-        id_col, "line_no", "line"
-    )
     n_lines = (
         F.size(F.split(F.col(text_col), "\n")).cast("int").alias("n_lines")
     )
     doc_ids = df.select(F.col(id_col), n_lines)
-    return _reassemble(kept_keyed.unionByName(blanks), doc_ids, id_col)
+    return _reassemble(kept_keyed, doc_ids, id_col)
 
 
 def incremental_line_dedup(
@@ -343,21 +379,21 @@ def incremental_line_dedup(
         batch, text_col, id_col, plan, skew_threshold, min_hot_rows,
         sample_docs,
     )
-    lines = split_lines(batch, text_col, id_col)
-    batch_keyed = lines.where(F.col("line_key").isNotNull())
+    # one batch derivation (surrogate blanks — see _split_lines_
+    # surrogate): a blank's surrogate key never matches a corpus md5
+    # key, so it passes the anti-join and keep-first keeps its
+    # singleton group — identical rows to the old two-branch union
+    batch_keyed = _split_lines_surrogate(batch, text_col, id_col)
     fresh = batch_keyed.join(corpus_keys, "line_key", "left_anti")
     impl = (
         _keep_first_window if chosen == "window" else _keep_first_aggjoin
     )
     kept_keyed = impl(fresh, id_col)
-    blanks = lines.where(F.col("line_key").isNull()).select(
-        id_col, "line_no", "line"
-    )
     n_lines = (
         F.size(F.split(F.col(text_col), "\n")).cast("int").alias("n_lines")
     )
     doc_ids = batch.select(F.col(id_col), n_lines)
-    return _reassemble(kept_keyed.unionByName(blanks), doc_ids, id_col)
+    return _reassemble(kept_keyed, doc_ids, id_col)
 
 
 def line_doc_frequency(
@@ -395,14 +431,30 @@ def strip_boilerplate(
     banner is noise in its first document too. Returns one row per
     input doc: ``(id, text_kept, n_lines, n_lines_kept)``.
     """
-    lines = split_lines(df, text_col, id_col)
-    hot = (
-        lines.where(F.col("line_key").isNotNull())
-        .groupBy("line_key")
-        .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
-        .where(F.col("n_docs") >= min_docs)
-        .select("line_key")
-    )
+    if min_docs >= 2:
+        # one derivation: a blank's surrogate key occurs in exactly one
+        # doc, so it can never reach a threshold >= 2 — the hot set and
+        # the anti-join read the SAME line frame (guide §2.4; the old
+        # NULL-key split paid the scan+split twice because the blank
+        # filter pushes below any shared exchange)
+        lines = _split_lines_surrogate(df, text_col, id_col)
+        hot = (
+            lines.groupBy("line_key")
+            .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
+            .where(F.col("n_docs") >= min_docs)
+            .select("line_key")
+        )
+    else:
+        # degenerate threshold (drop every non-blank line): surrogate
+        # keys would wrongly drop blanks too — keep the NULL-key shape
+        lines = split_lines(df, text_col, id_col)
+        hot = (
+            lines.where(F.col("line_key").isNotNull())
+            .groupBy("line_key")
+            .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
+            .where(F.col("n_docs") >= min_docs)
+            .select("line_key")
+        )
     kept = lines.join(hot, "line_key", "left_anti").select(
         id_col, "line_no", "line"
     )

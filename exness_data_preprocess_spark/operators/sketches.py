@@ -255,7 +255,26 @@ def cms_estimate(
     you drop at scale). The counter grid (d*w rows) broadcasts to the
     probe side; the exact count is one filtered aggregate.
     """
-    counters = cms_counters(df, value_col)
+    # ONE corpus pass (optimization round 10, guide §2.3/§2.4): the
+    # stream collapses to per-value counts first; the counter grid
+    # re-aggregates those (sum of value counts per cell ≡ count of raw
+    # cell rows), hashing each DISTINCT value once instead of every
+    # occurrence, and the exact-audit branch reads the same frame. The
+    # exact filter is expressed through the aggregated count (`when`
+    # returning _c, then IS NOT NULL) so predicate pushdown cannot
+    # specialize that copy's subtree below the shared exchange — a bare
+    # isin() pushed under the aggregate and forked the two copies,
+    # costing a second scan+explode of the corpus.
+    tc = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("_v"))
+        .agg(F.count("*").alias("_c"))
+    )
+    counters = (
+        tc.select("_c", _cms_cells(md5_h32(F.col("_v"))).alias("cell"))
+        .groupBy("cell.row_j", "cell.bucket")
+        .agg(F.sum("_c").alias("cnt"))
+    )
     probe_df = (
         df.sparkSession.createDataFrame(
             [(p,) for p in probes], ["probe"]
@@ -269,11 +288,12 @@ def cms_estimate(
         .groupBy("probe")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
-    exact = (
-        df.filter(F.col(value_col).isin(probes))
-        .groupBy(F.col(value_col).alias("probe"))
-        .agg(F.count("*").alias("exact_count"))
-    )
+    exact = tc.select(
+        F.col("_v").alias("probe"),
+        F.when(F.col("_v").isin(probes), F.col("_c")).alias(
+            "exact_count"
+        ),
+    ).where(F.col("exact_count").isNotNull())
     return (
         est.join(exact, "probe", "left")
         .withColumn("exact_count", F.coalesce("exact_count", F.lit(0)))
@@ -515,7 +535,21 @@ def bloom_membership(
     (≤ 32 rows) broadcasts; at scale the exact column is the audit you
     drop and the verdict prunes a shuffle/scan before it happens.
     """
-    bloom = bloom_build(df, value_col)
+    # ONE corpus pass (optimization round 10, guide §2.3/§2.4): the
+    # stream collapses to per-value counts, the bitset derives from the
+    # distinct values (bit_or is idempotent — duplicate occurrences
+    # set the same bits), and the exact branch reads the same frame.
+    # The `_c >= 1` filter is vacuous but references the aggregated
+    # count so this copy of the base stays canonical-identical to the
+    # exact branch's (pruning would otherwise drop the count from the
+    # bitset copy and fork the shared exchange); the exact filter uses
+    # the same `when`-through-the-aggregate shield as cms_estimate.
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("_v"))
+        .agg(F.count("*").alias("_c"))
+    )
+    bloom = bloom_build(base.where(F.col("_c") >= 1), "_v")
     probe_df = (
         df.sparkSession.createDataFrame([(p,) for p in probes], ["probe"])
         .withColumn("h32", md5_h32(F.col("probe")))
@@ -534,12 +568,12 @@ def bloom_membership(
         .groupBy("probe")
         .agg(F.min("hit").alias("bloom_maybe"))
     )
-    exact = (
-        df.filter(F.col(value_col).isin(probes))
-        .select(F.col(value_col).alias("probe"))
-        .distinct()
-        .withColumn("exact_present", F.lit(1))
-    )
+    exact = base.select(
+        F.col("_v").alias("probe"),
+        F.when(F.col("_v").isin(probes), F.lit(1)).alias(
+            "exact_present"
+        ),
+    ).where(F.col("exact_present").isNotNull())
     return (
         verdicts.join(exact, "probe", "left")
         .withColumn("exact_present", F.coalesce("exact_present", F.lit(0)))
@@ -699,14 +733,20 @@ def hll_distinct_sketch(
     register-wise max. The exact audit column is the only part that
     pays a distinct shuffle.
     """
+    # ONE corpus pass (optimization round 10, guide §2.4): the exact
+    # audit ALREADY pays a distinct (group, value) shuffle; registers
+    # are max-aggregations, idempotent over duplicates, so they derive
+    # from the same distinct frame — the raw-stream register pass (a
+    # second full scan+explode) is deleted and its tiny (group, m)
+    # shuffle moves above the shared exchange. Register values are
+    # bit-identical (max over distinct == max over raw). Without the
+    # audit column (the at-scale deployment), hll_registers over the
+    # raw stream remains the right call — see hll_estimate_from_
+    # registers and the streaming twin.
     src = df.filter(F.col(value_col).isNotNull())
-    regs = hll_registers(src, group_col, value_col)
-    exact = (
-        src.select(F.col(group_col), F.col(value_col))
-        .distinct()
-        .groupBy(group_col)
-        .agg(F.count("*").alias("n_exact"))
-    )
+    base = src.select(F.col(group_col), F.col(value_col)).distinct()
+    regs = hll_registers(base, group_col, value_col)
+    exact = base.groupBy(group_col).agg(F.count("*").alias("n_exact"))
     return (
         hll_estimate_from_registers(regs, group_col)
         .join(exact, group_col)

@@ -129,14 +129,19 @@ def vocabulary(
     text_col: str = "text",
     min_count: int = 1,
     rank_partitions: int = 32,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Corpus vocabulary: (token, tf, df, rank) — term frequency, document
     frequency, and a deterministic frequency rank (ties by token).
 
     The tokenizer-training / coverage-analysis primitive of a corpus
-    pipeline. One explode + one partial-aggregated groupBy: the shuffle
-    carries (token, partial counts), so 100 TB of text reduces to
-    vocabulary-sized state.
+    pipeline. ONE explode + one partial-aggregated groupBy computes tf
+    and df together (``count_distinct(id_col)`` ≡ the old
+    distinct-per-doc second explode, exact because ``id_col`` is unique
+    per document): the shuffle carries (token, partial counts), so
+    100 TB of text reduces to vocabulary-sized state. The previous
+    rendering paid a second corpus scan + tokenize for the df branch
+    (optimization round 10, guide §2.4).
 
     The global rank deliberately avoids a single-partition
     ``Window.orderBy`` (a 10⁸-token web-corpus vocabulary would funnel
@@ -156,13 +161,18 @@ def vocabulary(
     """
     from pyspark.sql import Window
 
-    ex = df.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
-    tf = ex.groupBy("tok").agg(F.count("*").alias("tf"))
-    exd = df.select(
-        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok")
+    ex = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
     )
-    dfreq = exd.groupBy("tok").agg(F.count("*").alias("df"))
-    vocab = tf.join(dfreq, "tok").filter(F.col("tf") >= min_count)
+    vocab = (
+        ex.groupBy("tok")
+        .agg(
+            F.count("*").alias("tf"),
+            F.count_distinct("_doc").alias("df"),
+        )
+        .filter(F.col("tf") >= min_count)
+    )
 
     ranged = (
         vocab.repartitionByRange(rank_partitions, F.desc("tf"), F.asc("tok"))
@@ -698,6 +708,7 @@ def bigram_logprob_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 1.0,
+    row_source: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-trained bigram-LM fluency score — the CCNet-style quality
     signal (Wenzek et al., 2020 score with a KenLM model and bucket by
@@ -720,7 +731,26 @@ def bigram_logprob_score(
     vocabulary-sized (AQE broadcasts them when small, shuffles on the
     uniform bigram key when not), and |V| is a broadcast 1-row scalar.
     No corpus self-join, no global window.
+
+    Plan economy (optimization round 10, guide §2.4): ``bi`` is derived
+    from ``per_doc_bg`` (c2 = Σ m over docs) and ``v`` from ``uni``
+    *through an expression that references c1*, so each derived branch
+    shares its parent's shuffle — both consumers sit above the SAME
+    canonicalized partial-aggregate + Exchange subtree and AQE's
+    runtime stage reuse computes the corpus scan + tokenize + explode
+    ONCE per exchange. The naive rendering (bi and vocab each from
+    their own groupBy over the raw token stream) re-tokenized the
+    corpus four times: canonical equality breaks as soon as column
+    pruning specializes each branch's scan, which is exactly what the
+    plain ``uni.agg(count(*))`` did (pruning dropped c1's partial
+    count from the vocab copy, forking the exchange). Verified in the
+    final AQE plan at sf0.1: 4 parquet scans + 4 Generates → 2, two
+    ReusedExchange nodes; identical hashes at three SFs
+    (OPTIMIZATION_r10.md for the wall numbers).
     """
+    # un-repartitioned twin for the bare id-reattach scan (callers that
+    # spread ``df`` for explode parallelism skip that exchange here)
+    rows = df if row_source is None else row_source
     toks = df.select(
         F.col(id_col).alias("doc"), tokens_col(F.col(text_col)).alias("tk")
     )
@@ -742,11 +772,20 @@ def bigram_logprob_score(
         .groupBy("w1")
         .agg(F.count("*").alias("c1"))
     )
-    vocab = uni.agg(F.count("*").cast("double").alias("v"))
-    bi = trans.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # count(c1 >= 1 rows) == count(*) (group counts are >= 1 by
+    # construction); the c1 reference keeps this branch's copy of the
+    # uni exchange canonical-identical to the join's so the stage is
+    # reused instead of re-scanning the corpus
+    vocab = uni.agg(
+        F.count(F.when(F.col("c1") >= 1, 1)).cast("double").alias("v")
+    )
     per_doc_bg = trans.groupBy("doc", "w1", "w2").agg(
         F.count("*").alias("m")
     )
+    # corpus bigram counts re-aggregated from the per-doc multiplicities
+    # (Σ m ≡ count(*) over raw transitions) — shares per_doc_bg's
+    # exchange instead of paying a second tokenize+explode pass
+    bi = per_doc_bg.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
 
     # Quantize each log-prob at scale 6 BEFORE the sum: engine ``ln``
     # disagreement is ~1 ulp (1e-15 absolute here), so a per-value
@@ -783,9 +822,23 @@ def bigram_logprob_score(
             ),
         )
     )
+    # NULL-SAFE join key, deliberately: with a plain equi-key the
+    # optimizer infers IsNotNull(doc_id) on the scored side and pushes
+    # it into that branch's scan — which makes the per_doc_bg copy
+    # under the join canonically DIFFERENT from the copy bi derives
+    # from, so AQE stage reuse never fires and the corpus pays a third
+    # tokenize+explode pass (observed: two ShuffleQueryStages with
+    # identical statistics materialized separately). doc_id is the
+    # table's primary key, so the inferred filter was vacuous; <=>
+    # blocks the inference and the two branches collapse into one
+    # reused stage.
     return (
-        df.select(F.col(id_col))
-        .join(scored.withColumnRenamed("doc", id_col), id_col, "left")
+        rows.select(F.col(id_col))
+        .join(
+            scored.withColumnRenamed("doc", "_sdoc"),
+            F.col(id_col).eqNullSafe(F.col("_sdoc")),
+            "left",
+        )
         .select(
             id_col,
             F.coalesce(F.col("n_transitions"), F.lit(0)).alias("n_transitions"),
@@ -931,17 +984,32 @@ def ngram_novelty(
     low novelty late in a corpus = the doc is mostly re-assembled from
     earlier text; a training-data audit ranks/filters on it.
 
-    Scale shape: explode distinct grams → ONE shuffle on the gram
-    (min(doc_id) is partial-aggregable, so common grams combine
-    map-side) → join gram-firsts back to (gram, doc) pairs → one doc-id
-    agg. No self-join, no pair blowup; cost is linear in total distinct
+    Scale shape: explode distinct grams → ONE shuffle on the gram →
+    join gram-firsts back to (gram, doc) pairs → one doc-id agg. No
+    self-join, no pair blowup; cost is linear in total distinct
     (doc, gram) pairs. ``novelty`` is an exact single IEEE division of
     two counts — hash-stable cross-engine unrounded.
+
+    Plan economy (optimization round 10, guide §2.4): the gram-keyed
+    exchange is established ONCE with an explicit ``repartition`` and
+    both consumers derive from it — ``firsts`` aggregates in place (the
+    frame already satisfies the gram distribution, so no second
+    exchange and no separate scan), and the join probe reads the same
+    shuffle output via runtime stage reuse. The previous rendering
+    referenced the raw explode from both branches, paying the corpus
+    scan + tokenize + explode twice (Spark duplicates referenced
+    subtrees; the firsts branch's partial-agged exchange and the join
+    branch's raw exchange canonicalize differently, so ReuseExchange
+    could never fire). The join side shuffled every raw (gram, doc)
+    row by gram ALREADY, so the shared exchange moves no extra bytes
+    — it only deletes the second tokenize pass and the firsts
+    shuffle. Hot-gram skew is unchanged (same rows landed on the same
+    key before).
     """
     grams = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(F.col(text_col), n)).alias("gram"),
-    )
+    ).repartition("gram")
     firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         grams.join(firsts, "gram")
@@ -1051,22 +1119,46 @@ def source_overlap(
     catches mirrored/cross-posted corpora BEFORE doc-level dedup runs
     (two sources sharing half their grams are one source twice).
 
-    Scale shape: distinct (source, gram) pairs (one shuffle), then a
-    gram-keyed self-pairing — per gram the pair count is bounded by
-    #sources² (a constant: sources are an enumerable dimension, 20
-    here), so the output and the join are corpus-LINEAR, never doc².
+    Scale shape: ONE gram-keyed shuffle folds the (source, gram)
+    dedup and the per-gram source set into a single ``collect_set``
+    aggregation; the a<b pairs are expanded from the per-gram set
+    in-row (bounded: sources are an enumerable dimension — ≤ #sources²
+    pairs per gram, 20 sources here) and summed on the pair key. The
+    previous rendering materialized distinct (source, gram) rows and
+    self-joined them on gram — two extra gram-keyed exchanges and a
+    join for the same bounded pair expansion (optimization round 10,
+    guide §2.4; hashes identical at three SFs, plan diff in
+    OPTIMIZATION_r10.md). Per-gram set size is capped
+    by the source dimension, so ``collect_set`` state is bounded and
+    the plan stays corpus-LINEAR, never doc².
     """
-    sg = df.select(
-        F.col(source_col).alias("src"),
-        F.explode(shingles_col(F.col(text_col), n)).alias("gram"),
-    ).distinct()
-    a = sg.select(F.col("src").alias("src_a"), "gram")
-    b = sg.select(F.col("src").alias("src_b"), "gram")
-    return (
-        a.join(b, "gram")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count("*").alias("shared_grams"))
+    per_gram = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(shingles_col(F.col(text_col), n)).alias("gram"),
+        )
+        .groupBy("gram")
+        .agg(F.sort_array(F.collect_set("src")).alias("srcs"))
+    )
+    pairs = per_gram.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "srcs",
+                    lambda a, i: F.transform(
+                        F.slice(
+                            "srcs", i + 2, F.size("srcs") - (i + 1)
+                        ),
+                        lambda b: F.struct(
+                            a.alias("src_a"), b.alias("src_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy("p.src_a", "p.src_b").agg(
+        F.count("*").alias("shared_grams")
     )
 
 
@@ -1341,6 +1433,7 @@ def ccnet_fluency_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str = "lang",
+    row_source: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet head/middle/tail buckets (Wenzek et al. 2020 §4.3): rank
     each language's documents by LM fluency and split into terciles —
@@ -1366,37 +1459,45 @@ def ccnet_fluency_buckets(
     buckets against thresholds from a sample); the tercile CONTRACT
     here — integer boundaries on an ordered rank — is unchanged by
     that substitution.
+
+    Plan economy (optimization round 10, guide §2.4): the original
+    rendering split scored vs unscored docs into two branches and
+    UNION'd them back — and Spark duplicates a referenced subtree per
+    branch, so the entire bigram-LM scoring pipeline (corpus scans,
+    tokenize+explode passes, count-table joins) ran TWICE, once under
+    each union arm. One pass instead: the window partitions on
+    ``(lang, n_transitions > 0)``, so within the scored stratum rank
+    and count are unchanged, and the unscored stratum takes the
+    constant label without re-deriving its input. Same rows, same
+    values (hash-checked at three SFs).
     """
-    scored = bigram_logprob_score(df, text_col, id_col).select(
-        id_col, "n_transitions", "logprob_sum", "logprob_avg"
+    rows = df if row_source is None else row_source
+    scored = bigram_logprob_score(
+        df, text_col, id_col, row_source=row_source
+    ).select(id_col, "n_transitions", "logprob_sum", "logprob_avg")
+    langs = rows.select(F.col(id_col), F.col(lang_col))
+    joined = langs.join(scored, id_col).withColumn(
+        "_scored", F.col("n_transitions") > 0
     )
-    langs = df.select(F.col(id_col), F.col(lang_col))
-    joined = langs.join(scored, id_col)
-    ranked = joined.where(F.col("n_transitions") > 0)
-    w = Window.partitionBy(lang_col).orderBy(
+    w = Window.partitionBy(lang_col, "_scored").orderBy(
         F.desc("logprob_avg"), F.asc(id_col)
     )
-    wc = Window.partitionBy(lang_col)
+    wc = Window.partitionBy(lang_col, "_scored")
     r = F.row_number().over(w)
     n = F.count(F.lit(1)).over(wc)
-    bucketed = ranked.select(
+    return joined.select(
         id_col,
         lang_col,
         "n_transitions",
+        # the left join inside bigram_logprob_score already yields NULL
+        # logprob_sum exactly for n_transitions = 0 docs
         "logprob_sum",
-        F.when(3 * (r - 1) < n, "head")
+        F.when(~F.col("_scored"), "unscored")
+        .when(3 * (r - 1) < n, "head")
         .when(3 * (r - 1) < 2 * n, "middle")
         .otherwise("tail")
         .alias("bucket"),
     )
-    unscored = joined.where(F.col("n_transitions") == 0).select(
-        id_col,
-        lang_col,
-        F.lit(0).cast("bigint").alias("n_transitions"),
-        F.lit(None).cast("double").alias("logprob_sum"),
-        F.lit("unscored").alias("bucket"),
-    )
-    return bucketed.unionByName(unscored)
 
 
 def bpe_pair_counts(

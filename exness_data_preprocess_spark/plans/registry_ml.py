@@ -523,9 +523,10 @@ def q_lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs_spread(spark, sf_dir)
+    plain = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # hash-checked projection: the decimal-exact sum (the avg re-divides
     # in binary fp and is a convenience column, not oracle-comparable)
-    return bigram_logprob_score(docs).select(
+    return bigram_logprob_score(docs, row_source=plain).select(
         "doc_id", "n_transitions", "logprob_sum"
     )
 
@@ -575,7 +576,8 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs_spread(spark, sf_dir)
-    return ccnet_fluency_buckets(docs)
+    plain = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ccnet_fluency_buckets(docs, row_source=plain)
 
 
 # The rank key is the UNROUNDED mean log-prob (bit-stable cross-engine:

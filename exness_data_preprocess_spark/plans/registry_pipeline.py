@@ -1376,7 +1376,8 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     The counts are exact ints, so the whole composition is
     value-hash-checkable; each stage is the actual operator, not a
     re-implementation."""
-    from exness_data_preprocess_spark.operators.dedup import exact_dedup
+    from pyspark.sql import Window
+
     from exness_data_preprocess_spark.operators.textstats import (
         deterministic_split,
         quality_features,
@@ -1386,34 +1387,41 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs_spread(spark, sf_dir)
     scored = repetition_features(quality_features(docs))
-    clean = scored.filter(
-        (F.col("quality_flag") == 1) & (F.col("repetition_flag") == 1)
-    )
-    uniq = deterministic_split(exact_dedup(clean))
 
-    # Plan economy (r9): the original five per-stage groupBy branches
-    # each re-derived their upstream (the quality+repetition scoring ran
-    # three times, the docs scan five). The funnel's first three counts
-    # are conditional aggregates over ONE scored pass; the post-dedup
-    # counts need the dedup shuffle anyway but share one branch. Same
-    # exact ints, two derivations of the scoring instead of five.
-    pre = scored.groupBy("lang").agg(
+    # Plan economy (r9, tightened in the r10 optimization round): the
+    # original five per-stage groupBy branches each re-derived their
+    # upstream (the quality+repetition scoring ran three times, the
+    # docs scan five); r9 cut that to two derivations (pre/post
+    # branches joined on lang). This rendering is ONE derivation: the
+    # exact-dedup rank is a window over (is_clean, content_md5) — for
+    # clean rows identical to exact_dedup's rank over the clean-only
+    # frame (the extra partition column only separates the dirty
+    # stratum, and md5 is a high-cardinality key, so no hot
+    # partition) — and deterministic_split is map-only, so all five
+    # funnel counts fall out of a single conditional aggregate. Same
+    # exact ints (hash-checked at three SFs); the scoring pass, the
+    # dedup shuffle, and the lang agg are each paid once, and the
+    # pre/post join disappears (guide §2.4).
+    is_clean = (F.col("quality_flag") == 1) & (
+        F.col("repetition_flag") == 1
+    )
+    w = Window.partitionBy(
+        is_clean, F.md5(F.trim(F.col("text")))
+    ).orderBy("doc_id")
+    staged = deterministic_split(
+        scored.withColumn("_clean", is_clean).withColumn(
+            "_rn", F.row_number().over(w)
+        )
+    )
+    is_uniq = F.col("_clean") & (F.col("_rn") == 1)
+    return staged.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.count_if(F.col("quality_flag") == 1).alias("n_quality"),
-        F.count_if(
-            (F.col("quality_flag") == 1) & (F.col("repetition_flag") == 1)
-        ).alias("n_clean"),
-    )
-    post = uniq.groupBy("lang").agg(
-        F.count("*").alias("n_unique"),
-        F.count_if(F.col("split") == "train").alias("n_train"),
-    )
-    out = pre.join(post, "lang", "left")
-    return out.select(
-        "lang",
-        "n_docs",
-        *[F.coalesce(c, F.lit(0)).alias(c) for c in
-          ("n_quality", "n_clean", "n_unique", "n_train")],
+        F.count_if(F.col("_clean")).alias("n_clean"),
+        F.count_if(is_uniq).alias("n_unique"),
+        F.count_if(is_uniq & (F.col("split") == "train")).alias(
+            "n_train"
+        ),
     )
 
 

@@ -92,7 +92,8 @@ def q_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text, scoring every doc (operators/classify.py for the
     train-then-score plan and the DECIMAL-exact argmax contract)."""
     docs = _docs_spread(spark, sf_dir)
-    return nb_train_score(docs, "lang").orderBy("doc_id")
+    plain = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return nb_train_score(docs, "lang", row_source=plain).orderBy("doc_id")
 
 
 ORACLE_NB = nb_oracle_sql(_TOKS, "lang") + "ORDER BY doc_id"

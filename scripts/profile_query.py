@@ -72,22 +72,20 @@ def main() -> int:
                 "noop"
             ).mode("overwrite").save()
         best = None
-        for _ in range(args.n):
+        for rep in range(args.n):
             spark.catalog.clearCache()
-            jobs_before = set(tracker.getJobIdsForGroup(None) or [])
-            # use job group to scope
-            sc.setJobGroup(name, name)
+            # unique group per repetition: getJobIdsForGroup(name)
+            # accumulates across reps otherwise, inflating n_jobs /
+            # task_time by the rep count
+            group = f"{name}#{rep}"
+            sc.setJobGroup(group, name)
             t0 = time.time()
             spec.spark(spark, args.sf).write.format("noop").mode(
                 "overwrite"
             ).save()
             wall = time.time() - t0
             sc.setJobGroup(None, None)
-            job_ids = [
-                j
-                for j in (tracker.getJobIdsForGroup(name) or [])
-                if j not in jobs_before
-            ]
+            job_ids = list(tracker.getJobIdsForGroup(group) or [])
             stage_ids = set()
             for j in job_ids:
                 ji = tracker.getJobInfo(j)
