@@ -2006,11 +2006,26 @@ def exact_substring_spans(
     """
     w = window
     base = _tokenized_base(df, text_col, id_col)
-    wins = _window_hashes(base, w)
+    # whash-keyed repartition shared by the occurrence count (aggregates
+    # in place — no second exchange) and the flagged-window join probe,
+    # so the corpus pays ONE tokenize + window-hash pass (optimization
+    # round 10, guide §2.4 — the ngram_novelty precedent; the join
+    # probe shuffled every (id, start, whash) row by whash already, so
+    # no extra bytes move). The occ count references start/id through a
+    # vacuous when() so column pruning cannot specialize this copy's
+    # subtree below the shared exchange (start >= 0 and a non-null id
+    # hold by construction).
+    wins = _window_hashes(base, w).repartition("whash")
 
     dup_hashes = (
         wins.groupBy("whash")
-        .agg(F.count("*").alias("occ"))
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("start") >= 0) & F.col("id").isNotNull(), 1
+                )
+            ).alias("occ")
+        )
         .filter(F.col("occ") >= min_occurrences)
         .select("whash")
     )

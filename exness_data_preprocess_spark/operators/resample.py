@@ -108,14 +108,27 @@ def fill_minute_gaps(
     from pyspark.sql import Window
 
     minute = F.date_trunc("minute", F.col(ts_col))
+    # Explicit not-null keys + every-column-referencing aggregates, so
+    # the THREE consumers of ``b`` (spans, the minute left join,
+    # day_last) stay canonically identical below their shared exchange
+    # and AQE stage reuse computes the upstream bars aggregation once
+    # (optimization round 10, guide §2.4): the left join used to infer
+    # IsNotNull(k, minute) into only its own copy, and column pruning
+    # specialized the spans/day_last copies. Null-key bars carry no
+    # fillable series identity and are dropped (they previously
+    # synthesized an unreachable null-key span).
     b = bars.select(
         F.col(key_col).alias("k"),
         minute.alias("minute"),
         F.col(close_col).alias("close"),
         (F.lit(1) if count_col is None else F.col(count_col)).alias("n"),
-    )
+    ).filter(F.col("k").isNotNull() & F.col("minute").isNotNull())
+    # struct min/max == min/max of minute ((k, minute) is unique per
+    # row, so the first struct field decides) — the close/n references
+    # are vacuous but keep this copy's pruning identical to the join's
     spans = b.groupBy("k").agg(
-        F.min("minute").alias("lo"), F.max("minute").alias("hi")
+        F.min(F.struct("minute", "close", "n"))["minute"].alias("lo"),
+        F.max(F.struct("minute", "close", "n"))["minute"].alias("hi"),
     )
     days = spans.select(
         "k", "lo", "hi",
@@ -153,7 +166,13 @@ def fill_minute_gaps(
     # over the (small) day axis, shifted one day back
     day_last = b.withColumn("day", F.to_date("minute")).groupBy(
         "k", "day"
-    ).agg(F.max_by("close", "minute").alias("day_close"))
+    ).agg(
+        # struct value for the vacuous n reference (copy alignment, as
+        # in spans); (k, minute) unique => same close as max_by(close)
+        F.max_by(F.struct("close", "n"), "minute")["close"].alias(
+            "day_close"
+        )
+    )
     wdy = (
         Window.partitionBy("k")
         .orderBy("day")
