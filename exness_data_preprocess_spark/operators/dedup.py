@@ -901,9 +901,18 @@ def levenshtein_pairs(
     # case size heuristics can't see. (Measured 128 s → 7 s at sf0.1.)
     width = df.sparkSession.sparkContext.defaultParallelism
     spread = _truncate_plan(paired.repartition(width), durable)
+    # threshold form (Spark 3.5+): banded O((|a|+|b|)·d) DP that
+    # early-exits past max_distance and returns -1, instead of the full
+    # O(|a|·|b|) table — identical surviving pairs and distances, since
+    # -1 is returned exactly when the true distance exceeds
+    # max_distance (optimization round 10, guide §1.2 step 2: per-task
+    # work, after the plan shape is right)
     return (
-        spread.withColumn("edit_distance", F.levenshtein("t_a", "t_b"))
-        .filter(F.col("edit_distance") <= max_distance)
+        spread.withColumn(
+            "edit_distance",
+            F.levenshtein("t_a", "t_b", max_distance),
+        )
+        .filter(F.col("edit_distance") >= 0)
         .select(*block_cols, "id_a", "id_b", "edit_distance")
     )
 
@@ -2038,22 +2047,41 @@ def exact_substring_spans(
 
 
 def _tokenized_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    return df.select(
+    # Explicit not-null id so every consumer's copy of this subtree
+    # canonicalizes identically and AQE exchange reuse can fire: the
+    # flagged-window side of _strip_covered_spans's left join gets
+    # IsNotNull(id) inferred into its scan while the reassembly side
+    # does not, and that one pushed-filter difference forked the scan
+    # into two physical copies (optimization round 10, guide §2.4).
+    # Null-id docs carry no joinable identity and are dropped.
+    return df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("toks")
     ).withColumn("n_tokens", F.size("toks"))
 
 
 def _window_hashes(base: DataFrame, w: int) -> DataFrame:
-    """(id, start, whash): md5 over each w-token sliding window."""
-    return base.filter(F.col("n_tokens") >= w).select(
+    """(id, start, whash): md5 over each w-token sliding window.
+
+    Short docs yield an EMPTY window array (posexplode emits nothing)
+    rather than being pre-filtered on ``n_tokens >= w``: a filter here
+    gets predicate-pushed below the docs-spread exchange into this
+    copy's scan only, forking it from the reassembly copy of the same
+    corpus scan and defeating AQE exchange reuse (optimization round
+    10, guide §2.4 — same rows either way, one runtime scan instead of
+    two).
+    """
+    return base.select(
         "id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("n_tokens") - w),
-                lambda i: F.md5(
-                    F.concat_ws("\x1f", F.slice(F.col("toks"), i + 1, w))
+            F.when(
+                F.col("n_tokens") >= w,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - w),
+                    lambda i: F.md5(
+                        F.concat_ws("\x1f", F.slice(F.col("toks"), i + 1, w))
+                    ),
                 ),
-            )
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("start", "whash"),
     )
 

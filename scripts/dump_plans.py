@@ -19,6 +19,14 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--tag", default="r10")
     ap.add_argument("--suffix", default="before")
+    ap.add_argument(
+        "--executed",
+        action="store_true",
+        help="run the plan first (collect) and dump the FINAL adaptive "
+        "plan — static explain duplicates shared subtrees per consumer; "
+        "only the executed plan shows AQE exchange/stage reuse "
+        "(ReusedExchange, AQEShuffleRead)",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -33,6 +41,12 @@ def main() -> int:
         spec = QUERIES[name]
         try:
             df = spec.spark(spark, args.sf)
+            if args.executed:
+                # execute THIS DataFrame's own QueryExecution so the
+                # AdaptiveSparkPlan reaches isFinalPlan=true, then dump
+                # it (results are small registry outputs; this is plan
+                # capture, never timing)
+                df.collect()
             txt = df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
