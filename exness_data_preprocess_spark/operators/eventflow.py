@@ -6,14 +6,24 @@ ClickHouse user reaches for (`windowFunnel`, `retention`) — re-expressed
 as keyed relational passes instead of specialized aggregate functions.
 
 Scale shape:
-- Funnel: one filtered scan + one keyed aggregation PER STEP, each
-  shuffling on the (user, day) key — k steps → k hash aggregates over
-  progressively smaller survivor sets (step n's input is semi-joined
-  against step n−1's survivors). No window over the full event stream,
-  no per-user event collection.
-- Retention: two keyed aggregations (first-activity day per user, then
-  (cohort, offset) distinct counts). Distinct-count state is bounded by
-  users per cohort-offset cell.
+- Funnel: ONE filtered scan + ONE keyed aggregation for all steps
+  (optimization round 10, guide §2.4 — the previous shape re-scanned
+  and re-shuffled the events once per step: k scans, k hash
+  aggregates, k−1 joins). Per-key step-time lists are collected in a
+  single partial-aggregable pass (only events of the funnel's own
+  types shuffle, guide §2.3) and the strictly-after recurrence
+  r_i = min{t ∈ step_i | t > r_{i−1}} evaluates in-row with array
+  higher-order functions. List state is bounded per (scope, key) —
+  the same rows the old per-step aggregates buffered, now in one
+  place.
+- Retention: ONE corpus aggregation (per-user first day + active-day
+  set, state bounded by distinct active days per user) feeding one tiny
+  (cohort, offset) cell aggregation — no joins (optimization round 10,
+  guide §2.4: the previous shape scanned the corpus three times — the
+  distinct-activity frame, its first-day aggregate, and the cohort-size
+  aggregate — and re-attached them with two joins; cohort sizes now ride
+  the same cell frame via a sentinel row per user group and a window
+  over the already-small cells).
 
 Everything is exact integer/timestamp arithmetic — no floats anywhere —
 so results are bit-identical in any engine.
@@ -46,34 +56,42 @@ def funnel_counts(
     if not steps:
         raise ValueError("steps must be non-empty")
     scope = [within_col] if within_col else []
+    # Only the funnel's own event types need to leave the scan — every
+    # other type contributes to no step and would just inflate the
+    # shuffle (guide §2.3).
     ev = df.select(
         *scope,
         F.col(key_col).alias("k"),
         F.col(type_col).alias("t"),
         F.unix_micros(F.col(ts_col)).alias("us"),
-    )
-    # step 1: earliest matching event per (scope, key)
+    ).filter(F.col("t").isin(list(steps)))
+    # ONE keyed pass: per (scope, key), collect each step's event times
+    # (collect_list drops the non-matching nulls), then evaluate the
+    # strictly-after recurrence r_i = min{t in step_i | t > r_{i-1}}
+    # in-row. NULL r_{i-1} propagates: the filter lambda's comparison is
+    # NULL, the element is dropped, array_min of empty is NULL — exactly
+    # the "died at an earlier step" semantics of the old per-step joins.
     reach = (
-        ev.filter(F.col("t") == steps[0])
-        .groupBy(*scope, "k")
-        .agg(F.min("us").alias("r1"))
+        ev.groupBy(*scope, "k")
+        .agg(
+            *[
+                F.collect_list(
+                    F.when(F.col("t") == s, F.col("us"))
+                ).alias(f"_l{i}")
+                for i, s in enumerate(steps, start=1)
+            ]
+        )
+        .withColumn("r1", F.array_min("_l1"))
     )
-    for i, s in enumerate(steps[1:], start=2):
-        # survivors only: keys whose r_{i-1} is NULL died at an earlier
-        # step — filtering them BEFORE the join keeps each step's join
-        # input shrinking with the funnel instead of staying at the
-        # step-1 reach
-        survivors = reach.select(*scope, "k", F.col(f"r{i-1}")).filter(
-            F.col(f"r{i-1}").isNotNull()
+    for i in range(2, len(steps) + 1):
+        prev = F.col(f"r{i-1}")
+        reach = reach.withColumn(
+            f"r{i}",
+            F.array_min(F.filter(F.col(f"_l{i}"), lambda x: x > prev)),
         )
-        nxt = (
-            ev.filter(F.col("t") == s)
-            .join(survivors, [*scope, "k"])
-            .filter(F.col("us") > F.col(f"r{i-1}"))
-            .groupBy(*scope, "k")
-            .agg(F.min("us").alias(f"r{i}"))
-        )
-        reach = reach.join(nxt, [*scope, "k"], "left")
+    # keys with no step-1 event were never in the old step-1 aggregate;
+    # dropping them here also keeps zero-reach scopes absent, as before
+    reach = reach.filter(F.col("r1").isNotNull())
     counts = [
         F.count(F.col(f"r{i}")).alias(f"n_step_{i}")
         for i in range(1, len(steps) + 1)
