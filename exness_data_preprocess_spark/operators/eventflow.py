@@ -31,7 +31,7 @@ so results are bit-identical in any engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -114,23 +114,71 @@ def cohort_retention(
     Output: (cohort_day, offset_days, n_active, cohort_size) — one row
     per (cohort, offset) with ≥1 active user; offset 0 always equals the
     cohort size.
+
+    Plan shape (optimization round 10, guide §2.4): ONE corpus pass —
+    per-user ``groupBy`` collecting the first day and the distinct
+    active-day set (``collect_set`` drops NULL days exactly as the old
+    distinct frame's join leg filtered them) — then one tiny
+    (cohort, offset) cell aggregation over the exploded qualifying
+    offsets. The previous rendering scanned the corpus three times
+    (distinct activity, first-day aggregate, cohort sizes) and
+    re-attached them with two joins; constraint inference pushed a
+    different ``IsNotNull`` set into each copy, so no exchange could be
+    reused. Cohort sizes now derive from the SAME cell frame: every
+    non-NULL user always emits an offset-0 row (their first day
+    qualifies by construction), and a NULL-user group emits one
+    sentinel row with a NULL day, so ``cohort_size`` is a window sum of
+    the offset-0 and sentinel cells per cohort — computed over the
+    already-aggregated (cohorts × offsets)-sized frame, not the corpus.
+    Equivalence with the old join shape, case by case:
+    - non-NULL user, non-NULL days: one exploded row per qualifying
+      day = the old joined rows; per-user days are a set, so the cell
+      ``count(*)`` equals the old ``count_distinct(k)``.
+    - NULL user_id: old shape counted the NULL group in ``cohort_size``
+      (via the first-day aggregate) but never in ``n_active`` (the
+      ``k``-join dropped it) — here it emits only the sentinel row.
+    - user with only NULL days: old shape put it in a NULL-cohort sizes
+      row that the inner join could never match — here its day set is
+      empty, cohort NULL, and the NULL-offset filter drops it. Absent
+      from the output either way.
     """
-    act = df.select(
-        F.col(key_col).alias("k"), F.to_date(ts_col).alias("day")
-    ).dropDuplicates(["k", "day"])
-    first = act.groupBy("k").agg(F.min("day").alias("cohort_day"))
-    sizes = first.groupBy("cohort_day").agg(
-        F.count("*").alias("cohort_size")
+    per_user = (
+        df.select(F.col(key_col).alias("k"), F.to_date(ts_col).alias("day"))
+        .groupBy("k")
+        .agg(
+            F.min("day").alias("cohort_day"),
+            F.collect_set("day").alias("days"),
+        )
     )
-    joined = (
-        act.join(first, "k")
-        .withColumn("offset_days", F.datediff("day", "cohort_day"))
-        .filter(F.col("offset_days") <= max_offset_days)
+    cohort = F.col("cohort_day")
+    exploded = per_user.select(
+        "cohort_day",
+        F.explode(
+            F.when(
+                F.col("k").isNotNull(),
+                F.filter(
+                    F.col("days"),
+                    lambda d: F.datediff(d, cohort) <= F.lit(max_offset_days),
+                ),
+            ).otherwise(F.array(F.lit(None).cast("date")))
+        ).alias("day"),
     )
+    cells = exploded.groupBy(
+        "cohort_day", F.datediff("day", "cohort_day").alias("offset_days")
+    ).agg(F.count("*").alias("n_active"))
+    w_cohort = Window.partitionBy("cohort_day")
     return (
-        joined.groupBy("cohort_day", "offset_days")
-        .agg(F.count_distinct("k").alias("n_active"))
-        .join(sizes, "cohort_day")
+        cells.withColumn(
+            "cohort_size",
+            F.sum(
+                F.when(
+                    F.col("offset_days").isNull()
+                    | (F.col("offset_days") == 0),
+                    F.col("n_active"),
+                )
+            ).over(w_cohort),
+        )
+        .filter(F.col("offset_days").isNotNull())
         .select(
             F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
             "offset_days",

@@ -86,3 +86,32 @@ def test_cohort_retention_matrix(spark):
     assert out[(d2, 1)]["n_active"] == 1   # user 5 day 3
     # no row for (cohort, offset) cells with zero active users
     assert (d2, 2) not in out
+
+
+def test_cohort_retention_null_keys_match_join_semantics(spark):
+    """The round-10 single-pass plan must preserve the old join shape's
+    NULL handling: a NULL user_id counts in cohort_size (the first-day
+    aggregate kept the NULL group) but never in n_active (the k-join
+    dropped it); beyond max_offset activity is excluded."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9), 1),
+        (2, dt.datetime(2024, 1, 2, 9), 1),
+        (3, dt.datetime(2024, 1, 9, 9), 1),   # offset 8 > max 7: excluded
+        (4, dt.datetime(2024, 1, 1, 9), None),  # NULL user, same cohort day
+        (5, dt.datetime(2024, 1, 2, 9), None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+    out = {
+        (r["cohort_day"], r["offset_days"]): r
+        for r in cohort_retention(ev, max_offset_days=7).collect()
+    }
+    d1 = "2024-01-01"
+    # cohort_size 2 = user 1 + the NULL group; n_active counts user 1 only
+    assert out[(d1, 0)]["n_active"] == 1 and out[(d1, 0)]["cohort_size"] == 2
+    assert out[(d1, 1)]["n_active"] == 1
+    assert (d1, 8) not in out
+    assert len(out) == 2
