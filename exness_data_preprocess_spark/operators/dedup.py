@@ -928,29 +928,38 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """(id, simhash) — bitwise-majority fingerprint over md5 token hashes.
 
-    bit_i(doc) = 1 iff Σ_tokens (2·bit_i(h32(token)) − 1) > 0. Distinct
-    tokens are exploded once and re-aggregated with ``bits`` conditional
-    sums — all JVM-side, one shuffle on the id.
+    bit_i(doc) = 1 iff Σ_tokens (2·bit_i(h32(token)) − 1) > 0, evaluated
+    entirely IN-ROW (optimization round 10, guide §2.4): the distinct
+    token hashes stay an array column and the per-bit majority is a
+    nested array ``aggregate`` — a map-only plan with ZERO exchanges.
+    The previous shape exploded the tokens and re-aggregated them with
+    ``bits`` conditional sums, paying the explode row stream, a
+    ``bits``-buffer hash aggregate, and a shuffle on the id for a
+    computation that never needed to leave its row (measured at sf0.1:
+    2.2-3.3 → 1.3-1.5 s best-of-3, interleaved A/B). The majority test
+    uses ones-counts (2·c_i > n ⟺ Σ(2·bit−1) > 0 — exact, no float),
+    with a bigint accumulator so no count can overflow.
+
+    Edge parity with the exploded shape: a doc whose token array is NULL
+    (NULL text) produced no exploded rows and was absent from the
+    output — the ``_n >= 1`` filter reproduces that. A blank doc is
+    PRESENT either way: ``split`` of empty text yields the [''] array,
+    so it has one token ('' hashes like any string).
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", md5_h32(F.col("tok")))
-    sums = toks.groupBy("id").agg(
-        *[
-            F.sum(
-                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"s{i}")
-            for i in range(bits)
-        ]
+    hs = F.transform(
+        F.array_distinct(tokens_col(F.col(text_col))), lambda t: md5_h32(t)
     )
-    fp = None
-    for i in range(bits):
-        bit = F.when(F.col(f"s{i}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(
-            1 << i
-        )
-        fp = bit if fp is None else fp + bit
-    return sums.select("id", fp.cast("bigint").alias("simhash"))
+    d = df.select(
+        F.col(id_col).alias("id"), hs.alias("_hs"), F.size(hs).alias("_n")
+    )
+    fp = F.expr(
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), "
+        "(acc, i) -> acc + if("
+        "2 * aggregate(_hs, cast(0 as bigint), "
+        "(a, h) -> a + cast((h >> i) & 1 as bigint)) > _n, "
+        "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+    )
+    return d.filter(F.col("_n") >= 1).select("id", fp.alias("simhash"))
 
 
 def simhash_pairs(

@@ -91,6 +91,25 @@ def test_simhash_identical_and_hamming(docs):
         simhash_pairs(docs, bands=4, max_hamming=8)
 
 
+def test_simhash_null_and_blank_text_edge_parity(spark):
+    """The round-10 in-row plan must keep the exploded shape's edges: a
+    NULL-text doc produced no token rows and was ABSENT; a blank doc has
+    the one '' token (split of '' is ['']) and is PRESENT."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b a")],
+        "doc_id long, text string",
+    )
+    fps = {r["id"]: r["simhash"] for r in simhash_fingerprints(df).collect()}
+    assert set(fps) == {2, 3}
+    blank = {
+        r["id"]: r["simhash"]
+        for r in simhash_fingerprints(
+            spark.createDataFrame([(9, "")], "doc_id long, text string")
+        ).collect()
+    }
+    assert blank[9] == fps[2]  # '' token hashes deterministically
+
+
 def test_embedding_cosine_pairs(spark):
     rows = [
         (1, [1.0, 0.0, 0.0], 0),
