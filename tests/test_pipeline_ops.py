@@ -745,6 +745,22 @@ def test_doc_entropy_degenerate_and_uniform(spark):
     assert abs(out[2]["entropy"] - round(math.log(2), 6)) < 1e-9
 
 
+def test_doc_entropy_null_and_blank_edge_parity(spark):
+    """The round-10 in-row plan keeps the exploded shape's edges:
+    NULL-text docs were absent (no token rows); blank text is the ['']
+    one-token array, present with entropy 0."""
+    from exness_data_preprocess_spark.operators.textstats import doc_entropy
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "a a b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in doc_entropy(docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_words"] == 1 and out[1]["entropy"] == 0.0
+    assert out[2]["n_words"] == 3 and out[2]["distinct_words"] == 2
+
+
 def test_oov_rate_against_corpus_vocab(spark):
     from exness_data_preprocess_spark.operators.textstats import oov_rate
 
