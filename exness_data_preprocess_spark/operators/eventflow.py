@@ -13,9 +13,11 @@ Scale shape:
   single partial-aggregable pass (only events of the funnel's own
   types shuffle, guide §2.3) and the strictly-after recurrence
   r_i = min{t ∈ step_i | t > r_{i−1}} evaluates in-row with array
-  higher-order functions. List state is bounded per (scope, key) —
-  the same rows the old per-step aggregates buffered, now in one
-  place.
+  higher-order functions. The trade: per-key aggregation state grows
+  from the old per-step O(1) mins to the key's own funnel-type event
+  times — bounded by a single key's events within one scope bucket
+  (the registry scopes by day), the same buffering contract as
+  ClickHouse's windowFunnel, and k× fewer shuffled passes.
 - Retention: ONE corpus aggregation (per-user first day + active-day
   set, state bounded by distinct active days per user) feeding one tiny
   (cohort, offset) cell aggregation — no joins (optimization round 10,
