@@ -504,3 +504,17 @@ def test_new_curation_entry_plan_shapes(spark):
     # would be a corpus-sized single task
     assert "windowspecdefinition(lang" in ccnet
     assert re.search(r"windowspecdefinition\((?!lang)", ccnet) is None
+
+
+def test_codegen_cache_sized_for_registry(spark):
+    """The r10 mid-bench churn finding: a session serving the whole
+    139-entry registry thrashes Spark's default 100-entry generated-class
+    cache, re-JITing every fragment on every re-invocation (measured:
+    45-90 s of JIT compiler time per bench pass at the default, 2-3x
+    steady-state walls on the heaviest entries). get_spark must pin a
+    cache large enough to retain the registry's full fragment population
+    and a code cache the sweeper will not flush hot methods out of."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 2048
+    assert "ReservedCodeCacheSize" in spark.conf.get(
+        "spark.driver.extraJavaOptions", ""
+    )
