@@ -14,12 +14,25 @@ Noise robustness (judge r9 task 4 — the r9 afternoon snapshot had 33 of
 samples per query are taken in three INTERLEAVED full passes (A/B/A-style)
 instead of back-to-back, so a transient host-noise window (steal, another
 tenant's burst) grazes one sample of many queries instead of poisoning
-all three samples of a few. The JSON records `load1_start/end`, the
-/proc/stat `steal_pct` across the run, and `noisy_entry_frac` (fraction
-of entries whose max/min sample ratio exceeds 1.4 — the band-width gate);
+all three samples of a few. On top of that (judge r10 task 1), entries
+whose steady-state samples still span >1.4x get PER-ENTRY RE-SAMPLING:
+up to three extra passes over just the wide entries, each entry sampled
+until two of its steady-state samples agree within 1.4x — a burst that
+grazed one sample is outvoted by clean extras instead of condemning the
+whole run. The JSON records `load1_start/end`, the /proc/stat
+`steal_pct` across the run, and `noisy_entry_frac` (fraction of entries
+with no two steady-state samples within 1.4x AFTER re-sampling);
 `noise_flag` is set when that fraction exceeds 10%. With
 SPARK_GRAFT_BENCH_STRICT=1 a flagged snapshot exits non-zero after
 printing, so a noisy run cannot silently become the round's record.
+
+Artifact contract (judge r10 task 2): the stdout line must survive the
+round driver's tail-window capture, so the bulky per-query sample spread
+no longer rides in it (r9's ~11 KB line was truncated to an unparseable
+tail and the r10 round-over-round comparison came up empty). The stdout
+line carries the per-query best-of map + summary scalars only (compact
+separators, ~4 KB); the full spread detail is written as proper JSON to
+$SPARK_GRAFT_BENCH_DETAIL when that env var names a file path.
 """
 
 from __future__ import annotations
@@ -57,6 +70,18 @@ def _index_build_sec() -> float:
         ),
         4,
     )
+
+
+def _steady_band_wide(samples: list[float], ratio: float = 1.4) -> bool:
+    """True when no two steady-state samples (pass 2 onward) of an entry
+    agree within `ratio` — i.e. the entry's floor estimate is still
+    uncorroborated. Pass 1 is excluded: the first target-scale execution
+    carries cold-path costs and is systematically slower. With exactly
+    two steady samples this reduces to the r9 max/min band gate."""
+    steady = sorted(samples[1:])
+    if len(steady) < 2:
+        return True
+    return steady[0] <= 0 or steady[1] / steady[0] > ratio
 
 
 def _read_cpu_times() -> tuple[int, int]:
@@ -110,30 +135,48 @@ def main() -> None:
     # transient noise window cannot own all three. Best-of-3 per query,
     # as before (r2→r3: ~1.4x GC blips under best-of-2).
     spread: dict[str, list[float]] = {n: [] for n in benched}
+
+    def _run_once(name: str) -> float:
+        spark.catalog.clearCache()  # drop operator-persisted intermediates
+        t0 = time.time()
+        benched[name].spark(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.time() - t0, 4)
+
     for _ in range(3):
-        for name, spec in benched.items():
-            spark.catalog.clearCache()  # drop operator-persisted intermediates
-            t0 = time.time()
-            spec.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            spread[name].append(round(time.time() - t0, 4))
+        for name in benched:
+            spread[name].append(_run_once(name))
         spark.catalog.clearCache()
+
+    # Per-entry re-sampling (judge r10 task 1): instead of only flagging
+    # the run when a transient burst widened some entries, take up to
+    # three extra passes over JUST the still-wide entries. Each extra
+    # pass is a fresh sample minutes after the burst, so a one-burst
+    # artifact gains a corroborating clean sample and the entry settles;
+    # an entry that stays wide after three extras is genuinely unstable
+    # and still counts toward noise_flag. Best-of-N per entry (min over
+    # all samples) is unchanged in kind — extras can only refine the
+    # floor estimate, never fabricate one.
+    n_resample_passes = 0
+    for _ in range(3):
+        wide = [n for n, s in spread.items() if _steady_band_wide(s)]
+        if not wide:
+            break
+        n_resample_passes += 1
+        for name in wide:
+            spread[name].append(_run_once(name))
+        spark.catalog.clearCache()
+
     timings = {n: round(min(s), 4) for n, s in spread.items()}
 
     steal1, total1 = _read_cpu_times()
     dt = total1 - total0
     steal_pct = round(100.0 * (steal1 - steal0) / dt, 3) if dt > 0 else 0.0
-    # noise band over the two STEADY-STATE passes only: pass 1 is the
-    # first target-scale execution (cold shuffle paths, one-time trained
-    # fits) and is systematically slower — including it measured warm-up
-    # as "noise" (the first A-snapshot read 30% wide on an idle host;
-    # passes 2-3 alone read ~5%)
-    n_noisy = sum(
-        1
-        for s in spread.values()
-        if min(s[1:]) > 0 and max(s[1:]) / min(s[1:]) > 1.4
-    )
+    n_noisy = sum(1 for s in spread.values() if _steady_band_wide(s))
     noisy_frac = round(n_noisy / len(spread), 4) if spread else 0.0
     noise_flag = noisy_frac > 0.10
+    n_resampled = sum(1 for s in spread.values() if len(s) > 3)
     total = round(sum(timings.values()), 4)
     wall = round(time.time() - t_all, 4)
     ordered = sorted(timings.values())
@@ -157,48 +200,49 @@ def main() -> None:
             )
         },
     }
-    # Key order matters: the round driver records only the TAIL of this
-    # line (BENCH_r08's captured tail cut off before median_query_sec
-    # because the per-query spread dict preceded it — judge r8 task 7).
-    # Big per-query dicts go FIRST, summary scalars LAST, so any
-    # tail-truncation window still contains every scalar the
-    # round-over-round comparison needs.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "unit": "sec",
-                # per-query samples in PASS ORDER (pass 1 = first
-                # target-scale run, includes cold-path costs; passes
-                # 2-3 = steady state) — regression-vs-jitter evidence
-                "queries_spread": spread,
-                "queries": timings,
-                "excluded": excluded,
-                "env": env,
-                # one-time index-build (trained-IVF k-means fit) cost,
-                # reported separately: it is an artifact-build step, not
-                # part of any per-query timing (centroids are
-                # fingerprint-cached across the best-of-3 samples)
-                "index_build_sec": _index_build_sec(),
-                # noise record (judge r9 task 4): host-noise evidence
-                # for THIS snapshot — steal time across the run, load at
-                # the endpoints, and the fraction of entries whose three
-                # interleaved samples span >1.4x (the r9 band metric)
-                "load1_start": load1_start,
-                "load1_end": round(os.getloadavg()[0], 2),
-                "steal_pct": steal_pct,
-                "noisy_entry_frac": noisy_frac,
-                "noise_flag": noise_flag,
-                # the query set grows round-over-round; totals aren't
-                # comparable across rounds, medians and counts are
-                "median_query_sec": median,
-                "n_queries": len(timings),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
-                "value": total,
-                "wall_including_warmup": wall,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "queries": timings,
+        "excluded": excluded,
+        "env": env,
+        # one-time index-build (trained-IVF k-means fit) cost,
+        # reported separately: it is an artifact-build step, not
+        # part of any per-query timing (centroids are
+        # fingerprint-cached across the best-of-3 samples)
+        "index_build_sec": _index_build_sec(),
+        # noise record (judge r9 task 4): host-noise evidence for
+        # THIS snapshot — steal time across the run, load at the
+        # endpoints, and the fraction of entries with no two
+        # steady-state samples within 1.4x after re-sampling
+        "load1_start": load1_start,
+        "load1_end": round(os.getloadavg()[0], 2),
+        "steal_pct": steal_pct,
+        "noisy_entry_frac": noisy_frac,
+        "noise_flag": noise_flag,
+        # per-entry re-sampling record (judge r10 task 1)
+        "n_resampled": n_resampled,
+        "n_resample_passes": n_resample_passes,
+        # the query set grows round-over-round; totals aren't
+        # comparable across rounds, medians and counts are
+        "median_query_sec": median,
+        "n_queries": len(timings),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+        "value": total,
+        "wall_including_warmup": wall,
+    }
+    # Full sample-spread detail (pass order: pass 1 = first target-scale
+    # run with cold-path costs, passes 2-3 = steady state, entries 4+ =
+    # re-samples) goes to a SIDE FILE, not stdout: the ~7 KB spread dict
+    # is what pushed the r9 stdout line past the round driver's
+    # tail-capture window and emptied the r10 round-over-round
+    # comparison (judge r10 task 2). Compact separators keep the stdout
+    # line ~4 KB so a tail-truncated capture still parses whole.
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
+    if detail_path:
+        with open(detail_path, "w") as fh:
+            json.dump({**payload, "queries_spread": spread}, fh, indent=1)
+    print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
     if noise_flag and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
         # strict mode: a wide-band snapshot must not silently become the
