@@ -2014,9 +2014,15 @@ def exact_substring_spans(
          cross-doc window function), emit span stats and the text with
          covered tokens removed.
 
-    Rows: one per input doc (left join — clean docs get zero counts and
-    their normalized text back). Columns: id, n_tokens, n_dup_windows,
-    covered_tokens, dup_ratio, text_deduped.
+    Rows: one per input doc with a non-null id (left join — clean docs
+    get zero counts and their normalized text back). Null-id docs are
+    DROPPED — declared semantics, not an accident: they carry no
+    joinable identity, the registry oracle's inner join on doc_id never
+    matches NULL either, and the declared query's covered_tokens > 0
+    filter excluded them under every historical shape
+    (test_exact_substring_null_id_semantics_pinned holds all three
+    together). Columns: id, n_tokens, n_dup_windows, covered_tokens,
+    dup_ratio, text_deduped.
 
     Reference parity: none — the reference (ClickHouse tick engine) has
     no text dedup; this extends the training-data-pipeline family
@@ -2062,7 +2068,11 @@ def _tokenized_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # IsNotNull(id) inferred into its scan while the reassembly side
     # does not, and that one pushed-filter difference forked the scan
     # into two physical copies (optimization round 10, guide §2.4).
-    # Null-id docs carry no joinable identity and are dropped.
+    # Null-id docs carry no joinable identity and are dropped — PINNED
+    # declared semantics (round 11): the oracle twins' inner join on
+    # doc_id and the declared queries' covered_tokens > 0 filter both
+    # excluded null ids already, so every level agrees
+    # (test_exact_substring_null_id_semantics_pinned).
     return df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("toks")
     ).withColumn("n_tokens", F.size("toks"))
@@ -2161,8 +2171,10 @@ def strip_contaminated_spans(
     corpus, so the semi-join broadcasts under AQE; at worst it shuffles
     on the uniform md5 key); corpus windows never self-join.
 
-    One row per corpus doc: (id, n_tokens, n_contaminated_windows,
-    covered_tokens, contamination_ratio, text_clean).
+    One row per corpus doc with a non-null id: (id, n_tokens,
+    n_contaminated_windows, covered_tokens, contamination_ratio,
+    text_clean). Null-id docs are dropped by declared semantics — see
+    exact_substring_spans, which shares the tokenize base.
     """
     w = window
     base = _tokenized_base(corpus, text_col, id_col)
