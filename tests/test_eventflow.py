@@ -61,6 +61,90 @@ def test_funnel_scoped_by_bucket(spark):
     assert (out["2024-01-02"]["n_step_1"], out["2024-01-02"]["n_step_3"]) == (1, 0)
 
 
+def test_funnel_per_step_twin_value_identical(spark):
+    """The bot-key fallback (per-step O(1)-state shape) must agree with
+    the collected shape on every edge the collected tests pin: strict
+    ordering, ties not advancing, scoped buckets, dead-at-step-k keys."""
+    import pyspark.sql.functions as F
+
+    from exness_data_preprocess_spark.operators.eventflow import (
+        funnel_counts_per_step,
+    )
+
+    rows = [
+        (1, 9, 0, 1, "view"), (1, 10, 0, 1, "click"),
+        (1, 11, 0, 1, "purchase"),
+        (1, 8, 0, 2, "click"), (1, 9, 30, 2, "view"),
+        (1, 10, 0, 2, "purchase"),
+        (1, 9, 0, 3, "view"), (1, 9, 0, 3, "click"),
+        (1, 9, 0, 4, "purchase"),
+        (2, 9, 0, 1, "view"), (2, 10, 0, 2, "view"),
+        (2, 10, 30, 2, "click"),
+    ]
+    ev = _ev(spark, rows).withColumn(
+        "day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    )
+    steps = ["view", "click", "purchase"]
+    a = [tuple(r) for r in funnel_counts(ev, steps, within_col="day").collect()]
+    b = [
+        tuple(r)
+        for r in funnel_counts_per_step(ev, steps, within_col="day").collect()
+    ]
+    assert a == b
+    # unscoped too
+    a0 = funnel_counts(ev, steps).collect()[0]
+    b0 = funnel_counts_per_step(ev, steps).collect()[0]
+    assert tuple(a0) == tuple(b0)
+
+
+def test_funnel_adaptive_picks_by_hot_key_probe(spark):
+    """funnel_counts_adaptive must return identical values to the twins
+    and switch implementation on the probed hottest-key event count
+    (threshold forced to a test scale)."""
+    import pyspark.sql.functions as F
+
+    from exness_data_preprocess_spark.operators.eventflow import (
+        funnel_counts_adaptive,
+    )
+
+    # user 1 is the "bot": 30 of 33 funnel events
+    rows = [(1, 9, m % 60, 1, "view") for m in range(30)] + [
+        (1, 10, 0, 2, "view"), (1, 10, 30, 2, "click"),
+        (1, 11, 0, 2, "purchase"),
+    ]
+    ev = _ev(spark, rows).withColumn(
+        "day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    )
+    steps = ["view", "click", "purchase"]
+    expected = [
+        tuple(r) for r in funnel_counts(ev, steps, within_col="day").collect()
+    ]
+    # threshold above the bot's count -> collected path; below -> per-step
+    for threshold in (1_000_000, 5):
+        got = [
+            tuple(r)
+            for r in funnel_counts_adaptive(
+                ev, steps, within_col="day",
+                hot_events_threshold=threshold, sample_rows=1_000_000,
+            ).collect()
+        ]
+        assert got == expected
+    # the decision itself: probe on the filtered frame sees the bot
+    from exness_data_preprocess_spark.operators.skew import when_to_salt
+
+    probed = ev.filter(F.col("event_type").isin(steps)).withColumn(
+        "_sk", F.struct("day", "user_id")
+    )
+    assert when_to_salt(
+        probed, "_sk", share_threshold=0.0, min_hot_rows=5,
+        sample_rows=1_000_000,
+    )["salt"]
+    assert not when_to_salt(
+        probed, "_sk", share_threshold=0.0, min_hot_rows=1_000_000,
+        sample_rows=1_000_000,
+    )["salt"]
+
+
 def test_funnel_rejects_empty_steps(spark):
     with pytest.raises(ValueError):
         funnel_counts(_ev(spark, [(1, 9, 0, 1, "view")]), [])
