@@ -204,7 +204,12 @@ def main() -> None:
         "metric": "headline_queries_total",
         "unit": "sec",
         "queries": timings,
-        "excluded": excluded,
+        # short-form reasons on the wire (full sentences ride in the
+        # detail file) — every byte of this line competes with the
+        # driver's tail-capture window
+        "excluded": {
+            n: r.split(" (", 1)[0] for n, r in excluded.items()
+        },
         "env": env,
         # one-time index-build (trained-IVF k-means fit) cost,
         # reported separately: it is an artifact-build step, not
@@ -241,7 +246,11 @@ def main() -> None:
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
     if detail_path:
         with open(detail_path, "w") as fh:
-            json.dump({**payload, "queries_spread": spread}, fh, indent=1)
+            json.dump(
+                {**payload, "excluded": excluded, "queries_spread": spread},
+                fh,
+                indent=1,
+            )
     print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
     if noise_flag and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):

@@ -1149,17 +1149,25 @@ def build_sharded_merged_state(
         .groupBy(comp.alias("_sg"), F.col(value_col).alias("_v"))
         .agg(F.count("*").alias("_cnt"))
     )
+    # The kmv/hll legs do not read ``_cnt``, so column pruning would
+    # specialize their copy of the base aggregate (no count column) and
+    # the exchanges would no longer canonicalize equal — each leg would
+    # re-scan and re-tokenize the corpus. The vacuous ``_cnt >= 1``
+    # (count(*) of at least one row is always >= 1) pins ``_cnt`` in
+    # every consumption, keeping the four copies byte-identical so
+    # runtime exchange reuse actually fires without persisting anything.
+    alive = base.filter(F.col("_cnt") >= 1)
     kmv_sg = topk_per_group_bounded(
         # distinct AFTER hashing: two values may collide to one h60, and
         # a duplicate h row would crowd a genuine k-th value out of the
         # prune (kmv_value_hashes distincts (group, h) for the same
         # reason)
-        base.select("_sg", md5_h60(F.col("_v")).alias("h")).distinct(),
+        alive.select("_sg", md5_h60(F.col("_v")).alias("h")).distinct(),
         ("_sg",),
         ("h",),
         k,
     )
-    hll_sg = hll_registers(base.select("_sg", "_v"), "_sg", "_v")
+    hll_sg = hll_registers(alive.select("_sg", "_v"), "_sg", "_v")
     # CMS needs true multiplicities: re-weight the deduped base by _cnt
     # (cms_counters counts raw rows; sum-of-cnt over the same cells is
     # identical)
@@ -1242,7 +1250,16 @@ def sketch_index_estimates(
         .select("probe", "cell.row_j", "cell.bucket")
     )
     grid = (
-        idx.cms.select(group_col)
+        # Vacuous predicates (cms cnt is a sum of per-row counts, so
+        # always >= 1; a null group never survives the serving frame's
+        # inner equi-joins) that keep this consumption of ``idx.cms``
+        # byte-identical to the join side below, so the collapsed-cms
+        # aggregate and the corpus exchange under it are reused at
+        # runtime instead of recomputed for the group list.
+        idx.cms.filter(
+            (F.col("cnt") >= 1) & F.col(group_col).isNotNull()
+        )
+        .select(group_col)
         .distinct()
         .crossJoin(F.broadcast(probe_cells))
     )
